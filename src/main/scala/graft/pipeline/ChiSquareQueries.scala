@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.text.Tokenize
+import graft.stats.{ChiSquare, Contingency}
+
+/** Driver-contract registry for the χ² family (reference-parity surface).
+  * Each query reads the driver fixtures (`documents.parquet`: `text` plays
+  * reviewText, `lang` plays category — SURVEY §1.5) and has a DuckDB oracle
+  * mirroring the exact same semantics, down to IEEE-754 operation order in
+  * the χ² expression (ChiSquare.chi2Sql).
+  */
+object ChiSquareQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  val K = ChiSquarePipeline.DefaultK
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Flagship: the whole reference program (SURVEY §7.2).
+    "chi2_top_terms" -> ((s, dir) =>
+      ChiSquarePipeline.topTerms(docs(s, dir), "text", "lang", K)),
+    // Contingency table, all (term, category) pairs (SURVEY A1, G1–G4, J1–J3).
+    "chi2_contingency" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val (adm, toks) = ChiSquarePipeline.tokens(d, "text", "lang")
+      Contingency.table(toks, adm)
+        .select("category", "term", "a", "b", "c", "d", "n")
+        .orderBy("category", "term")
+    }),
+    // Per-(term, category) document frequency (SURVEY G1 alone).
+    "chi2_tokenize_docfreq" -> ((s, dir) => {
+      val (_, toks) = ChiSquarePipeline.tokens(docs(s, dir), "text", "lang")
+      toks.groupBy("term", "category").agg(count("*").as("df"))
+        .orderBy("term", "category")
+    }),
+    // Merged dictionary of selected terms (SURVEY G6/T3).
+    "chi2_merged_dict" -> ((s, dir) =>
+      ChiSquarePipeline.mergedDictionary(
+        ChiSquarePipeline.topTerms(docs(s, dir), "text", "lang", K))),
+    // χ² scores for every pair (no top-k) — exercises A2's zero-guard too.
+    "chi2_scores" -> ((s, dir) =>
+      ChiSquarePipeline.chi2Table(docs(s, dir), "text", "lang")
+        .select("category", "term", "chi2")
+        .orderBy("category", "term"))
+  )
+
+  // ---- DuckDB oracle SQL ----------------------------------------------
+
+  private val stopList = Tokenize.stopwordsInList(Tokenize.DefaultStopwords)
+
+  /** Shared CTE prefix: admitted docs + per-doc-distinct tokens + counts.
+    * (DuckDB evaluates only the CTEs the final SELECT reaches.)
+    */
+  private val cte: String = {
+    val all =
+      s"""WITH docs AS (
+         |  SELECT doc_id, lang AS category, lower(text) AS t
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND length(text) > 0
+         |    AND lang IS NOT NULL AND length(lang) > 0
+         |), tok AS (
+         |  SELECT DISTINCT doc_id, category, term FROM (
+         |    SELECT doc_id, category,
+         |           unnest(regexp_split_to_array(t, '${Tokenize.DelimRegexSql}')) AS term
+         |    FROM docs)
+         |  WHERE length(term) > 1 AND length(term) < 50 AND term NOT IN $stopList
+         |), term_cat AS (
+         |  SELECT term, category, count(*) AS a FROM tok GROUP BY 1, 2
+         |), cont AS (
+         |  SELECT tc.category, tc.term, tc.a,
+         |         tt.t_total - tc.a AS b,
+         |         cd.c_total - tc.a AS c,
+         |         nt.n - tt.t_total - cd.c_total + tc.a AS d,
+         |         nt.n
+         |  FROM term_cat tc
+         |  JOIN (SELECT term, CAST(sum(a) AS BIGINT) AS t_total FROM term_cat GROUP BY 1) tt USING (term)
+         |  JOIN (SELECT category, count(*) AS c_total FROM docs GROUP BY 1) cd USING (category)
+         |  CROSS JOIN (SELECT count(*) AS n FROM docs) nt
+         |), scored AS (
+         |  SELECT category, term, ${ChiSquare.chi2Sql} AS chi2 FROM cont
+         |), ranked AS (
+         |  SELECT category, term, chi2,
+         |         CAST(row_number() OVER (PARTITION BY category ORDER BY chi2 DESC, term ASC) AS INT) AS rank
+         |  FROM scored
+         |)""".stripMargin
+    all
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "chi2_top_terms" ->
+      s"""$cte
+         |SELECT category, term, chi2, rank FROM ranked
+         |WHERE rank <= $K ORDER BY category, rank""".stripMargin,
+    "chi2_contingency" ->
+      s"""$cte
+         |SELECT category, term, a, b, c, d, n FROM cont
+         |ORDER BY category, term""".stripMargin,
+    "chi2_tokenize_docfreq" ->
+      s"""$cte
+         |SELECT term, category, a AS df FROM term_cat
+         |ORDER BY term, category""".stripMargin,
+    "chi2_merged_dict" ->
+      s"""$cte
+         |SELECT DISTINCT term FROM ranked WHERE rank <= $K ORDER BY term""".stripMargin,
+    "chi2_scores" ->
+      s"""$cte
+         |SELECT category, term, chi2 FROM scored
+         |ORDER BY category, term""".stripMargin
+  )
+}
