@@ -1,0 +1,103 @@
+package graft.events
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series / semi-structured surface over the `events` fixture:
+  * tumbling windows, JSON extraction (SURVEY §7.4 "props JSON extraction"),
+  * and batch sessionization (gap-based), each with a DuckDB oracle.
+  *
+  * The tumbling-window aggregate is the batch twin of the Structured
+  * Streaming pipeline in graft.streaming — same groupBy(window(...)) DAG,
+  * so the oracle indirectly checks the streaming transform too.
+  *
+  * Scale notes: the window aggregate shuffles on (bucket, event_type) —
+  * bounded cardinality; sessionization shuffles once on user_id and then
+  * does two linear window passes (lag + running sum) inside each user
+  * partition; skewed users are bounded by per-user event counts, not by
+  * total data size.
+  */
+object Events {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(28,10)")).cast("double")
+
+  val SessionGapMinutes = 30
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 1-hour windows: count + exact sum per (hour, type).
+    "events_hourly" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy("hour", "event_type")),
+    // JSON field extraction from the string props column.
+    "events_json_extract" -> ((s, dir) =>
+      ev(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          sum(col("k")).as("sum_k"))
+        .orderBy("event_type")),
+    // Gap-based sessionization (30-min inactivity closes a session):
+    // classic lag → gap flag → running-sum session id, all window ops.
+    "events_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > SessionGapMinutes * 60L, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq", sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_seq")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+        .orderBy("user_id", "session_seq")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    "events_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "events_sessionize" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, ts, event_id,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(lag(ts) OVER w) AS BIGINT) > ${SessionGapMinutes * 60} THEN 1 ELSE 0 END AS new_session
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), sessions AS (
+         |  SELECT user_id, ts,
+         |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+         |  FROM flagged
+         |)
+         |SELECT user_id, session_seq, count(*) AS n_events,
+         |  min(ts) AS session_start, max(ts) AS session_end
+         |FROM sessions
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,162 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational workout (SURVEY §7.4): joins / aggregates / windows over the
+  * TPC-H-ish fixture tables, so the oracle suite exercises operator classes
+  * the χ² DAG alone doesn't (multi-way joins, date predicates, ranking).
+  *
+  * Cross-engine exactness: double addition is not associative, so any
+  * aggregate the oracle hash-compares is summed as DECIMAL (exact, order-
+  * independent in both Spark and DuckDB) and only then cast back to double.
+  * Averages are expressed as exact-decimal sum ÷ count — one deterministic
+  * double division instead of an order-dependent double accumulation.
+  *
+  * Scale notes: filters sit directly on the scans (predicate pushdown —
+  * verified via explain in RelationalSpec); small dimensions (region,
+  * nation, supplier, customer at fixture scale) are broadcast; the only
+  * wide shuffles are the group-bys on the fact table.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact money sum: double → decimal(28,10) per row → exact sum → double. */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(28,10)")).cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-shaped scan+aggregate: the canonical pricing summary.
+    "rel_pricing_summary" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    // TPC-H Q3-shaped 3-way join + grouped top-N by revenue.
+    "rel_top_orders" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+    // TPC-H Q5-shaped snowflake join: revenue per nation via region filter.
+    "rel_nation_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+    // Window ranking: top-3 orders by totalprice within each priority.
+    "rel_priority_top_orders" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+        .orderBy("o_orderpriority", "rank")
+    }),
+    // Aggregate breadth: distinct counts + min/max (order-independent exact).
+    "rel_part_stats" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      p.groupBy("p_brand")
+        .agg(
+          countDistinct(col("p_type")).as("n_types"),
+          count(lit(1)).as("n_parts"),
+          min(col("p_retailprice")).as("min_price"),
+          max(col("p_retailprice")).as("max_price"),
+          min(col("p_size")).as("min_size"),
+          max(col("p_size")).as("max_size"))
+        .orderBy("p_brand")
+    }),
+    // Anti/semi join surface: customers with and without orders.
+    "rel_customer_orders" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey")).withColumn("has_orders", lit(true))
+      val without = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey")).withColumn("has_orders", lit(false))
+      withO.unionByName(without).orderBy("c_custkey")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "rel_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "rel_top_orders" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "rel_nation_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "rel_priority_top_orders" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rank
+        |  FROM orders)
+        |WHERE rank <= 3
+        |ORDER BY o_orderpriority, rank""".stripMargin,
+    "rel_part_stats" ->
+      """SELECT p_brand,
+        |  count(DISTINCT p_type) AS n_types,
+        |  count(*) AS n_parts,
+        |  min(p_retailprice) AS min_price,
+        |  max(p_retailprice) AS max_price,
+        |  min(p_size) AS min_size,
+        |  max(p_size) AS max_size
+        |FROM part
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+    "rel_customer_orders" ->
+      """SELECT c_custkey,
+        |  EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_orders
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin
+  )
+}
