@@ -9,12 +9,18 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     pipeline.ChiSquareQueries.queries("chi2_top_terms")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 (+ the
+    * LLM-data-pipeline extension surface, SURVEY §7.4).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    pipeline.ChiSquareQueries.queries
+    pipeline.ChiSquareQueries.queries ++
+      events.Events.queries ++
+      rel.Relational.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    pipeline.ChiSquareQueries.oracleSql
+    pipeline.ChiSquareQueries.oracleSql ++
+      events.Events.oracleSql ++
+      rel.Relational.oracleSql
 }

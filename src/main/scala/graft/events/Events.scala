@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * and batch sessionization (gap-based), each with a DuckDB oracle.
   *
   * The tumbling-window aggregate is the batch twin of the Structured
-  * Streaming pipeline in graft.streaming — same groupBy(window(...)) DAG,
-  * so the oracle indirectly checks the streaming transform too.
+  * Streaming transform in [[graft.streaming.StreamingCounts]] — same
+  * groupBy(window(...)) DAG, so the oracle indirectly checks the
+  * streaming transform too.
   *
   * Scale notes: the window aggregate shuffles on (bucket, event_type) —
   * bounded cardinality; sessionization shuffles once on user_id and then
@@ -20,8 +21,17 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
-  private def ev(s: SparkSession, dir: String): DataFrame =
+  /** The fixture stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects outright. Read it as raw nanos
+    * (`nanosAsLong`) and rebuild a micros timestamp — the fixture has no
+    * sub-microsecond components (verified: epoch_ns % 1000 == 0 for every
+    * row), so `div 1000` is lossless.
+    */
+  private def ev(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   private def dsum(c: org.apache.spark.sql.Column) =
     sum(c.cast("decimal(28,10)")).cast("double")
@@ -66,10 +76,14 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // NOTE the decimal→VARCHAR→DOUBLE hop: DuckDB's direct decimal→double
+    // cast is not correctly rounded (int128 × 1e-scale in floating point,
+    // up to 1 ulp off), while its varchar→double parse IS correctly
+    // rounded — matching Spark's BigDecimal.doubleValue exactly.
     "events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,

@@ -11,6 +11,9 @@ import org.apache.spark.sql.functions._
   * Cross-engine exactness: double addition is not associative, so any
   * aggregate the oracle hash-compares is summed as DECIMAL (exact, order-
   * independent in both Spark and DuckDB) and only then cast back to double.
+  * The oracle's final cast goes decimal→VARCHAR→DOUBLE: DuckDB's direct
+  * decimal→double is not correctly rounded (up to 1 ulp off), but its
+  * varchar→double parse is — matching Spark's BigDecimal.doubleValue.
   * Averages are expressed as exact-decimal sum ÷ count — one deterministic
   * double division instead of an order-dependent double accumulation.
   *
@@ -42,12 +45,15 @@ object Relational {
         .orderBy("l_returnflag", "l_linestatus")
     }),
     // TPC-H Q3-shaped 3-way join + grouped top-N by revenue.
+    // Join order matters at scale: semi-reduce orders against the
+    // broadcast BUILDING-customer filter FIRST (cuts orders ~5x before
+    // the wide lineitem join) — with CBO off Catalyst keeps user order.
     "rel_top_orders" -> ((s, dir) => {
       val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = t(s, dir, "orders")
       val li = t(s, dir, "lineitem")
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      val oBuilding = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      li.join(oBuilding, col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
@@ -90,24 +96,24 @@ object Relational {
           max(col("p_size")).as("max_size"))
         .orderBy("p_brand")
     }),
-    // Anti/semi join surface: customers with and without orders.
+    // Anti/semi join surface in ONE pass over orders: left join against
+    // the distinct custkey projection, existence = join hit. The naive
+    // left_semi ∪ left_anti form scans orders twice — 2x the work at scale.
     "rel_customer_orders" -> ((s, dir) => {
       val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders")
-      val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
-        .select(col("c_custkey")).withColumn("has_orders", lit(true))
-      val without = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
-        .select(col("c_custkey")).withColumn("has_orders", lit(false))
-      withO.unionByName(without).orderBy("c_custkey")
+      val oKeys = t(s, dir, "orders").select(col("o_custkey")).distinct()
+      c.join(oKeys, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("o_custkey").isNotNull.as("has_orders"))
+        .orderBy("c_custkey")
     })
   )
 
   def oracleSql: Map[String, String] = Map(
     "rel_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -115,7 +121,7 @@ object Relational {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "rel_top_orders" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -125,7 +131,7 @@ object Relational {
         |LIMIT 10""".stripMargin,
     "rel_nation_revenue" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
