@@ -15,12 +15,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     pipeline.ChiSquareQueries.queries ++
       events.Events.queries ++
-      rel.Relational.queries
+      rel.Relational.queries ++
+      dedup.Dedup.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     pipeline.ChiSquareQueries.oracleSql ++
       events.Events.oracleSql ++
-      rel.Relational.oracleSql
+      rel.Relational.oracleSql ++
+      dedup.Dedup.oracleSql
 }

@@ -1,0 +1,74 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+class DedupSpec extends SparkSpec {
+
+  // Crafted corpus: 0/1 identical, 2 a near-dup of them (one word changed
+  // out of 12 → trigram jaccard well under 1 but high), 3 unrelated.
+  private lazy val corpus: DataFrame = {
+    val s = spark; import s.implicits._
+    Seq(
+    (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+    (3L, "completely different words entirely unrelated content here now yes")
+    ).toDF("doc_id", "text")
+  }
+
+  private def physicalPlan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("exact duplicates are MinHash candidates; unrelated docs are not") {
+    val pairs = Dedup.minhashCandidates(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "identical docs must share every bucket")
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L },
+      "unrelated doc must not appear in any candidate pair")
+  }
+
+  test("identical docs have identical SimHash and hamming-0 pair") {
+    val sigs = Dedup.simhashSignatures(corpus)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sigs(0L) === sigs(1L))
+    assert(sigs(0L).length === Dedup.SimHashBits)
+    assert(sigs(0L).forall(c => c == '0' || c == '1'))
+    val pairs = Dedup.simhashPairs(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((0L, 1L)) === 0L)
+  }
+
+  test("ngram jaccard: identical docs score 1.0; near-dup scores |∩|/|∪|") {
+    val jac = Dedup.ngramJaccard(corpus, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(jac((0L, 1L)) === 1.0)
+    // 12 tokens → 10 trigrams; only the i=10 trigram contains the changed
+    // last word: |∩| = 9, |∪| = 11.
+    assert(jac((0L, 2L)) === 9.0 / 11.0)
+    // doc 3 shares no shingle with the rest → no pair at any threshold
+    assert(!jac.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    // the default 0.8 threshold keeps the dup trio (9/11 > 0.8), doc 3 out
+    val filtered = Dedup.ngramJaccard(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(filtered === Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+
+  test("no pair generator ever plans a cartesian product or NL join") {
+    for (df <- Seq(Dedup.minhashCandidates(corpus),
+                   Dedup.simhashPairs(corpus),
+                   Dedup.ngramJaccard(corpus))) {
+      val plan = physicalPlan(df)
+      assert(!plan.contains("CartesianProduct"), plan.take(2000))
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    }
+  }
+
+  test("oversized LSH buckets are dropped before pair expansion") {
+    // 300 identical docs → every bucket has 300 > MaxBucketSize members;
+    // without the cap this would expand to ~45k pairs per band.
+    val many = spark.range(300)
+      .selectExpr("id AS doc_id", "'same text for every single doc here' AS text")
+    assert(Dedup.minhashCandidates(many).count() === 0L)
+  }
+}
