@@ -16,7 +16,8 @@ object SparkEntry {
     pipeline.ChiSquareQueries.queries ++
       events.Events.queries ++
       rel.Relational.queries ++
-      dedup.Dedup.queries
+      dedup.Dedup.queries ++
+      sim.Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -24,5 +25,6 @@ object SparkEntry {
     pipeline.ChiSquareQueries.oracleSql ++
       events.Events.oracleSql ++
       rel.Relational.oracleSql ++
-      dedup.Dedup.oracleSql
+      dedup.Dedup.oracleSql ++
+      sim.Similarity.oracleSql
 }

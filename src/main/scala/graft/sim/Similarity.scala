@@ -1,0 +1,202 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` fixture (vec_id,
+  * embedding: array<float> dim 64, label).
+  *
+  * Three operators, in increasing scale-readiness:
+  *  - `sim_cosine_topk`: brute-force exact top-k neighbors for a small
+  *    query batch — the correctness baseline. The query batch is
+  *    broadcast against the corpus scan (a bounded nested-loop: |Q|·|C|
+  *    with |Q| tiny), which is exactly how a batched exact-scoring pass
+  *    runs on a cluster. NOT for corpus×corpus — that's what LSH is for.
+  *  - `sim_cosine_ann_lsh`: sign-random-projection LSH (±1 hyperplanes)
+  *    → 8-bit bucket per vector; queries only score candidates in their
+  *    bucket. At 100 TB the bucket join replaces the full scan: cost
+  *    drops from |Q|·|C| to Σ_bucket |Q_b|·|C_b|.
+  *  - `sim_embedding_neardup`: corpus-level near-duplicate pairs via the
+  *    same LSH buckets (self-join per bucket, never all-pairs), exact
+  *    cosine rescoring, threshold filter.
+  *
+  * Engine-parity notes: all arithmetic is double (`float` inputs are cast
+  * element-wise first — float math differs across engines, double math
+  * doesn't); dot products are an in-order left fold over the pairwise
+  * products, mirrored in the oracle via list_transform + list_reduce; the
+  * hyperplane weights are ±1 CONSTANTS derived once (md5-seeded) on the
+  * Scala side and interpolated into both the Spark plan and the oracle
+  * SQL as literals, so no cross-engine hash function is ever needed.
+  * Zero UDFs: everything is higher-order Column functions.
+  */
+object Similarity {
+
+  val Dim = 64
+  val NumPlanes = 8
+  val NumQueries = 10
+  val TopK = 5
+  val NearDupThreshold = 0.3
+
+  /** Deterministic ±1 hyperplane weights: plane p, dim j gets the parity
+    * of the first hex digit of md5("p,j"). Seeded data, not code — both
+    * engines receive these as plain literals.
+    */
+  lazy val planes: IndexedSeq[IndexedSeq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until NumPlanes).map { p =>
+      (0 until Dim).map { j =>
+        val h = md.digest(s"$p,$j".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 1) == 1) 1 else -1
+      }
+    }
+  }
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Element-wise double view of the float embedding. */
+  private def vCol(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** In-order left-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** 8-char '0'/'1' LSH bucket key from the sign of each projection. */
+  def bucketCol(v: Column): Column = {
+    val bits = (0 until NumPlanes).map { p =>
+      val w = array(planes(p).map(x => lit(x.toDouble)): _*)
+      when(dot(v, w) >= 0, "1").otherwise("0")
+    }
+    concat(bits: _*)
+  }
+
+  /** (vec_id, v, nrm[, bucket]) prepared view of the corpus. */
+  private def prepared(s: SparkSession, dir: String, withBucket: Boolean): DataFrame = {
+    val base = emb(s, dir)
+      .select(col("vec_id"), vCol(col("embedding")).as("v"))
+      .withColumn("nrm", dot(col("v"), col("v")))
+    if (withBucket) base.withColumn("bucket", bucketCol(col("v"))) else base
+  }
+
+  private def cosine(qv: Column, cv: Column, qn: Column, cn: Column): Column =
+    dot(qv, cv) / (sqrt(qn) * sqrt(cn))
+
+  private def rankTopK(pairs: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact top-k: broadcast query batch × corpus scan, window top-k.
+    "sim_cosine_topk" -> ((s, dir) => {
+      val c = prepared(s, dir, withBucket = false)
+      val q = c.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val pairs = c.crossJoin(broadcast(q))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+      rankTopK(pairs, TopK)
+    }),
+    // ANN: same scoring, but only candidates sharing the query's bucket.
+    "sim_cosine_ann_lsh" -> ((s, dir) => {
+      val c = prepared(s, dir, withBucket = true)
+      val q = c.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("bucket"))
+      val pairs = c.join(broadcast(q), Seq("bucket"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+      rankTopK(pairs, TopK)
+    }),
+    // Corpus-level near-dup pairs: per-bucket self-join + exact rescore.
+    "sim_embedding_neardup" -> ((s, dir) => {
+      val c = prepared(s, dir, withBucket = true)
+      val a = c.select(col("bucket"), col("vec_id").as("vec_a"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = c.select(col("bucket"), col("vec_id").as("vec_b"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, Seq("bucket"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          cosine(col("va"), col("vb"), col("na"), col("nb")).as("cos"))
+        .filter(col("cos") >= NearDupThreshold)
+        .orderBy("vec_a", "vec_b")
+    })
+  )
+
+  // ---- DuckDB oracle SQL ------------------------------------------------
+
+  /** `[1, -1, ...]` literal for plane p. */
+  private def planeSql(p: Int): String =
+    planes(p).mkString("[", ", ", "]")
+
+  /** Mirrors `dot`: in-order fold over pairwise products (the leading
+    * 0.0 + p1 of Spark's aggregate is exact, so no-init list_reduce
+    * matches bit-for-bit).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
+
+  private val bucketSql: String =
+    (0 until NumPlanes).map { p =>
+      s"CASE WHEN ${dotSql("v", planeSql(p))} >= 0 THEN '1' ELSE '0' END"
+    }.mkString(" || ")
+
+  private val eCte: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, ${dotSql("v", "v")} AS nrm FROM e
+       |)""".stripMargin
+
+  private val bCte: String =
+    s"""$eCte, b AS (
+       |  SELECT vec_id, v, nrm, $bucketSql AS bucket FROM n
+       |)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "sim_cosine_topk" ->
+      s"""$eCte, p AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |         ${dotSql("q.v", "c.v")} / (sqrt(q.nrm) * sqrt(c.nrm)) AS cos
+         |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < $NumQueries
+         |), r AS (
+         |  SELECT query_id, vec_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+         |  FROM p
+         |)
+         |SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= $TopK
+         |ORDER BY query_id, rank""".stripMargin,
+    "sim_cosine_ann_lsh" ->
+      s"""$bCte, p AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |         ${dotSql("q.v", "c.v")} / (sqrt(q.nrm) * sqrt(c.nrm)) AS cos
+         |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < $NumQueries
+         |), r AS (
+         |  SELECT query_id, vec_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+         |  FROM p
+         |)
+         |SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= $TopK
+         |ORDER BY query_id, rank""".stripMargin,
+    "sim_embedding_neardup" ->
+      s"""$bCte
+         |SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+         |       ${dotSql("a.v", "b2.v")} / (sqrt(a.nrm) * sqrt(b2.nrm)) AS cos
+         |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         |WHERE ${dotSql("a.v", "b2.v")} / (sqrt(a.nrm) * sqrt(b2.nrm)) >= $NearDupThreshold
+         |ORDER BY vec_a, vec_b""".stripMargin
+  )
+}

@@ -1,0 +1,71 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  test("hyperplane weights are ±1, deterministic, and balanced-ish") {
+    assert(Similarity.planes.length === Similarity.NumPlanes)
+    assert(Similarity.planes.forall(_.length === Similarity.Dim))
+    assert(Similarity.planes.flatten.forall(w => w == 1 || w == -1))
+    // md5-seeded: must be literally reproducible run-to-run
+    assert(Similarity.planes === Similarity.planes.map(identity))
+    // a degenerate all-same plane would make its bit useless
+    assert(Similarity.planes.forall(p => p.distinct.length == 2))
+  }
+
+  test("dot/cosine: identical vectors score exactly 1.0, orthogonal 0.0") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (0L, array(CAST(1.0 AS DOUBLE), 0.0, 2.0)),
+        |  (1L, array(CAST(0.0 AS DOUBLE), 3.0, 0.0))
+        |AS t(id, v)""".stripMargin)
+    val d = df.select(
+      Similarity.dot(col("v"), col("v")).as("self"),
+      col("id")).collect().map(r => r.getLong(1) -> r.getDouble(0)).toMap
+    assert(d(0L) === 5.0)
+    assert(d(1L) === 9.0)
+    val cross = df.as("a").crossJoin(df.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(Similarity.dot(col("a.v"), col("b.v")))
+      .collect().head.getDouble(0)
+    assert(cross === 0.0)
+  }
+
+  test("LSH: identical vectors share a bucket; bucket is 8 bits") {
+    val df = spark.range(3).selectExpr("id",
+      s"""CASE WHEN id < 2
+         |  THEN transform(sequence(1, ${Similarity.Dim}), x -> CAST(x AS DOUBLE))
+         |  ELSE transform(sequence(1, ${Similarity.Dim}), x -> CAST(-x AS DOUBLE))
+         |END AS v""".stripMargin)
+    val b = df.select(col("id"), Similarity.bucketCol(col("v")).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(b(0L) === b(1L))
+    assert(b(0L).length === Similarity.NumPlanes)
+    assert(b(0L).forall(c => c == '0' || c == '1'))
+    // v and -v flip the sign of every projection → complementary buckets
+    assert(b(2L) === b(0L).map(c => if (c == '1') '0' else '1'))
+  }
+
+  test("ann/neardup plans never use a cartesian or nested-loop join") {
+    val dir = "/root/testdata/sf0.001"
+    for (name <- Seq("sim_cosine_ann_lsh", "sim_embedding_neardup")) {
+      val plan = Similarity.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name: ${plan.take(1500)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name: ${plan.take(1500)}")
+    }
+  }
+
+  test("brute-force and ANN agree on shared candidates") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = Similarity.queries("sim_cosine_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ann = Similarity.queries("sim_cosine_ann_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // any (query, vec) pair present in both must carry the identical score
+    val shared = exact.keySet intersect ann.keySet
+    assert(shared.forall(k => exact(k) == ann(k)))
+  }
+}
