@@ -17,7 +17,8 @@ object SparkEntry {
       events.Events.queries ++
       rel.Relational.queries ++
       dedup.Dedup.queries ++
-      sim.Similarity.queries
+      sim.Similarity.queries ++
+      text.Analysis.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +27,6 @@ object SparkEntry {
       events.Events.oracleSql ++
       rel.Relational.oracleSql ++
       dedup.Dedup.oracleSql ++
-      sim.Similarity.oracleSql
+      sim.Similarity.oracleSql ++
+      text.Analysis.oracleSql
 }

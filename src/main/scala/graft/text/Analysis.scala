@@ -1,0 +1,242 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-training-data pipelines over the
+  * `documents` fixture: language identification, quality scoring, token
+  * statistics, and document fingerprinting.
+  *
+  * All per-document features are computed map-side from the raw text with
+  * higher-order Column functions (no explode where an array fold
+  * suffices) — at 100 TB the difference between a narrow map stage and an
+  * explode+shuffle is the whole game. Only lang-ID (which needs a
+  * marker-table join) and the winnowing fingerprint (a per-doc top-k of
+  * shingle hashes) aggregate at all, and both shuffle doc-id-keyed rows,
+  * never raw text.
+  *
+  * Engine parity: divisions are single double ops on exact integer
+  * counts; literals are cast to DOUBLE explicitly in the oracle SQL
+  * (DuckDB parses bare `0.4` as DECIMAL, whose arithmetic differs);
+  * fingerprints are md5 hex (identical in both engines).
+  */
+object Analysis {
+
+  /** Marker words per language — tiny public function-word lists; the
+    * lang with the most marker hits wins (ties: alphabetical; no hits:
+    * "und"). This is the classic cheap heuristic pre-filter that runs
+    * before any model-based identifier in a data pipeline.
+    */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "and", "is", "not", "a", "with", "of", "to"),
+    "es" -> Seq("el", "la", "los", "y", "es", "no", "un", "con"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "un", "avec"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "有", "和", "我")
+  )
+
+  val QualityStopwords: Seq[String] = Tokenize.DefaultStopwords
+  /** Winnowing fingerprint keeps this many minimal shingle hashes. */
+  val WinnowK = 4
+  val FpShingleSize = 3
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+
+  private def toksCol: Column =
+    filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+
+  // ---- language ID ------------------------------------------------------
+
+  def langId(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import scala.jdk.CollectionConverters._
+    val markerRows = Markers.flatMap { case (l, ws) => ws.map(w => (l, w)) }
+    val markers = s.createDataFrame(
+      markerRows.map { case (l, w) => org.apache.spark.sql.Row(l, w) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("mlang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("t",
+          org.apache.spark.sql.types.StringType))))
+    val toks = d.select(col("doc_id"), explode(toksCol).as("t"))
+    val hits = toks.join(broadcast(markers), "t")
+      .groupBy("doc_id", "mlang").agg(count(lit(1)).as("matches"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("matches").desc, col("mlang").asc)
+    val best = hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select("doc_id", "mlang", "matches")
+    d.select(col("doc_id")).join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("mlang"), lit("und")).as("predicted_lang"),
+        coalesce(col("matches"), lit(0L)).as("matches"))
+  }
+
+  // ---- quality ----------------------------------------------------------
+
+  /** Per-doc quality features + a fixed-weight composite score. Every
+    * ratio is ONE double division over exact long counts.
+    */
+  def quality(d: DataFrame): DataFrame = {
+    val toks = toksCol
+    val nToks = size(toks).cast("long")
+    val nDistinct = size(array_distinct(toks)).cast("long")
+    val stopHits = size(filter(toks,
+      t => t.isInCollection(QualityStopwords))).cast("long")
+    val charsTok = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val base = d.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      nToks.as("n_tokens"),
+      nDistinct.as("n_distinct"),
+      stopHits.as("n_stopwords"),
+      charsTok.as("token_chars"))
+    base.select(
+      col("doc_id"), col("n_chars"), col("n_tokens"), col("n_distinct"),
+      (col("n_stopwords").cast("double") / col("n_tokens").cast("double"))
+        .as("stopword_ratio"),
+      (col("token_chars").cast("double") / col("n_tokens").cast("double"))
+        .as("mean_token_len"),
+      (col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+        .as("type_token_ratio"))
+      .withColumn("quality_score",
+        lit(0.4) * least(lit(1.0),
+          col("n_tokens").cast("double") / lit(100.0)) +
+          lit(0.3) * (lit(1.0) - col("stopword_ratio")) +
+          lit(0.3) * col("type_token_ratio"))
+  }
+
+  // ---- token stats ------------------------------------------------------
+
+  /** Whitespace vs regex ("BPE-ish" word/digit/symbol classes) token
+    * counts + the chars-per-token estimator used for quick budgeting.
+    */
+  val BpeishPattern = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+
+  def tokenStats(d: DataFrame): DataFrame =
+    d.select(
+      col("doc_id"),
+      size(toksCol).cast("long").as("ws_tokens"),
+      size(expr(s"regexp_extract_all(lower(text), '${BpeishPattern.replace("\\", "\\\\")}', 0)"))
+        .cast("long").as("regex_tokens"),
+      ceil(length(col("text")).cast("double") / lit(4.0)).cast("long")
+        .as("est_bpe_tokens"))
+
+  // ---- fingerprints -----------------------------------------------------
+
+  private def shinglesCol: Column = {
+    val toks = toksCol
+    when(size(toks) < FpShingleSize, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (FpShingleSize - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(FpShingleSize)))))
+  }
+
+  /** Two fingerprints per doc:
+    *  - `bow_fp`: md5 of the sorted distinct token bag — an
+    *    order-insensitive exact-dedup key;
+    *  - `winnow_fp`: concat of the `WinnowK` smallest shingle md5s — a
+    *    locality-sensitive sketch (shared shingles → shared minima),
+    *    computed entirely map-side from the shingle array.
+    */
+  def fingerprints(d: DataFrame): DataFrame = {
+    val sortedHashes = array_sort(transform(shinglesCol, s => md5(s)))
+    d.select(
+      col("doc_id"),
+      md5(concat_ws(" ", array_sort(array_distinct(toksCol)))).as("bow_fp"),
+      concat_ws("", slice(sortedHashes, 1, WinnowK)).as("winnow_fp"))
+  }
+
+  // ---- registry ---------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid" -> ((s, dir) => langId(docs(s, dir)).orderBy("doc_id")),
+    "text_quality" -> ((s, dir) => quality(docs(s, dir)).orderBy("doc_id")),
+    "text_token_stats" -> ((s, dir) => tokenStats(docs(s, dir)).orderBy("doc_id")),
+    "text_fingerprint" -> ((s, dir) => fingerprints(docs(s, dir)).orderBy("doc_id"))
+  )
+
+  // ---- DuckDB oracle SQL ------------------------------------------------
+
+  private val markerValues: String =
+    Markers.flatMap { case (l, ws) => ws.map(w => s"('$l', '$w')") }
+      .mkString(", ")
+
+  private val dCte: String =
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                     t -> length(t) > 0) AS toks
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND length(text) > 0
+      |)""".stripMargin
+
+  private val stopList: String =
+    QualityStopwords.map(s => "'" + s + "'").mkString("(", ",", ")")
+
+  def oracleSql: Map[String, String] = Map(
+    "text_langid" ->
+      s"""$dCte, markers(mlang, t) AS (VALUES $markerValues),
+         |tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
+         |hits AS (
+         |  SELECT doc_id, mlang, count(*) AS matches
+         |  FROM tok JOIN markers USING (t) GROUP BY 1, 2
+         |), best AS (
+         |  SELECT doc_id, mlang, matches FROM (
+         |    SELECT doc_id, mlang, matches,
+         |           row_number() OVER (PARTITION BY doc_id
+         |             ORDER BY matches DESC, mlang ASC) AS rn
+         |    FROM hits) WHERE rn = 1
+         |)
+         |SELECT d.doc_id,
+         |       coalesce(best.mlang, 'und') AS predicted_lang,
+         |       coalesce(best.matches, 0) AS matches
+         |FROM d LEFT JOIN best ON d.doc_id = best.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "text_quality" ->
+      s"""$dCte, base AS (
+         |  SELECT doc_id,
+         |         CAST(length(text) AS BIGINT) AS n_chars,
+         |         CAST(len(toks) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         |         CAST(len(list_filter(toks, t -> t IN $stopList)) AS BIGINT) AS n_stopwords,
+         |         CAST(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))), (a, b) -> a + b) AS BIGINT) AS token_chars
+         |  FROM d
+         |), feat AS (
+         |  SELECT doc_id, n_chars, n_tokens, n_distinct,
+         |         CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+         |         CAST(token_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_token_len,
+         |         CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS type_token_ratio
+         |  FROM base
+         |)
+         |SELECT doc_id, n_chars, n_tokens, n_distinct, stopword_ratio,
+         |       mean_token_len, type_token_ratio,
+         |       CAST(0.4 AS DOUBLE) * least(CAST(1.0 AS DOUBLE),
+         |           CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE))
+         |         + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - stopword_ratio)
+         |         + CAST(0.3 AS DOUBLE) * type_token_ratio AS quality_score
+         |FROM feat ORDER BY doc_id""".stripMargin,
+    "text_token_stats" ->
+      s"""$dCte
+         |SELECT doc_id,
+         |       CAST(len(toks) AS BIGINT) AS ws_tokens,
+         |       CAST(len(regexp_extract_all(lower(text), '$BpeishPattern')) AS BIGINT) AS regex_tokens,
+         |       CAST(ceil(CAST(length(text) AS DOUBLE) / CAST(4.0 AS DOUBLE)) AS BIGINT) AS est_bpe_tokens
+         |FROM d ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      s"""$dCte, sh AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(toks) < $FpShingleSize THEN []
+         |              ELSE list_transform(generate_series(1, len(toks) - ${FpShingleSize - 1}),
+         |                     i -> array_to_string(list_slice(toks, i, i + ${FpShingleSize - 1}), ' '))
+         |         END AS shingles,
+         |         toks
+         |  FROM d
+         |)
+         |SELECT doc_id,
+         |       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS bow_fp,
+         |       array_to_string(list_slice(list_sort(list_transform(shingles, s -> md5(s))), 1, $WinnowK), '') AS winnow_fp
+         |FROM sh ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,70 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+class AnalysisSpec extends SparkSpec {
+
+  private lazy val corpus: DataFrame = {
+    val s = spark; import s.implicits._
+    Seq(
+      (0L, "the cat and the dog is not a friend of the bird"),
+      (1L, "der hund und die katze ist nicht ein freund"),
+      (2L, "le chien et la souris est un ami avec les chats"),
+      (3L, "xyzzy plugh quux frobnicate"),
+      (4L, "el perro y la casa es un amigo con los gatos")
+    ).toDF("doc_id", "text")
+  }
+
+  test("langId picks the language with most marker hits; und on none") {
+    val got = Analysis.langId(corpus)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(0L) === ("en", 8L)) // the×3 and is not a of
+    assert(got(1L)._1 === "de")
+    assert(got(2L)._1 === "fr")
+    assert(got(3L) === ("und", 0L))
+    assert(got(4L)._1 === "es")
+  }
+
+  test("quality features match hand computation") {
+    val s = spark; import s.implicits._
+    val one = Seq((0L, "the the cat sat")).toDF("doc_id", "text")
+    val r = Analysis.quality(one).collect().head
+    assert(r.getAs[Long]("n_chars") === 15L)
+    assert(r.getAs[Long]("n_tokens") === 4L)
+    assert(r.getAs[Long]("n_distinct") === 3L)
+    assert(r.getAs[Double]("stopword_ratio") === 0.5) // the, the
+    assert(r.getAs[Double]("mean_token_len") === 3.0)
+    assert(r.getAs[Double]("type_token_ratio") === 0.75)
+    // 0.4*min(1, 4/100) + 0.3*(1-0.5) + 0.3*0.75
+    assert(r.getAs[Double]("quality_score") === 0.4 * 0.04 + 0.3 * 0.5 + 0.3 * 0.75)
+  }
+
+  test("token stats: regex splits punctuation that whitespace misses") {
+    val s = spark; import s.implicits._
+    val one = Seq((0L, "hello, world! x2")).toDF("doc_id", "text")
+    val r = Analysis.tokenStats(one).collect().head
+    assert(r.getAs[Long]("ws_tokens") === 3L)
+    // hello , world ! x 2  → 6 regex tokens
+    assert(r.getAs[Long]("regex_tokens") === 6L)
+    assert(r.getAs[Long]("est_bpe_tokens") === 4L) // ceil(16/4)
+  }
+
+  test("fingerprints: bow_fp is order-insensitive, winnow_fp locality-sensitive") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "epsilon delta gamma beta alpha"), // same bag, different order
+      (2L, "alpha beta gamma delta zeta")    // 4/5 tokens shared
+    ).toDF("doc_id", "text")
+    val fp = Analysis.fingerprints(docs)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(fp(0L)._1 === fp(1L)._1, "bag-of-words fp ignores order")
+    assert(fp(0L)._2 !== fp(1L)._2, "winnow fp is order-sensitive (shingles)")
+    assert(fp(0L)._1 !== fp(2L)._1)
+    // doc 0 and 2 share shingles "alpha beta gamma", "beta gamma delta" —
+    // their winnow sketches must overlap in at least one 32-char md5 block
+    val blocks = (s: String) => s.grouped(32).toSet
+    assert((blocks(fp(0L)._2) intersect blocks(fp(2L)._2)).nonEmpty)
+  }
+}
