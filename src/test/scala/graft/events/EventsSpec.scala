@@ -1,0 +1,56 @@
+package graft.events
+
+import graft.SparkSpec
+
+class EventsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Events.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("events queries read the nanos fixture without error") {
+    for (name <- Seq("events_hourly", "events_json_extract", "events_sessionize"))
+      assert(Events.queries(name)(spark, dir).count() > 0, name)
+  }
+
+  test("sessionize shuffles once on user_id; both window passes reuse it") {
+    val p = plan("events_sessionize")
+    // one exchange for the user_id window partitioning, one final agg
+    // exchange at most — the lag and running-sum windows must share the
+    // same (user_id) partitioning rather than re-shuffling between them
+    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange"))
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size >= 1, p.take(1500))
+    val userShuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id"))
+    assert(userShuffles === 1,
+      s"expected exactly 1 user_id shuffle, got $userShuffles:\n${p.take(2500)}")
+  }
+
+  test("hourly aggregate groups on the window struct, not raw events") {
+    val p = plan("events_hourly")
+    assert(p.contains("HashAggregate"), p.take(1500))
+    // partial aggregation must run before the exchange (map-side combine)
+    val idxPartial = p.indexOf("HashAggregate(keys=")
+    assert(idxPartial >= 0, p.take(1500))
+  }
+
+  test("sessionization matches a hand-built trace") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    // user 1: events at 0, 10, 50, 100 min → sessions {0,10}, {50}, {100}
+    val df = Seq(
+      (1L, 0L, 100L), (2L, 10L, 100L), (3L, 50L, 100L), (4L, 100L, 100L),
+      (5L, 0L, 200L) // user 2: single event
+    ).toDF("event_id", "min_off", "uid")
+      .select(col("event_id"),
+        timestamp_seconds(col("min_off") * 60).as("ts"),
+        col("uid").as("user_id"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ev")
+    df.write.mode("overwrite").parquet(tmp.resolve("events.parquet").toString)
+    val got = Events.queries("events_sessionize")(spark, tmp.toString)
+      .select("user_id", "session_seq", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((100L, 1L, 2L), (100L, 2L, 1L), (100L, 3L, 1L), (200L, 1L, 1L)))
+  }
+}
