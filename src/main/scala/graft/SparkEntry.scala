@@ -18,7 +18,8 @@ object SparkEntry {
       rel.Relational.queries ++
       dedup.Dedup.queries ++
       sim.Similarity.queries ++
-      text.Analysis.queries
+      text.Analysis.queries ++
+      mm.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
       rel.Relational.oracleSql ++
       dedup.Dedup.oracleSql ++
       sim.Similarity.oracleSql ++
-      text.Analysis.oracleSql
+      text.Analysis.oracleSql ++
+      mm.Multimodal.oracleSql
 }

@@ -1,0 +1,197 @@
+package graft.mm
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for LLM-data pipelines: media as opaque
+  * `binary` payloads + typed metadata, with decode / feature-extract /
+  * resize / frame-sample operators.
+  *
+  * There is no media fixture in the test data, so [[media]] adapts the
+  * `documents` table into a deterministic media table (payload = the
+  * UTF-8 text bytes, metadata derived from doc_id/n_chars). The decode
+  * step is a clearly-marked DETERMINISTIC FAKE — payload bytes are
+  * treated as pixel/sample values ([[FakeDecoder]]); a real deployment
+  * plugs a codec (JPEG/PNG/PCM) into the same seams. Everything around
+  * the fake — schemas, the binary column, the partition-batched typed
+  * path, the column-level operators, and their oracles — is real.
+  *
+  * Two execution styles, both shuffle-free (narrow maps):
+  *  - Column/HOF style ([[decodeStats]], [[resize]], [[frameSample]]):
+  *    whole-stage-codegen'd, oracle-checkable in DuckDB.
+  *  - Typed batch style ([[decodeFeatures]]): `Dataset[Media]` through
+  *    `mapPartitions` with a pluggable `Array[Byte] => Array[Int]`
+  *    decoder — the Scala-native analogue of a vectorized decode UDF:
+  *    rows stream through each partition once, no exchange, and the
+  *    decoder can amortize per-batch setup (codec init) per partition.
+  *
+  * Scale notes: payloads never shuffle — every operator here reduces a
+  * payload to small features map-side. A pipeline that must carry
+  * payloads across stages should partition by storage locality first
+  * and keep `spark.sql.files.maxPartitionBytes` sized so a partition of
+  * binaries fits executor memory.
+  */
+object Multimodal {
+
+  val ResizeStride = 4
+  val FrameStride = 10
+
+  case class Media(media_id: Long, kind: String, payload: Array[Byte],
+      width: Int, height: Int, n_frames: Int)
+
+  case class MediaFeatures(media_id: Long, n_bytes: Int, mean_byte: Double,
+      checksum: Long)
+
+  /** STUB decoder — deterministic fake: unsigned byte values stand in
+    * for decoded pixels/samples. A real image/audio decoder would parse
+    * `payload` here; codec libraries are not available in this
+    * environment, and nothing downstream depends on WHAT the decoder
+    * returns, only on its `Array[Byte] => Array[Int]` shape.
+    */
+  val FakeDecoder: Array[Byte] => Array[Int] = b => b.map(x => x & 0xff)
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+
+  /** Deterministic media table derived from documents: one media row per
+    * doc, kind round-robin over image/audio/video, payload = text bytes.
+    */
+  def media(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("payload"),
+      (pmod(col("n_chars"), lit(32)) + 1).cast("int").as("width"),
+      (pmod(col("doc_id"), lit(24)) + 1).cast("int").as("height"),
+      (pmod(col("doc_id"), lit(100)) + 1).cast("int").as("n_frames"))
+
+  /** Fake-decoded pixel array of an ASCII payload: byte i as an int.
+    * (The payload is UTF-8 of ASCII text, so string positions == bytes;
+    * the typed path in [[decodeFeatures]] handles raw bytes directly.)
+    */
+  private def pixelsCol(payload: Column): Column = {
+    val txt = payload.cast("string")
+    transform(sequence(lit(1), length(txt)), i => ascii(txt.substr(i, lit(1))))
+  }
+
+  /** (media_id, kind, n_bytes, mean_byte, min_byte, max_byte). */
+  def decodeStats(m: DataFrame): DataFrame = {
+    val px = pixelsCol(col("payload"))
+    m.select(col("media_id"), col("kind"), px.as("px"))
+      .select(
+        col("media_id"), col("kind"),
+        size(col("px")).cast("long").as("n_bytes"),
+        (aggregate(col("px"), lit(0L), (a, x) => a + x).cast("double") /
+          size(col("px")).cast("double")).as("mean_byte"),
+        array_min(col("px")).cast("long").as("min_byte"),
+        array_max(col("px")).cast("long").as("max_byte"))
+  }
+
+  /** Stride subsampling of the decoded payload — the 1-D stand-in for
+    * image resize: keep every `ResizeStride`-th pixel.
+    */
+  def resize(m: DataFrame): DataFrame = {
+    val txt = col("payload").cast("string")
+    val sampled = transform(
+      sequence(lit(1), length(txt), lit(ResizeStride)),
+      i => ascii(txt.substr(i, lit(1))))
+    m.select(col("media_id"), length(txt).cast("long").as("orig_len"),
+        sampled.as("px"))
+      .select(col("media_id"), col("orig_len"),
+        size(col("px")).cast("long").as("resized_len"),
+        aggregate(col("px"), lit(0L), (a, x) => a + x).as("resized_checksum"))
+  }
+
+  /** Every `FrameStride`-th frame index of video media. */
+  def frameSample(m: DataFrame): DataFrame =
+    m.filter(col("kind") === "video")
+      .select(col("media_id"), col("n_frames").cast("long").as("n_frames"),
+        sequence(lit(0), col("n_frames") - 1, lit(FrameStride)).as("frames"))
+      .select(col("media_id"), col("n_frames"),
+        size(col("frames")).cast("long").as("n_sampled"),
+        aggregate(col("frames"), lit(0L), (a, x) => a + x).as("sampled_sum"))
+
+  /** Typed partition-batched decode: `Dataset[Media]` → features via a
+    * pluggable decoder, one pass per partition, no shuffle.
+    */
+  def decodeFeatures(ds: Dataset[Media],
+      decoder: Array[Byte] => Array[Int] = FakeDecoder): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition setup would init the codec once here
+      it.map { m =>
+        val px = decoder(m.payload)
+        MediaFeatures(
+          m.media_id,
+          px.length,
+          if (px.isEmpty) 0.0
+          else px.foldLeft(0L)(_ + _).toDouble / px.length.toDouble,
+          px.foldLeft(0L)(_ + _))
+      }
+    }
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode_stats" -> ((s, dir) =>
+      decodeStats(media(s, dir)).orderBy("media_id")),
+    "mm_resize" -> ((s, dir) => resize(media(s, dir)).orderBy("media_id")),
+    "mm_frame_sample" -> ((s, dir) =>
+      frameSample(media(s, dir)).orderBy("media_id"))
+  )
+
+  // ---- DuckDB oracle SQL ------------------------------------------------
+
+  /** The fixture text is pure ASCII (verified: max code point 121), so
+    * `unicode(one_char)` in DuckDB == `ascii` in Spark == payload byte.
+    */
+  private val mCte: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |         (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS kind,
+      |         text,
+      |         CAST(n_chars % 32 + 1 AS INT) AS width,
+      |         CAST(doc_id % 24 + 1 AS INT) AS height,
+      |         CAST(doc_id % 100 + 1 AS INT) AS n_frames
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND length(text) > 0
+      |)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "mm_decode_stats" ->
+      s"""$mCte, px AS (
+         |  SELECT media_id, kind,
+         |         list_transform(generate_series(1, length(text)),
+         |                        i -> unicode(text[i])) AS p
+         |  FROM m
+         |)
+         |SELECT media_id, kind,
+         |       CAST(len(p) AS BIGINT) AS n_bytes,
+         |       CAST(list_sum(p) AS DOUBLE) / CAST(len(p) AS DOUBLE) AS mean_byte,
+         |       CAST(list_min(p) AS BIGINT) AS min_byte,
+         |       CAST(list_max(p) AS BIGINT) AS max_byte
+         |FROM px ORDER BY media_id""".stripMargin,
+    "mm_resize" ->
+      s"""$mCte, px AS (
+         |  SELECT media_id, CAST(length(text) AS BIGINT) AS orig_len,
+         |         list_transform(generate_series(1, length(text), $ResizeStride),
+         |                        i -> unicode(text[i])) AS p
+         |  FROM m
+         |)
+         |SELECT media_id, orig_len,
+         |       CAST(len(p) AS BIGINT) AS resized_len,
+         |       CAST(list_sum(p) AS BIGINT) AS resized_checksum
+         |FROM px ORDER BY media_id""".stripMargin,
+    "mm_frame_sample" ->
+      s"""$mCte, fr AS (
+         |  SELECT media_id, CAST(n_frames AS BIGINT) AS n_frames,
+         |         generate_series(0, n_frames - 1, $FrameStride) AS frames
+         |  FROM m WHERE kind = 'video'
+         |)
+         |SELECT media_id, n_frames,
+         |       CAST(len(frames) AS BIGINT) AS n_sampled,
+         |       CAST(list_sum(frames) AS BIGINT) AS sampled_sum
+         |FROM fr ORDER BY media_id""".stripMargin
+  )
+}

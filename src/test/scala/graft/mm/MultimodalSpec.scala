@@ -1,0 +1,66 @@
+package graft.mm
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("media adapter: binary payload round-trips the text bytes") {
+    val m = Multimodal.media(spark, dir)
+    assert(m.schema("payload").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    val row = m.orderBy("media_id").select("payload").head()
+    val docText = spark.read.parquet(s"$dir/documents.parquet")
+      .orderBy("doc_id").select("text").head().getString(0)
+    assert(new String(row.getAs[Array[Byte]](0), "UTF-8") === docText)
+  }
+
+  test("typed mapPartitions decode agrees with the column-level operator") {
+    val s = spark; import s.implicits._
+    val m = Multimodal.media(spark, dir)
+    val typed = Multimodal.decodeFeatures(m.as[Multimodal.Media])
+      .collect().map(f => f.media_id -> f).toMap
+    val sqlStats = Multimodal.decodeStats(m)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(typed.keySet === sqlStats.keySet)
+    for ((id, f) <- typed) {
+      assert(f.n_bytes.toLong === sqlStats(id).getAs[Long]("n_bytes"), s"id $id")
+      assert(f.mean_byte === sqlStats(id).getAs[Double]("mean_byte"), s"id $id")
+    }
+  }
+
+  test("typed decode path plans no exchange (narrow map only)") {
+    val s = spark; import s.implicits._
+    val plan = Multimodal.decodeFeatures(
+      Multimodal.media(spark, dir).as[Multimodal.Media])
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+  }
+
+  test("resize keeps every 4th byte; frame sampling every 10th frame") {
+    val r = Multimodal.resize(Multimodal.media(spark, dir))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    for ((_, row) <- r.take(20))
+      assert(row.getAs[Long]("resized_len") ===
+        (row.getAs[Long]("orig_len") + Multimodal.ResizeStride - 1) /
+          Multimodal.ResizeStride)
+    val f = Multimodal.frameSample(Multimodal.media(spark, dir))
+      .collect()
+    assert(f.nonEmpty)
+    for (row <- f) {
+      val n = row.getAs[Long]("n_frames")
+      assert(row.getAs[Long]("n_sampled") ===
+        (n + Multimodal.FrameStride - 1) / Multimodal.FrameStride)
+    }
+  }
+
+  test("a custom decoder plugs into the same seam") {
+    val s = spark; import s.implicits._
+    val constDecoder: Array[Byte] => Array[Int] = _ => Array(7, 7, 7)
+    val f = Multimodal.decodeFeatures(
+      Multimodal.media(spark, dir).as[Multimodal.Media], constDecoder)
+      .head()
+    assert(f.n_bytes === 3 && f.mean_byte === 7.0 && f.checksum === 21L)
+  }
+}
