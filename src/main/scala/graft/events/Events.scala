@@ -44,11 +44,10 @@ object Events {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 1-hour windows: count + exact sum per (hour, type).
+    // Delegates to the shared batch/streaming transform so the oracle
+    // certifies the streaming logic too.
     "events_hourly" -> ((s, dir) =>
-      ev(s, dir)
-        .groupBy(window(col("ts"), "1 hour").getField("start").as("hour"),
-          col("event_type"))
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      graft.streaming.StreamingCounts.hourlyCounts(ev(s, dir))
         .orderBy("hour", "event_type")),
     // JSON field extraction from the string props column.
     "events_json_extract" -> ((s, dir) =>

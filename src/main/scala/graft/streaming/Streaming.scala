@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY §7.4 streaming variant).
+  *
+  * Design rule: every streaming computation is the SAME transform as its
+  * batch twin — a pure `DataFrame => DataFrame` applied to either a
+  * `read` or a `readStream` source. The batch side is what the DuckDB
+  * oracle checks (events_hourly in [[graft.events.Events]] delegates to
+  * [[StreamingCounts.hourlyCounts]]), so oracle-green batch results
+  * certify the streaming transform's logic; the streaming specs then
+  * cover what batch can't: watermarks, incremental state, timeouts.
+  */
+object StreamingCounts {
+
+  /** Exact order-independent money sum (see Events scaladoc). */
+  def dsum(c: Column): Column =
+    sum(c.cast("decimal(28,10)")).cast("double")
+
+  /** Tumbling 1-hour count+sum per (hour, event_type) — usable unchanged
+    * on a static or a streaming DataFrame.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+
+  /** Streaming form: bound state with a watermark so closed windows are
+    * finalized and dropped from state.
+    */
+  def hourlyCountsStreaming(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    hourlyCounts(events.withWatermark("ts", watermark))
+}
+
+/** Gap-based sessionization as explicit streaming state: the stateful
+  * twin of the batch lag→flag→running-sum query (events_sessionize).
+  * One open session per user lives in [[GroupState]]; a session closes
+  * when a later event exceeds the gap (emitted immediately) or when the
+  * watermark passes its timeout (emitted by the timeout branch) — so
+  * state is bounded by #active users, never by stream length.
+  */
+object StreamingSessionize {
+
+  case class Event(user_id: Long, ts: Timestamp, event_id: Long)
+  /** Open-session accumulator (epoch millis — timestamps don't encode
+    * efficiently in state stores).
+    */
+  case class OpenSession(startMs: Long, endMs: Long, n: Long)
+  case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long)
+
+  val DefaultGapMinutes = 30
+
+  def sessions(events: Dataset[Event],
+      gapMinutes: Int = DefaultGapMinutes,
+      watermark: String = "1 hour"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def close(uid: Long, s: OpenSession): Session =
+      Session(uid, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n)
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed start-of-gap: the open session is final
+            val out = state.getOption.map(close(uid, _)).toIterator
+            state.remove()
+            out
+          } else {
+            // merge this micro-batch's events (sorted: arrival order
+            // within a batch is not time order) into the open session
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var open = state.getOption
+            val closed = Seq.newBuilder[Session]
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              open = open match {
+                case Some(s) if t - s.endMs > gapMs =>
+                  closed += close(uid, s)
+                  Some(OpenSession(t, t, 1))
+                case Some(s) =>
+                  Some(OpenSession(s.startMs, math.max(s.endMs, t), s.n + 1))
+                case None =>
+                  Some(OpenSession(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // final unless an event lands within the gap before the
+              // watermark reaches this point
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}
