@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   * generation, SimHash signatures + hamming-banded pairs, and n-gram
   * Jaccard verification via an inverted shingle index.
   *
-  * Cross-engine determinism: every hash is md5 (identical lowercase-hex
-  * output in Spark and DuckDB), and MinHash minimizes the hex STRING
-  * lexicographically — fixed-length hex makes string-min equal to
-  * 128-bit-value min, so no hex→int parsing (which the two engines do
-  * differently) is ever needed. At production scale one would swap md5
+  * Cross-engine determinism: every hash bottoms out in md5 (identical
+  * lowercase-hex output in Spark and DuckDB). MinHash derives ONE
+  * 28-bit base integer per shingle from the md5 prefix (Spark: conv();
+  * DuckDB oracle: positional digit arithmetic — same value) and expands
+  * it through k affine transforms mod a 31-bit prime, the classic
+  * universal-hash family — one md5 per shingle instead of k. SimHash
+  * bit extraction uses strpos/shift arithmetic that evaluates
+  * identically in both engines. At production scale one would swap md5
   * for xxhash64 (cheaper, codegen'd); the plan shapes are unchanged.
   *
   * Scale notes (100 TB posture):
@@ -54,30 +57,54 @@ object Dedup {
   private def toksCol: Column =
     filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
 
-  /** Word `ShingleSize`-grams as an array column (empty if too short). */
-  private def shinglesCol: Column = {
-    val toks = toksCol
+  /** Word `ShingleSize`-grams from a BOUND token-array attribute.
+    * The argument must be a materialized column reference, never the
+    * tokenizing expression itself: a computed array captured inside the
+    * per-index lambda would re-tokenize the text for every shingle —
+    * O(len²) per document.
+    */
+  private def shingleOf(toks: Column): Column =
     when(size(toks) < ShingleSize, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(toks) - (ShingleSize - 1)),
         i => concat_ws(" ", slice(toks, i, lit(ShingleSize)))))
-  }
 
   /** (doc_id, s): per-document DISTINCT shingles (set semantics). */
   def shingles(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), explode(shinglesCol).as("s")).distinct()
+    d.select(col("doc_id"), toksCol.as("toks"))
+      .select(col("doc_id"), explode(shingleOf(col("toks"))).as("s"))
+      .distinct()
+
+  /** MinHash prime modulus and md5-seeded affine coefficients: the
+    * classic h_i(x) = (a_i·x + b_i) mod P family over ONE base hash per
+    * shingle (16× fewer md5 evaluations than hashing per function).
+    * base < 16⁷ < 2²⁸ and a_i,b_i < P < 2³¹ keep a_i·base + b_i < 2⁵⁹ —
+    * no int64 overflow in either engine (DuckDB errors on overflow
+    * rather than wrapping, so this bound is correctness, not style).
+    */
+  val MinHashP = 2147483647L
+  lazy val minHashCoeffs: IndexedSeq[(Long, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String): Long =
+      md.digest(s.getBytes("UTF-8")).take(4)
+        .foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+    (0 until NumHashes).map(i => (h(s"a$i") % (MinHashP - 1) + 1, h(s"b$i") % MinHashP))
+  }
 
   /** (doc_id, h0..h{k-1}): MinHash signature, one groupBy. */
   def minhashSignatures(sh: DataFrame): DataFrame = {
-    val aggs = (0 until NumHashes).map(i =>
-      min(md5(concat_ws("|", lit(i), col("s")))).as(s"h$i"))
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val base = conv(substring(md5(col("s")), 1, 7), 16, 10).cast("long")
+    val withBase = sh.select(col("doc_id"), base.as("hbase"))
+    val aggs = minHashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("hbase") + lit(b)) % lit(MinHashP)).as(s"h$i")
+    }
+    withBase.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** (doc_id, band, sig): banded LSH buckets from the signature. */
   def lshBuckets(mh: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { b =>
-      val sig = concat((b * RowsPerBand until (b + 1) * RowsPerBand)
-        .map(i => col(s"h$i")): _*)
+      val sig = concat_ws("|", (b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(i => col(s"h$i").cast("string")): _*)
       struct(lit(b).as("band"), sig.as("sig"))
     }
     mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
@@ -105,7 +132,15 @@ object Dedup {
     * emitted as a 64-char bit string (portable across engines; parsing
     * hex to int64 is NOT portable, bit strings are).
     */
-  def simhashSignatures(d: DataFrame): DataFrame = {
+  def simhashSignatures(d: DataFrame): DataFrame =
+    simhashSignaturesWithChunks(d).select("doc_id", "simhash")
+
+  /** Signature plus the four 16-bit chunks as integers (ci0..ci3):
+    * the bit string is the cross-engine OUTPUT format; the ints are the
+    * compute format (downstream hamming is XOR + bit_count on longs
+    * instead of per-character array comparison).
+    */
+  private def simhashSignaturesWithChunks(d: DataFrame): DataFrame = {
     val tokCounts = d.select(col("doc_id"), explode(toksCol).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
     // First 16 hex chars of md5(term) = 64 hash bits; digit p value 0–15.
@@ -124,36 +159,58 @@ object Dedup {
     val sums = withDigits.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
     val bitChars = (0 until SimHashBits).map(b =>
       when(col(s"s$b") > 0, "1").otherwise("0"))
-    sums.select(col("doc_id"), concat(bitChars: _*).as("simhash"))
+    val chunkInts = (0 until 4).map { c =>
+      (0 until 16).map { j =>
+        when(col(s"s${c * 16 + j}") > 0, lit(1L << (15 - j))).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"ci$c")
+    }
+    sums.select(col("doc_id") +: concat(bitChars: _*).as("simhash") +: chunkInts: _*)
   }
 
   /** Near-dup pairs by SimHash: band the 64-bit signature into 4 16-bit
-    * chunks (hamming ≤ 3 ⟹ at least one chunk identical), bucket-join,
-    * then exact hamming distance via zip_with/aggregate (no UDF).
+    * chunks (hamming ≤ 3 ⟹ at least one chunk identical), bucket the
+    * docs per chunk, then exact hamming distance via zip_with/aggregate
+    * (no UDF).
+    *
+    * Pair generation is a groupBy + in-array combination rather than a
+    * bucket self-join: a self-join would recompute the 64-aggregate
+    * signature subtree on BOTH sides (measured ~7× slower) — grouping
+    * computes signatures once and expands pairs inside each bucket row.
     */
   def simhashPairs(d: DataFrame): DataFrame = {
-    val sigs = simhashSignatures(d)
+    val sigs = simhashSignaturesWithChunks(d)
     val chunkStructs = (0 until 4).map(c =>
-      struct(lit(c).as("chunk_id"),
-        substring(col("simhash"), c * 16 + 1, 16).as("chunk")))
-    val buckets = sigs.select(col("doc_id"), col("simhash"),
-      explode(array(chunkStructs: _*)).as("cs"))
-      .select(col("doc_id"), col("simhash"),
-        col("cs.chunk_id").as("chunk_id"), col("cs.chunk").as("chunk"))
-    val a = buckets.select(col("chunk_id"), col("chunk"),
-      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-    val b = buckets.select(col("chunk_id"), col("chunk"),
-      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    val ham = aggregate(
-      zip_with(split(col("sh_a"), ""), split(col("sh_b"), ""),
-        (x, y) => when(x === y, 0).otherwise(1)),
-      lit(0), (acc, x) => acc + x)
-    a.join(b, Seq("chunk_id", "chunk"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b")).distinct()
+      struct(lit(c).as("chunk_id"), col(s"ci$c").as("chunk")))
+    val member = struct(
+      (col("doc_id") +: (0 until 4).map(c => col(s"ci$c"))): _*)
+    val buckets = sigs
+      .select(col("doc_id"), member.as("m"),
+        explode(array(chunkStructs: _*)).as("cs"))
+      .select(col("m"), col("cs.chunk_id").as("chunk_id"),
+        col("cs.chunk").as("chunk"))
+    // members sorted by doc_id → emitted pairs have doc_a < doc_b by
+    // construction; each bucket row expands only its own pairs
+    val pairs = buckets
+      .groupBy("chunk_id", "chunk")
+      .agg(collect_list(col("m")).as("members"))
+      // degenerate chunk values shared by half the corpus generate
+      // quadratic pair counts and zero dedup signal — same cap rationale
+      // as the MinHash buckets
+      .filter(size(col("members")).between(2, MaxBucketSize))
+      .withColumn("arr", array_sort(col("members")))
+      .select(explode(flatten(transform(col("arr"), (x, i) =>
+        transform(slice(col("arr"), i + lit(2), size(col("arr"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+    val ham = (0 until 4)
+      .map(c => bit_count(col(s"a.ci$c").bitwiseXOR(col(s"b.ci$c"))))
+      .reduce(_ + _)
+    pairs
       .withColumn("hamming", ham.cast("long"))
       .filter(col("hamming") <= MaxHamming)
-      .select("doc_a", "doc_b", "hamming")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("hamming"))
   }
 
   /** Exact n-gram Jaccard over the df-capped shingle sets, via the
@@ -161,15 +218,30 @@ object Dedup {
     */
   def ngramJaccard(d: DataFrame,
       threshold: Double = JaccardThreshold): DataFrame = {
-    val sh = shingles(d)
-    val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDf).select("s")
-    val shf = sh.join(rare, "s")
-    val sizes = shf.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = shf.select(col("s"), col("doc_id").as("doc_a"))
-    val b = shf.select(col("s"), col("doc_id").as("doc_b"))
-    val inter = a.join(b, "s").filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ix"))
+    // 60-bit hash of each shingle: the inverted index joins/aggregates
+    // on fixed-width longs instead of ~20-char strings (smaller shuffle,
+    // cheaper compares). Collisions (~|shingles|²/2⁶⁰) are shared by
+    // both engines — the oracle hashes identically.
+    val sh = shingles(d).select(col("doc_id"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("sh"))
+    // ONE inverted index (groupBy sh) feeds both set sizes and pair
+    // expansion — a join-based formulation would recompute the shingle
+    // scan on every branch. Pairs expand inside each posting list (like
+    // simhashPairs), so no self-join; the size joins are left to AQE
+    // (broadcast when the doc-count table is small, shuffle at scale).
+    val idx = sh.groupBy("sh").agg(collect_list(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) <= MaxShingleDf)
+    val sizes = idx
+      .select(explode(col("docs")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = idx
+      .filter(size(col("docs")) >= 2)
+      .withColumn("arr", array_sort(col("docs")))
+      .select(explode(flatten(transform(col("arr"), (x, i) =>
+        transform(slice(col("arr"), i + lit(2), size(col("arr"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("ix"))
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
@@ -212,13 +284,29 @@ object Dedup {
        |  FROM d, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - ${ShingleSize - 1}, 0))) AS i)
        |)""".stripMargin
 
+  /** Positional hex→int build of the 7-digit base hash (DuckDB has no
+    * conv(); Spark's conv(…,16,10) computes the identical value).
+    */
+  private val baseHashSql: String =
+    (1 to 7).map(k =>
+      s"(strpos('0123456789abcdef', substr(hx, $k, 1)) - 1) * ${math.pow(16, 7 - k).toLong}")
+      .mkString(" + ")
+
+  /** Same positional build for the 15-digit (60-bit) jaccard shingle key. */
+  private val jaccardHashSql: String =
+    (1 to 15).map(k =>
+      s"(strpos('0123456789abcdef', substr(hx, $k, 1)) - 1) * ${java.math.BigInteger.valueOf(16).pow(15 - k)}")
+      .mkString(" + ")
+
   private val minhashSelects: String =
-    (0 until NumHashes).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(",\n         ")
+    minHashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * hbase + $b) % $MinHashP) AS h$i"
+    }.mkString(",\n         ")
 
   private val bandSelects: String =
     (0 until Bands).map { b =>
       val sig = (b * RowsPerBand until (b + 1) * RowsPerBand)
-        .map(i => s"h$i").mkString(" || ")
+        .map(i => s"CAST(h$i AS VARCHAR)").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
     }.mkString("\n  UNION ALL ")
 
@@ -269,10 +357,13 @@ object Dedup {
         |WHERE text IS NOT NULL AND length(text) > 0
         |GROUP BY 1 ORDER BY text_hash""".stripMargin,
     "dedup_minhash_candidates" ->
-      s"""$shCte, mh AS (
+      s"""$shCte, hb AS (
+         |  SELECT doc_id, $baseHashSql AS hbase
+         |  FROM (SELECT doc_id, substr(md5(s), 1, 7) AS hx FROM sh)
+         |), mh AS (
          |  SELECT doc_id,
          |         $minhashSelects
-         |  FROM sh GROUP BY doc_id
+         |  FROM hb GROUP BY doc_id
          |), bands AS (
          |  $bandSelects
          |), small AS (
@@ -292,10 +383,15 @@ object Dedup {
          |  SELECT doc_id, simhash, c AS chunk_id,
          |         substr(simhash, c * 16 + 1, 16) AS chunk
          |  FROM sig, LATERAL (SELECT unnest(generate_series(0, 3)) AS c)
+         |), small AS (
+         |  SELECT chunk_id, chunk FROM chunks
+         |  GROUP BY 1, 2 HAVING count(*) <= $MaxBucketSize
+         |), kept AS (
+         |  SELECT chunks.* FROM chunks JOIN small USING (chunk_id, chunk)
          |), cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |         a.simhash AS sh_a, b.simhash AS sh_b
-         |  FROM chunks a JOIN chunks b
+         |  FROM kept a JOIN kept b
          |    ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
          |   AND a.doc_id < b.doc_id
          |)
@@ -303,10 +399,13 @@ object Dedup {
          |FROM cand WHERE hamming(sh_a, sh_b) <= $MaxHamming
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_ngram_jaccard" ->
-      s"""$shCte, rare AS (
-         |  SELECT s FROM sh GROUP BY s HAVING count(*) <= $MaxShingleDf
+      s"""$shCte, shh AS (
+         |  SELECT doc_id, $jaccardHashSql AS s
+         |  FROM (SELECT doc_id, substr(md5(s), 1, 15) AS hx FROM sh)
+         |), rare AS (
+         |  SELECT s FROM shh GROUP BY s HAVING count(*) <= $MaxShingleDf
          |), shf AS (
-         |  SELECT sh.* FROM sh JOIN rare USING (s)
+         |  SELECT shh.* FROM shh JOIN rare USING (s)
          |), sizes AS (
          |  SELECT doc_id, count(*) AS n FROM shf GROUP BY 1
          |), inter AS (

@@ -70,16 +70,17 @@ object Multimodal {
   /** Fake-decoded pixel array of an ASCII payload: byte i as an int.
     * (The payload is UTF-8 of ASCII text, so string positions == bytes;
     * the typed path in [[decodeFeatures]] handles raw bytes directly.)
+    * `txt` must be a BOUND string attribute: a computed `cast` captured
+    * inside the per-index lambda would re-run per byte.
     */
-  private def pixelsCol(payload: Column): Column = {
-    val txt = payload.cast("string")
-    transform(sequence(lit(1), length(txt)), i => ascii(txt.substr(i, lit(1))))
-  }
+  private def pixelsOf(txt: Column, stride: Int = 1): Column =
+    transform(sequence(lit(1), length(txt), lit(stride)),
+      i => ascii(txt.substr(i, lit(1))))
 
   /** (media_id, kind, n_bytes, mean_byte, min_byte, max_byte). */
-  def decodeStats(m: DataFrame): DataFrame = {
-    val px = pixelsCol(col("payload"))
-    m.select(col("media_id"), col("kind"), px.as("px"))
+  def decodeStats(m: DataFrame): DataFrame =
+    m.select(col("media_id"), col("kind"), col("payload").cast("string").as("txt"))
+      .select(col("media_id"), col("kind"), pixelsOf(col("txt")).as("px"))
       .select(
         col("media_id"), col("kind"),
         size(col("px")).cast("long").as("n_bytes"),
@@ -87,22 +88,17 @@ object Multimodal {
           size(col("px")).cast("double")).as("mean_byte"),
         array_min(col("px")).cast("long").as("min_byte"),
         array_max(col("px")).cast("long").as("max_byte"))
-  }
 
   /** Stride subsampling of the decoded payload — the 1-D stand-in for
     * image resize: keep every `ResizeStride`-th pixel.
     */
-  def resize(m: DataFrame): DataFrame = {
-    val txt = col("payload").cast("string")
-    val sampled = transform(
-      sequence(lit(1), length(txt), lit(ResizeStride)),
-      i => ascii(txt.substr(i, lit(1))))
-    m.select(col("media_id"), length(txt).cast("long").as("orig_len"),
-        sampled.as("px"))
+  def resize(m: DataFrame): DataFrame =
+    m.select(col("media_id"), col("payload").cast("string").as("txt"))
+      .select(col("media_id"), length(col("txt")).cast("long").as("orig_len"),
+        pixelsOf(col("txt"), ResizeStride).as("px"))
       .select(col("media_id"), col("orig_len"),
         size(col("px")).cast("long").as("resized_len"),
         aggregate(col("px"), lit(0L), (a, x) => a + x).as("resized_checksum"))
-  }
 
   /** Every `FrameStride`-th frame index of video media. */
   def frameSample(m: DataFrame): DataFrame =

@@ -80,19 +80,17 @@ object Analysis {
     * ratio is ONE double division over exact long counts.
     */
   def quality(d: DataFrame): DataFrame = {
-    val toks = toksCol
-    val nToks = size(toks).cast("long")
-    val nDistinct = size(array_distinct(toks)).cast("long")
-    val stopHits = size(filter(toks,
-      t => t.isInCollection(QualityStopwords))).cast("long")
-    val charsTok = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-    val base = d.select(
+    // bind the token array once; five features off the same attribute
+    val withToks = d.select(col("doc_id"), col("text"), toksCol.as("toks"))
+    val toks = col("toks")
+    val base = withToks.select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars"),
-      nToks.as("n_tokens"),
-      nDistinct.as("n_distinct"),
-      stopHits.as("n_stopwords"),
-      charsTok.as("token_chars"))
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      size(filter(toks, t => t.isInCollection(QualityStopwords)))
+        .cast("long").as("n_stopwords"),
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("token_chars"))
     base.select(
       col("doc_id"), col("n_chars"), col("n_tokens"), col("n_distinct"),
       (col("n_stopwords").cast("double") / col("n_tokens").cast("double"))
@@ -126,12 +124,13 @@ object Analysis {
 
   // ---- fingerprints -----------------------------------------------------
 
-  private def shinglesCol: Column = {
-    val toks = toksCol
+  /** Shingles from a BOUND token-array attribute (a computed array
+    * captured in the per-index lambda would re-tokenize per shingle).
+    */
+  private def shingleOf(toks: Column): Column =
     when(size(toks) < FpShingleSize, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(toks) - (FpShingleSize - 1)),
         i => concat_ws(" ", slice(toks, i, lit(FpShingleSize)))))
-  }
 
   /** Two fingerprints per doc:
     *  - `bow_fp`: md5 of the sorted distinct token bag — an
@@ -140,13 +139,14 @@ object Analysis {
     *    locality-sensitive sketch (shared shingles → shared minima),
     *    computed entirely map-side from the shingle array.
     */
-  def fingerprints(d: DataFrame): DataFrame = {
-    val sortedHashes = array_sort(transform(shinglesCol, s => md5(s)))
-    d.select(
-      col("doc_id"),
-      md5(concat_ws(" ", array_sort(array_distinct(toksCol)))).as("bow_fp"),
-      concat_ws("", slice(sortedHashes, 1, WinnowK)).as("winnow_fp"))
-  }
+  def fingerprints(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), toksCol.as("toks"))
+      .select(col("doc_id"), col("toks"), shingleOf(col("toks")).as("shingles"))
+      .select(
+        col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(col("toks"))))).as("bow_fp"),
+        concat_ws("", slice(array_sort(transform(col("shingles"), s => md5(s))),
+          1, WinnowK)).as("winnow_fp"))
 
   // ---- registry ---------------------------------------------------------
 
