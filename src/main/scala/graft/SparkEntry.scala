@@ -16,6 +16,7 @@ object SparkEntry {
     pipeline.ChiSquareQueries.queries ++
       events.Events.queries ++
       rel.Relational.queries ++
+      rel.Temporal.queries ++
       dedup.Dedup.queries ++
       sim.Similarity.queries ++
       text.Analysis.queries ++
@@ -27,6 +28,7 @@ object SparkEntry {
     pipeline.ChiSquareQueries.oracleSql ++
       events.Events.oracleSql ++
       rel.Relational.oracleSql ++
+      rel.Temporal.oracleSql ++
       dedup.Dedup.oracleSql ++
       sim.Similarity.oracleSql ++
       text.Analysis.oracleSql ++

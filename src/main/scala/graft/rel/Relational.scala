@@ -96,6 +96,28 @@ object Relational {
           max(col("p_size")).as("max_size"))
         .orderBy("p_brand")
     }),
+    // Hierarchical aggregation: ROLLUP over (returnflag, linestatus)
+    // emits per-group, per-flag subtotal, and grand-total rows in one
+    // pass (one shuffle; Catalyst expands the grouping sets map-side).
+    "rel_rollup" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+    // Set-operation surface: INTERSECT/EXCEPT with set semantics.
+    "rel_setops" -> ((s, dir) => {
+      val building = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val withOrders = t(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey")).distinct()
+      building.intersect(withOrders)
+        .select(lit("building_with_orders").as("subset"), col("c_custkey"))
+        .unionByName(building.except(withOrders)
+          .select(lit("building_no_orders").as("subset"), col("c_custkey")))
+        .orderBy("subset", "c_custkey")
+    }),
     // Anti/semi join surface in ONE pass over orders: left join against
     // the distinct custkey projection, existence = join hit. The naive
     // left_semi ∪ left_anti form scans orders twice — 2x the work at scale.
@@ -159,6 +181,24 @@ object Relational {
         |FROM part
         |GROUP BY p_brand
         |ORDER BY p_brand""".stripMargin,
+    "rel_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "rel_setops" ->
+      """SELECT 'building_with_orders' AS subset, c_custkey FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'building_no_orders' AS subset, c_custkey FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders)
+        |ORDER BY subset, c_custkey""".stripMargin,
     "rel_customer_orders" ->
       """SELECT c_custkey,
         |  EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_orders

@@ -1,0 +1,105 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks as primitives, composed
+  * Spark-first from windows and banded equi-joins — checked against
+  * DuckDB's NATIVE ASOF JOIN / inequality joins, so the oracle is a
+  * genuinely independent implementation.
+  *
+  * Scale notes:
+  *  - as-of: ONE shuffle on user_id and a single forward-scan window —
+  *    the classic union-tag + last_value(ignoreNulls) composition. No
+  *    join at all, so no skew risk beyond the per-user event counts.
+  *  - range join: time-banded self equi-join — each left row fans out
+  *    to its own and the successor 5-minute bucket, so the join is a
+  *    pure equi-join on (user, bucket) and the exact predicate only
+  *    runs on in-bucket candidates. At 100 TB the bucket width trades
+  *    fanout (2×) against candidate density; a naive theta-join would
+  *    be a cross product per user.
+  */
+object Temporal {
+
+  /** Range-join window width (and as-of anchor gap), seconds. */
+  val RangeWindowSec = 300L
+
+  private def ev(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // As-of join: for every 'error' event, the most recent 'signup' of
+    // the same user at-or-before it. Union-tag + last_value(ignoreNulls)
+    // over one user_id window — signups sort before errors on ties, so
+    // "at or before" is inclusive, matching ASOF's e.ts >= s.ts.
+    "rel_asof_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val tagged = e.filter(col("event_type").isin("error", "signup"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "signup", 0).otherwise(1).as("kind"),
+          when(col("event_type") === "signup", col("ts")).as("signup_ts"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("last_signup_ts",
+          last(col("signup_ts"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("last_signup_ts"))
+        .orderBy("user_id", "event_id")
+    }),
+    // Range self-join: ordered pairs of same-user events ≤ 5 min apart.
+    // Banded: left rows emit (bucket, bucket+1) keys; the right row's
+    // single bucket makes each candidate pair match exactly once.
+    "rel_range_join" -> ((s, dir) => {
+      val base = ev(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      val winUs = RangeWindowSec * 1000000L
+      val left = base
+        .withColumn("boff", explode(array(lit(0L), lit(1L))))
+        .select(col("user_id"),
+          (floor(col("us") / winUs) + col("boff")).as("bucket"),
+          col("event_id").as("event_a"), col("us").as("us_a"))
+      val right = base
+        .select(col("user_id"), floor(col("us") / winUs).as("bucket"),
+          col("event_id").as("event_b"), col("us").as("us_b"))
+      left.join(right, Seq("user_id", "bucket"))
+        .filter((col("us_a") < col("us_b") ||
+          (col("us_a") === col("us_b") && col("event_a") < col("event_b"))) &&
+          col("us_b") - col("us_a") <= winUs)
+        .select(col("user_id"), col("event_a"), col("event_b"),
+          (col("us_b") - col("us_a")).as("dt_us"))
+        .distinct()
+        .orderBy("user_id", "event_a", "event_b")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // DuckDB's native ASOF JOIN — an independent implementation of the
+    // same semantics (largest s.ts with s.ts <= e.ts per error row).
+    "rel_asof_join" ->
+      """SELECT e.user_id, e.event_id, e.ts, s.ts AS last_signup_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON e.user_id = s.user_id AND e.ts >= s.ts
+        |ORDER BY e.user_id, e.event_id""".stripMargin,
+    "rel_range_join" ->
+      s"""SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+         |       epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+         |FROM events a JOIN events b
+         |  ON a.user_id = b.user_id
+         | AND (epoch_us(a.ts) < epoch_us(b.ts)
+         |      OR (epoch_us(a.ts) = epoch_us(b.ts) AND a.event_id < b.event_id))
+         | AND epoch_us(b.ts) - epoch_us(a.ts) <= ${RangeWindowSec * 1000000L}
+         |ORDER BY a.user_id, event_a, event_b""".stripMargin
+  )
+}
