@@ -32,6 +32,7 @@ object ChiSquareCli {
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     implicit val spark: SparkSession = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

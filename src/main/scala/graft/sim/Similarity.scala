@@ -57,8 +57,16 @@ object Similarity {
   /** Element-wise double view of the float embedding. */
   private def vCol(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** In-order left-fold dot product of two double arrays. */
+  /** In-order left-fold dot product of two double arrays — the native
+    * codegen'd [[graft.functions.DotProduct]] expression (one fused loop;
+    * bit-identical to the HOF `aggregate(zip_with(...))` form, which
+    * [[dotHof]] keeps for the equality spec).
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.graftDot(a, b)
+
+  /** Reference HOF formulation of [[dot]] (same fold order). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** 8-char '0'/'1' LSH bucket key from the sign of each projection. */
