@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-resistant two-stage aggregation (the "salting" pattern).
+  *
+  * A plain `groupBy(k).sum(v)` sends every row of a hot key to ONE
+  * reducer — at 100 TB a single skewed key (empty string, null-ish
+  * sentinel, bot user) stalls the stage. Salting splits each key into
+  * `buckets` sub-keys for the first shuffle, partially aggregates, then
+  * merges the partials in a second (tiny) shuffle over the true keys.
+  *
+  * Correct for any commutative-monoid aggregate; exposed here for sum +
+  * count. The salt is DETERMINISTIC (hash of the value column) so query
+  * results are reproducible run-to-run — using rand() would break the
+  * engine's exact-replay guarantees.
+  *
+  * Note Spark's own mitigations (map-side partial aggregation; AQE skew
+  * join splitting) cover many cases — this helper is for the remaining
+  * one: a reduce-side hot key in a first-stage aggregate whose partial
+  * states are large (e.g. collect-like or high-cardinality sketches),
+  * or engines/config where AQE is off.
+  */
+object Salted {
+
+  val DefaultBuckets = 32
+
+  /** groupBy(keys).agg(sum(value), count(*)) with a salted first stage. */
+  def sumCountByKey(df: DataFrame, keys: Seq[String], value: Column,
+      buckets: Int = DefaultBuckets): DataFrame = {
+    val keyCols = keys.map(col)
+    val salted = df.withColumn("__salt", pmod(hash(value), lit(buckets)))
+    salted
+      .groupBy((keyCols :+ col("__salt")): _*)
+      .agg(sum(value).as("__psum"), count(lit(1)).as("__pcnt"))
+      .groupBy(keyCols: _*)
+      .agg(sum(col("__psum")).as("sum"), sum(col("__pcnt")).as("count"))
+  }
+}
