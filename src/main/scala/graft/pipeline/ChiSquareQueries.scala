@@ -44,7 +44,12 @@ object ChiSquareQueries {
     "chi2_scores" -> ((s, dir) =>
       ChiSquarePipeline.chi2Table(docs(s, dir), "text", "lang")
         .select("category", "term", "chi2")
-        .orderBy("category", "term"))
+        .orderBy("category", "term")),
+    // Same flagship against the 20-value `source` column: a 4× larger
+    // category dimension through the identical generic pipeline (the
+    // category-totals broadcast stays trivially small either way).
+    "chi2_top_terms_by_source" -> ((s, dir) =>
+      ChiSquarePipeline.topTerms(docs(s, dir), "text", "source", K))
   )
 
   // ---- DuckDB oracle SQL ----------------------------------------------
@@ -53,14 +58,16 @@ object ChiSquareQueries {
 
   /** Shared CTE prefix: admitted docs + per-doc-distinct tokens + counts.
     * (DuckDB evaluates only the CTEs the final SELECT reaches.)
+    * Parameterized over the category column (lang for the flagship
+    * family, source for the high-cardinality variant).
     */
-  private val cte: String = {
+  private def cteFor(catCol: String): String = {
     val all =
       s"""WITH docs AS (
-         |  SELECT doc_id, lang AS category, lower(text) AS t
+         |  SELECT doc_id, $catCol AS category, lower(text) AS t
          |  FROM documents
          |  WHERE text IS NOT NULL AND length(text) > 0
-         |    AND lang IS NOT NULL AND length(lang) > 0
+         |    AND $catCol IS NOT NULL AND length($catCol) > 0
          |), tok AS (
          |  SELECT DISTINCT doc_id, category, term FROM (
          |    SELECT doc_id, category,
@@ -89,6 +96,8 @@ object ChiSquareQueries {
     all
   }
 
+  private val cte: String = cteFor("lang")
+
   def oracleSql: Map[String, String] = Map(
     "chi2_top_terms" ->
       s"""$cte
@@ -108,6 +117,10 @@ object ChiSquareQueries {
     "chi2_scores" ->
       s"""$cte
          |SELECT category, term, chi2 FROM scored
-         |ORDER BY category, term""".stripMargin
+         |ORDER BY category, term""".stripMargin,
+    "chi2_top_terms_by_source" ->
+      s"""${cteFor("source")}
+         |SELECT category, term, chi2, rank FROM ranked
+         |WHERE rank <= $K ORDER BY category, rank""".stripMargin
   )
 }
