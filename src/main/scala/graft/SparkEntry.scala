@@ -20,7 +20,8 @@ object SparkEntry {
       dedup.Dedup.queries ++
       sim.Similarity.queries ++
       text.Analysis.queries ++
-      mm.Multimodal.queries
+      mm.Multimodal.queries ++
+      ops.Sampling.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       dedup.Dedup.oracleSql ++
       sim.Similarity.oracleSql ++
       text.Analysis.oracleSql ++
-      mm.Multimodal.oracleSql
+      mm.Multimodal.oracleSql ++
+      ops.Sampling.oracleSql
 }

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / dataset splitting for reproducible training
+  * pipelines.
+  *
+  * `sample(seed)` is deterministic within one Spark version but opaque
+  * to other engines and unstable across partitionings; hash-based
+  * selection is a pure function of the ROW KEY — the same doc lands in
+  * the same split on any engine, any partitioning, any day. That
+  * property (stable membership under re-runs and backfills) is what a
+  * training pipeline actually needs from its train/val/test split.
+  *
+  * The bucket is the md5-derived 28-bit integer of the key mod 100 —
+  * the same portable hash construction the dedup module uses, so the
+  * DuckDB oracle reproduces membership exactly.
+  */
+object Sampling {
+
+  val TrainPct = 90
+  val ValPct = 5 // test gets the remainder
+
+  /** 0–99 deterministic bucket for a key column (as string). */
+  def hashBucket(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 7), 16, 10).cast("long"),
+      lit(100L))
+
+  def split(d: DataFrame, keyCol: String): DataFrame =
+    d.withColumn("bucket", hashBucket(col(keyCol)))
+      .withColumn("split",
+        when(col("bucket") < TrainPct, "train")
+          .when(col("bucket") < TrainPct + ValPct, "val")
+          .otherwise("test"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // per-doc assignment: the full reproducible-split contract
+    "sample_split_assign" -> ((s, dir) =>
+      split(s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+        .select("doc_id", "bucket", "split")
+        .orderBy("doc_id")),
+    // split sizes per language: the sanity report a pipeline runs daily
+    "sample_split_stats" -> ((s, dir) =>
+      split(s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+        .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "split"))
+  )
+
+  private val bucketSql: String = {
+    val digits = (1 to 7).map(k =>
+      s"(strpos('0123456789abcdef', substr(hx, $k, 1)) - 1) * ${math.pow(16, 7 - k).toLong}")
+      .mkString(" + ")
+    s"($digits) % 100"
+  }
+
+  private val splitCte: String =
+    s"""WITH hx AS (
+       |  SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS hx
+       |  FROM documents
+       |), b AS (
+       |  SELECT *, CAST($bucketSql AS BIGINT) AS bucket FROM hx
+       |), s AS (
+       |  SELECT *, CASE WHEN bucket < $TrainPct THEN 'train'
+       |                 WHEN bucket < ${TrainPct + ValPct} THEN 'val'
+       |                 ELSE 'test' END AS split
+       |  FROM b
+       |)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "sample_split_assign" ->
+      s"""$splitCte
+         |SELECT doc_id, bucket, split FROM s ORDER BY doc_id""".stripMargin,
+    "sample_split_stats" ->
+      s"""$splitCte
+         |SELECT lang, split, count(*) AS n FROM s
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}
