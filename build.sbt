@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Forked run/test stdout passes through verbatim (no [info] prefix):
+// the driver parses graft.Bench's single JSON line from stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
