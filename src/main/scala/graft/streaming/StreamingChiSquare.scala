@@ -1,0 +1,127 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.text.Tokenize
+import graft.stats.{ChiSquare, TopK}
+
+/** Streaming χ² (SURVEY §7.4's deferred design, made concrete).
+  *
+  * The χ² DAG chains aggregations (term-cat counts → term totals →
+  * joins → window top-k), and Structured Streaming forbids chained
+  * streaming aggregates — so the streaming form is INCREMENTAL VIEW
+  * MAINTENANCE via `foreachBatch`: each micro-batch tokenizes only its
+  * new documents, aggregates delta counts (the sufficient statistic —
+  * per-(term, category) doc frequencies plus per-category doc counts),
+  * and merges them into a versioned parquet count store. χ²/top-k are
+  * then a cheap BATCH query over the merged counts, identical math to
+  * [[graft.pipeline.ChiSquarePipeline]].
+  *
+  * Scale notes: per batch, work is O(new docs) tokenize + a
+  * vocabulary-sized merge — the raw corpus is never reprocessed. The
+  * store is versioned (`v<batchId>` directories, latest wins) so a
+  * merge is never an in-place overwrite of data being read; versioning
+  * also gives exactly-once semantics under foreachBatch's at-least-once
+  * replays (re-running batch N just rewrites v<N> deterministically
+  * from v<N-1> + the replayed batch).
+  */
+object StreamingChiSquare {
+
+  private def versionDirs(storeDir: String): Seq[(Long, String)] = {
+    val p = Paths.get(storeDir)
+    if (!Files.exists(p)) Seq.empty
+    else {
+      val it = Files.list(p).iterator()
+      var out = Vector.empty[(Long, String)]
+      while (it.hasNext) {
+        val d = it.next()
+        val name = d.getFileName.toString
+        if (name.startsWith("v"))
+          out :+= (name.drop(1).toLong, d.toString)
+      }
+      out.sortBy(_._1)
+    }
+  }
+
+  /** Latest merged counts, or None before the first batch. Layout:
+    * `<dir>/v<id>/term_cat` (term, category, a) and `<dir>/v<id>/cat_docs`
+    * (category, c_total). `below` restricts to versions with id < below —
+    * a REPLAYED batch must merge from its predecessor, never from its
+    * own (possibly partial) previous write.
+    */
+  def latestCounts(spark: SparkSession, storeDir: String,
+      below: Long = Long.MaxValue): Option[(DataFrame, DataFrame)] =
+    versionDirs(storeDir).filter(_._1 < below).lastOption.map { case (_, dir) =>
+      (spark.read.parquet(s"$dir/term_cat"),
+        spark.read.parquet(s"$dir/cat_docs"))
+    }
+
+  /** Merge one micro-batch of raw documents into the count store. */
+  def mergeBatch(batch: DataFrame, batchId: Long, storeDir: String,
+      textCol: String, categoryCol: String,
+      stopwords: Seq[String] = Tokenize.DefaultStopwords): Unit = {
+    val spark = batch.sparkSession
+    val docs = Tokenize.admitted_docs(batch, textCol, categoryCol)
+    val toks = docs.select(col("category"),
+      explode(Tokenize.tokenArray(col(textCol), stopwords)).as("term"))
+    val deltaTermCat = toks.groupBy("term", "category").agg(count(lit(1)).as("a"))
+    val deltaCatDocs = docs.groupBy("category").agg(count(lit(1)).as("c_total"))
+
+    val (mergedTc, mergedCd) = latestCounts(spark, storeDir, below = batchId) match {
+      case None => (deltaTermCat, deltaCatDocs)
+      case Some((tc, cd)) =>
+        (tc.unionByName(deltaTermCat)
+          .groupBy("term", "category").agg(sum(col("a")).as("a")),
+          cd.unionByName(deltaCatDocs)
+            .groupBy("category").agg(sum(col("c_total")).as("c_total")))
+    }
+    val out = s"$storeDir/v$batchId"
+    mergedTc.write.mode(SaveMode.Overwrite).parquet(s"$out/term_cat")
+    mergedCd.write.mode(SaveMode.Overwrite).parquet(s"$out/cat_docs")
+  }
+
+  /** χ² + top-k over the CURRENT store contents — same contingency and
+    * formula as the batch pipeline, but fed from maintained counts.
+    */
+  def topTermsFromStore(spark: SparkSession, storeDir: String,
+      k: Int = graft.pipeline.ChiSquarePipeline.DefaultK): DataFrame = {
+    val (termCat, catDocs) = latestCounts(spark, storeDir)
+      .getOrElse(sys.error(s"empty chi-square store: $storeDir"))
+    val termTotal = termCat.groupBy("term").agg(sum(col("a")).as("t_total"))
+    val nDf = catDocs.agg(sum(col("c_total")).as("n"))
+    val cont = termCat
+      .join(termTotal, "term")
+      .join(broadcast(catDocs), "category")
+      .crossJoin(broadcast(nDf))
+      .withColumn("b", col("t_total") - col("a"))
+      .withColumn("c", col("c_total") - col("a"))
+      .withColumn("d", col("n") - col("t_total") - col("c_total") + col("a"))
+      .withColumn("chi2",
+        ChiSquare.chi2(col("a"), col("b"), col("c"), col("d"), col("n")))
+    TopK.perGroup(cont, Seq(col("category")),
+        Seq(col("chi2").desc, col("term").asc), k)
+      .select("category", "term", "chi2", "rank")
+      .orderBy(col("category"), col("rank"))
+  }
+
+  /** Attach the maintainer to a streaming document source. The
+    * checkpoint lives beside the store, so a restarted maintainer
+    * resumes from the next unprocessed batch instead of replaying the
+    * whole source.
+    */
+  def attach(stream: DataFrame, storeDir: String,
+      textCol: String, categoryCol: String,
+      stopwords: Seq[String] = Tokenize.DefaultStopwords): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatch(batch, batchId, storeDir, textCol, categoryCol, stopwords)
+      }
+      .start()
+}
