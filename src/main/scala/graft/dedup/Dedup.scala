@@ -116,16 +116,18 @@ object Dedup {
     */
   def minhashCandidates(d: DataFrame): DataFrame = {
     val buckets = lshBuckets(minhashSignatures(shingles(d)))
-    val small = buckets.groupBy("band", "sig")
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= MaxBucketSize)
-      .select("band", "sig")
-    val kept = buckets.join(small, Seq("band", "sig"))
-    val a = kept.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
-    val b = kept.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band", "sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    // groupBy + in-list pair expansion, not a bucket self-join: a
+    // self-join recomputes the whole signature subtree per branch. The
+    // size filter both caps degenerate buckets and drops singletons.
+    buckets.groupBy("band", "sig")
+      .agg(collect_list(col("doc_id")).as("members"))
+      .filter(size(col("members")).between(2, MaxBucketSize))
+      .withColumn("arr", array_sort(col("members")))
+      .select(explode(flatten(transform(col("arr"), (x, i) =>
+        transform(slice(col("arr"), i + lit(2), size(col("arr"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
   }
 
   /** (doc_id, simhash): 64-bit SimHash over unigram token frequencies,
