@@ -260,6 +260,17 @@ object Dedup {
         .groupBy(sha2(lower(col("text")), 256).as("text_hash"))
         .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
         .orderBy("text_hash")),
+    // The apply step users actually run: emit the deduplicated corpus
+    // (keeper = min doc_id per normalized-text hash), one window pass.
+    "dedup_apply" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(sha2(lower(col("text")), 256))
+      docs(s, dir)
+        .withColumn("keeper", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("keeper"))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
     "dedup_minhash_candidates" -> ((s, dir) =>
       minhashCandidates(docs(s, dir)).orderBy("doc_a", "doc_b")),
     "dedup_simhash" -> ((s, dir) =>
@@ -358,6 +369,14 @@ object Dedup {
         |FROM documents
         |WHERE text IS NOT NULL AND length(text) > 0
         |GROUP BY 1 ORDER BY text_hash""".stripMargin,
+    "dedup_apply" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |         min(doc_id) OVER (PARTITION BY sha256(lower(text))) AS keeper
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0)
+        |WHERE doc_id = keeper
+        |ORDER BY doc_id""".stripMargin,
     "dedup_minhash_candidates" ->
       s"""$shCte, hb AS (
          |  SELECT doc_id, $baseHashSql AS hbase
