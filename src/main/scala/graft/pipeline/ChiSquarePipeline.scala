@@ -63,10 +63,17 @@ object ChiSquarePipeline {
   /** Reference text-output parity (SURVEY F5/S5): one line per category
     * `<category> term1:chi2 … termk:chi2` (terms by rank), then one line
     * with the space-joined sorted dictionary (readme:63–66).
+    *
+    * χ² is emitted as fixed `%.6f` per SURVEY D6's canon: the
+    * reference's Python float repr is engine-specific (Java flips to
+    * E-notation below 1e-3, DuckDB doesn't), a fixed format is
+    * diffable everywhere — and lets the driver oracle-check this
+    * output (`chi2_formatted_lines`).
     */
   def formattedLines(top: DataFrame)(implicit spark: SparkSession): DataFrame = {
     val catLines = top
-      .withColumn("kv", concat_ws(":", col("term"), col("chi2").cast("string")))
+      .withColumn("kv", concat_ws(":", col("term"),
+        format_string("%.6f", col("chi2"))))
       .groupBy(col("category"))
       .agg(concat_ws(" ", array_sort(collect_list(struct(col("rank"), col("kv"))))
         .getField("kv")).as("terms"))

@@ -45,6 +45,11 @@ object ChiSquareQueries {
       ChiSquarePipeline.chi2Table(docs(s, dir), "text", "lang")
         .select("category", "term", "chi2")
         .orderBy("category", "term")),
+    // The reference's exact text-output contract as data: category lines
+    // + trailing dictionary line (S5/F5, readme:63–66).
+    "chi2_formatted_lines" -> ((s, dir) =>
+      ChiSquarePipeline.formattedLines(
+        ChiSquarePipeline.topTerms(docs(s, dir), "text", "lang", K))(s)),
     // Same flagship against the 20-value `source` column: a 4× larger
     // category dimension through the identical generic pipeline (the
     // category-totals broadcast stays trivially small either way).
@@ -121,6 +126,20 @@ object ChiSquareQueries {
     "chi2_top_terms_by_source" ->
       s"""${cteFor("source")}
          |SELECT category, term, chi2, rank FROM ranked
-         |WHERE rank <= $K ORDER BY category, rank""".stripMargin
+         |WHERE rank <= $K ORDER BY category, rank""".stripMargin,
+    // printf('%.6f') mirrors Java's %.6f digit-for-digit on doubles
+    // (true rounding ties need an exactly-representable 7-digit decimal
+    // fraction, which no double has).
+    "chi2_formatted_lines" ->
+      s"""$cte
+         |SELECT line FROM (
+         |  SELECT category || ' ' ||
+         |         string_agg(term || ':' || printf('%.6f', chi2), ' ' ORDER BY rank)
+         |           AS line
+         |  FROM ranked WHERE rank <= $K GROUP BY category
+         |  UNION ALL
+         |  SELECT string_agg(term, ' ' ORDER BY term) AS line
+         |  FROM (SELECT DISTINCT term FROM ranked WHERE rank <= $K)
+         |) ORDER BY line""".stripMargin
   )
 }

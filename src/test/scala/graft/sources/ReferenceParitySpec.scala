@@ -58,8 +58,8 @@ class ReferenceParitySpec extends SparkSpec {
     // cherry/Y χ² = 4·(1·2−0·1)²/(1·2·2·3) = 16/12 = 4/3; A=0 pairs
     // (apple/Y, cherry/X) never emitted; dictionary line last, sorted.
     assert(lines === Seq(
-      "X apple:4.0 banana:0.0",
-      "Y cherry:1.3333333333333333 banana:0.0",
+      "X apple:4.000000 banana:0.000000",
+      "Y cherry:1.333333 banana:0.000000",
       "apple banana cherry"))
   }
 }
