@@ -36,6 +36,9 @@ object Similarity {
   val NumQueries = 10
   val TopK = 5
   val NearDupThreshold = 0.3
+  /** IVF: number of coarse cells and probed cells per query. */
+  val NumCells = 16
+  val NProbe = 2
 
   /** Deterministic ±1 hyperplane weights: plane p, dim j gets the parity
     * of the first hex digit of md5("p,j"). Seeded data, not code — both
@@ -123,6 +126,38 @@ object Similarity {
           cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
       rankTopK(pairs, TopK)
     }),
+    // IVF ANN: coarse quantizer = the first NumCells vectors (a SEEDED
+    // stand-in for trained k-means centroids — training is out of scope,
+    // the cell-assignment/probe mechanics are the operator). Every
+    // vector is assigned to its most-similar cell (16 dots per row via a
+    // broadcast of the centroids); a query probes its NProbe nearest
+    // cells and scores only those cells' members. At 100 TB the
+    // assignment is a narrow map over the corpus and the probe join
+    // touches NProbe/NumCells of the data.
+    "sim_cosine_ann_ivf" -> ((s, dir) => {
+      val c = prepared(s, dir, withBucket = false)
+      val cents = c.filter(col("vec_id") < NumCells)
+        .select(col("vec_id").as("cell_id"), col("v").as("cv"),
+          col("nrm").as("cn"))
+      val scoredCells = c.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell_id"),
+          cosine(col("v"), col("cv"), col("nrm"), col("cn")).as("csim"))
+      val byVec = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("cell_id").asc)
+      val ranked = scoredCells.withColumn("crank", row_number().over(byVec))
+      val assign = ranked.filter(col("crank") === 1)
+        .select(col("cell_id"), col("vec_id"), col("v"), col("nrm"))
+      val qcells = ranked
+        .filter(col("vec_id") < NumQueries && col("crank") <= NProbe)
+        .select(col("cell_id"), col("vec_id").as("query_id"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      val pairs = assign.join(broadcast(qcells), Seq("cell_id"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+      rankTopK(pairs, TopK)
+    }),
     // Corpus-level near-dup pairs: per-bucket self-join + exact rescore.
     "sim_embedding_neardup" -> ((s, dir) => {
       val c = prepared(s, dir, withBucket = true)
@@ -191,6 +226,37 @@ object Similarity {
          |         ${dotSql("q.v", "c.v")} / (sqrt(q.nrm) * sqrt(c.nrm)) AS cos
          |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
          |  WHERE q.vec_id < $NumQueries
+         |), r AS (
+         |  SELECT query_id, vec_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+         |  FROM p
+         |)
+         |SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= $TopK
+         |ORDER BY query_id, rank""".stripMargin,
+    "sim_cosine_ann_ivf" ->
+      s"""$eCte, cents AS (
+         |  SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM n
+         |  WHERE vec_id < $NumCells
+         |), scored_cells AS (
+         |  SELECT n.vec_id, n.v, n.nrm, cents.cell_id,
+         |         ${dotSql("n.v", "cents.cv")} / (sqrt(n.nrm) * sqrt(cents.cn)) AS csim
+         |  FROM n CROSS JOIN cents
+         |), ranked_cells AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY csim DESC, cell_id ASC) AS crank
+         |  FROM scored_cells
+         |), assign AS (
+         |  SELECT cell_id, vec_id, v, nrm FROM ranked_cells WHERE crank = 1
+         |), qcells AS (
+         |  SELECT cell_id, vec_id AS query_id, v AS qv, nrm AS qn
+         |  FROM ranked_cells
+         |  WHERE vec_id < $NumQueries AND crank <= $NProbe
+         |), p AS (
+         |  SELECT q.query_id, a.vec_id,
+         |         ${dotSql("q.qv", "a.v")} / (sqrt(q.qn) * sqrt(a.nrm)) AS cos
+         |  FROM assign a JOIN qcells q
+         |    ON a.cell_id = q.cell_id AND q.query_id <> a.vec_id
          |), r AS (
          |  SELECT query_id, vec_id, cos,
          |         CAST(row_number() OVER (PARTITION BY query_id

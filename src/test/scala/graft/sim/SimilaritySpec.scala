@@ -58,6 +58,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF: scores agree with exact on shared pairs; recall is bounded by exact") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = Similarity.queries("sim_cosine_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.queries("sim_cosine_ann_ivf")(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2), r.getInt(3)))
+    assert(ivf.nonEmpty)
+    for ((k, cos, _) <- ivf if exact.contains(k)) assert(exact(k) == cos)
+    // IVF's best-per-query can never beat the exact best
+    val exactBest = exact.groupBy(_._1._1).view.mapValues(_.values.max).toMap
+    val ivfBest = ivf.groupBy(_._1._1).view.mapValues(_.map(_._2).max).toMap
+    for ((q, b) <- ivfBest) assert(b <= exactBest(q) + 1e-15, s"query $q")
+  }
+
   test("brute-force and ANN agree on shared candidates") {
     val dir = "/root/testdata/sf0.001"
     val exact = Similarity.queries("sim_cosine_topk")(spark, dir)
