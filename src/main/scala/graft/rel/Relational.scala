@@ -106,6 +106,15 @@ object Relational {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)
     }),
+    // CUBE completes the grouping-sets family: all 4 grouping
+    // combinations (full, per-flag, per-status, grand total) in one pass.
+    "rel_cube" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_discount")).as("sum_disc"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
     // Set-operation surface: INTERSECT/EXCEPT with set semantics.
     "rel_setops" -> ((s, dir) => {
       val building = t(s, dir, "customer")
@@ -187,6 +196,13 @@ object Relational {
         |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "rel_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n,
+        |  CAST(CAST(sum(CAST(l_discount AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_disc
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "rel_setops" ->
       """SELECT 'building_with_orders' AS subset, c_custkey FROM (
