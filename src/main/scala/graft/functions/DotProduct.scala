@@ -16,8 +16,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` — materializes the products
   * array per row and walks two lambda interpreters; this expression is a
   * single fused loop inside whole-stage codegen. Same IEEE-754 operation
-  * order (in-order left fold from +0.0), so results are bit-identical to
-  * the HOF form and to the DuckDB oracle's list_transform/list_reduce.
+  * order (in-order left fold from +0.0), so for EQUAL-LENGTH inputs the
+  * result is bit-identical to the HOF form and to the DuckDB oracle's
+  * list_transform/list_reduce. Mismatched lengths yield NULL — a
+  * dimension mismatch is a data bug that must surface as a visible null
+  * (as the HOF form's zip_with null-tail does), never as a silently
+  * truncated score.
   *
   * Precondition: array elements are non-null (embedding vectors). Null
   * ARRAYS null-propagate normally via BinaryExpression.
@@ -38,15 +42,20 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+  // Length mismatch produces null even from non-nullable children.
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
-    acc
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+      acc
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -55,12 +64,16 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -83,9 +96,14 @@ object GraftFunctions {
   * session builder, or `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (FunctionIdentifier("graft_dot"),
         new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
         (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_byte_stride"),
+        new ExpressionInfo(classOf[ByteStride].getName, "graft_byte_stride"),
+        (children: Seq[Expression]) => ByteStride(children(0), children(1))))
+  }
 }

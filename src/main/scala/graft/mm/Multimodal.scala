@@ -67,20 +67,22 @@ object Multimodal {
       (pmod(col("doc_id"), lit(24)) + 1).cast("int").as("height"),
       (pmod(col("doc_id"), lit(100)) + 1).cast("int").as("n_frames"))
 
-  /** Fake-decoded pixel array of an ASCII payload: byte i as an int.
-    * (The payload is UTF-8 of ASCII text, so string positions == bytes;
-    * the typed path in [[decodeFeatures]] handles raw bytes directly.)
-    * `txt` must be a BOUND string attribute: a computed `cast` captured
-    * inside the per-index lambda would re-run per byte.
+  /** Fake-decoded pixel array: unsigned payload byte at positions
+    * 0, stride, 2·stride, … — the native codegen'd
+    * [[graft.functions.ByteStride]] kernel (O(1) byte indexing, one
+    * linear loop). The round-2 string-walk formulation
+    * (`transform(sequence(1, length), i => ascii(substr(i, 1)))`) was
+    * O(len²) per document — `UTF8String.substring` re-walks from the
+    * string start per call; [[graft.mm.MultimodalSpec]] pins the two
+    * forms equal. The fixture text is ASCII so bytes == characters and
+    * the DuckDB oracle's per-character `unicode(text[i])` matches.
     */
-  private def pixelsOf(txt: Column, stride: Int = 1): Column =
-    transform(sequence(lit(1), length(txt), lit(stride)),
-      i => ascii(txt.substr(i, lit(1))))
+  private def pixelsOf(payload: Column, stride: Int = 1): Column =
+    graft.functions.ByteStrideFunctions.graftByteStride(payload, lit(stride))
 
   /** (media_id, kind, n_bytes, mean_byte, min_byte, max_byte). */
   def decodeStats(m: DataFrame): DataFrame =
-    m.select(col("media_id"), col("kind"), col("payload").cast("string").as("txt"))
-      .select(col("media_id"), col("kind"), pixelsOf(col("txt")).as("px"))
+    m.select(col("media_id"), col("kind"), pixelsOf(col("payload")).as("px"))
       .select(
         col("media_id"), col("kind"),
         size(col("px")).cast("long").as("n_bytes"),
@@ -93,9 +95,9 @@ object Multimodal {
     * image resize: keep every `ResizeStride`-th pixel.
     */
   def resize(m: DataFrame): DataFrame =
-    m.select(col("media_id"), col("payload").cast("string").as("txt"))
-      .select(col("media_id"), length(col("txt")).cast("long").as("orig_len"),
-        pixelsOf(col("txt"), ResizeStride).as("px"))
+    m.select(col("media_id"),
+        length(col("payload")).cast("long").as("orig_len"),
+        pixelsOf(col("payload"), ResizeStride).as("px"))
       .select(col("media_id"), col("orig_len"),
         size(col("px")).cast("long").as("resized_len"),
         aggregate(col("px"), lit(0L), (a, x) => a + x).as("resized_checksum"))

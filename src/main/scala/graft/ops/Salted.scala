@@ -12,9 +12,15 @@ import org.apache.spark.sql.functions._
   * merges the partials in a second (tiny) shuffle over the true keys.
   *
   * Correct for any commutative-monoid aggregate; exposed here for sum +
-  * count. The salt is DETERMINISTIC (hash of the value column) so query
-  * results are reproducible run-to-run — using rand() would break the
-  * engine's exact-replay guarantees.
+  * count. The salt is DETERMINISTIC within a run (hash of the row's
+  * physical position: partition id + per-partition row id) so a query
+  * replays identically — using rand() would break the engine's
+  * exact-replay guarantees. Crucially it does NOT depend on the row's
+  * VALUES: a hot key whose rows all carry one constant value (the
+  * canonical skew case — a null-ish sentinel, `0`, a bot user emitting
+  * one payload) still spreads across all `buckets` sub-keys, where a
+  * value-derived salt would collapse to a single bucket and silently
+  * reproduce the skew it exists to break.
   *
   * Note Spark's own mitigations (map-side partial aggregation; AQE skew
   * join splitting) cover many cases — this helper is for the remaining
@@ -26,11 +32,22 @@ object Salted {
 
   val DefaultBuckets = 32
 
+  /** Per-row deterministic salt in [0, buckets): hashed physical row
+    * position (`monotonically_increasing_id` = partitionId << 33 | rowInPartition),
+    * so consecutive rows of ANY key — constant-valued or not — spread
+    * round-robin-ish over the buckets. Position-derived means the salt
+    * can differ across different input partitionings of the same data;
+    * that never changes RESULTS (stage 2 re-merges on the true keys),
+    * only which partial lands where.
+    */
+  def saltCol(buckets: Int = DefaultBuckets): Column =
+    pmod(hash(monotonically_increasing_id()), lit(buckets))
+
   /** groupBy(keys).agg(sum(value), count(*)) with a salted first stage. */
   def sumCountByKey(df: DataFrame, keys: Seq[String], value: Column,
       buckets: Int = DefaultBuckets): DataFrame = {
     val keyCols = keys.map(col)
-    val salted = df.withColumn("__salt", pmod(hash(value), lit(buckets)))
+    val salted = df.withColumn("__salt", saltCol(buckets))
     salted
       .groupBy((keyCols :+ col("__salt")): _*)
       .agg(sum(value).as("__psum"), count(lit(1)).as("__pcnt"))

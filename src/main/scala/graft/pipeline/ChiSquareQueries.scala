@@ -54,8 +54,39 @@ object ChiSquareQueries {
     // category dimension through the identical generic pipeline (the
     // category-totals broadcast stays trivially small either way).
     "chi2_top_terms_by_source" -> ((s, dir) =>
-      ChiSquarePipeline.topTerms(docs(s, dir), "text", "source", K))
+      ChiSquarePipeline.topTerms(docs(s, dir), "text", "source", K)),
+    // The reference's ACTUAL input path under the oracle gate: the
+    // documents table is mirrored to JSONL (reviewText/category field
+    // names, S1) with malformed lines injected, read back through
+    // ReviewSource's explicit-schema DROPMALFORMED scan (S4), then the
+    // flagship pipeline. Same oracle as chi2_top_terms — the scan must
+    // lose exactly the malformed lines and nothing else.
+    "chi2_top_terms_jsonl" -> ((s, dir) => {
+      val jsonlDir = jsonlMirror(s, dir)
+      ChiSquarePipeline.topTerms(
+        graft.sources.ReviewSource.readReviews(s, jsonlDir),
+        "reviewText", "category", K)
+    })
   )
+
+  /** Writes a JSONL mirror of `documents` (text→reviewText, lang→category)
+    * plus a file of malformed lines, returns the directory. Deterministic
+    * per sfDir; rewritten on every call (cheap at verify scale, and the
+    * query must not depend on stale state).
+    */
+  private def jsonlMirror(s: SparkSession, dir: String): String = {
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_jsonl",
+      dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    docs(s, dir)
+      .select(col("text").as("reviewText"), col("lang").as("category"))
+      .write.mode("overwrite").json(out.toString)
+    // lines the DROPMALFORMED scan must silently skip: broken JSON, a
+    // bare value, and a truncated object
+    java.nio.file.Files.write(out.resolve("malformed.json"),
+      "this is not json\n42\n{\"reviewText\": \"unterminated\n".getBytes("UTF-8"))
+    out.toString
+  }
 
   // ---- DuckDB oracle SQL ----------------------------------------------
 
@@ -127,9 +158,20 @@ object ChiSquareQueries {
       s"""${cteFor("source")}
          |SELECT category, term, chi2, rank FROM ranked
          |WHERE rank <= $K ORDER BY category, rank""".stripMargin,
-    // printf('%.6f') mirrors Java's %.6f digit-for-digit on doubles
-    // (true rounding ties need an exactly-representable 7-digit decimal
-    // fraction, which no double has).
+    // identical to chi2_top_terms: the JSONL mirror + DROPMALFORMED scan
+    // must be semantically invisible (only the injected junk lines drop)
+    "chi2_top_terms_jsonl" ->
+      s"""$cte
+         |SELECT category, term, chi2, rank FROM ranked
+         |WHERE rank <= $K ORDER BY category, rank""".stripMargin,
+    // printf('%.6f') mirrors Java's %.6f digit-for-digit on doubles in
+    // practice here. A true rounding tie needs a double whose decimal
+    // expansion terminates at exactly 7 digits ending in 5 (they exist:
+    // 1/128 = 0.0078125) — there Java rounds HALF_UP, DuckDB half-even,
+    // and the line would differ by 1e-6. χ² values (ratios of large
+    // integer products) don't land on such dyadic points; if one ever
+    // did, canonicalize by rounding the double to 6 decimals BEFORE
+    // formatting in both engines.
     "chi2_formatted_lines" ->
       s"""$cte
          |SELECT line FROM (

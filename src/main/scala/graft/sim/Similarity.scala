@@ -62,8 +62,9 @@ object Similarity {
 
   /** In-order left-fold dot product of two double arrays — the native
     * codegen'd [[graft.functions.DotProduct]] expression (one fused loop;
-    * bit-identical to the HOF `aggregate(zip_with(...))` form, which
-    * [[dotHof]] keeps for the equality spec).
+    * for equal-length inputs bit-identical to the HOF
+    * `aggregate(zip_with(...))` form, which [[dotHof]] keeps for the
+    * equality spec; mismatched lengths are NULL in both forms).
     */
   def dot(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.graftDot(a, b)

@@ -28,8 +28,18 @@ import graft.stats.{ChiSquare, TopK}
   * also gives exactly-once semantics under foreachBatch's at-least-once
   * replays (re-running batch N just rewrites v<N> deterministically
   * from v<N-1> + the replayed batch).
+  *
+  * The store is BOUNDED: after a successful v<N> write, versions older
+  * than v<N-1> are pruned (one predecessor is kept so an in-flight
+  * replay of batch N can still merge from v<N-1>), so steady-state
+  * footprint is ≤ 2 vocabulary-sized snapshots — not O(batches).
+  * Empty micro-batches (no admitted documents) skip the merge+write
+  * entirely instead of rewriting the full count table for a zero delta.
   */
 object StreamingChiSquare {
+
+  /** Versions retained besides the newest (replay safety margin). */
+  val RetainPredecessors = 1
 
   private def versionDirs(storeDir: String): Seq[(Long, String)] = {
     val p = Paths.get(storeDir)
@@ -60,12 +70,30 @@ object StreamingChiSquare {
         spark.read.parquet(s"$dir/cat_docs"))
     }
 
+  /** Recursively delete a store version directory. */
+  private def deleteRecursively(path: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(path)) {
+      val it = Files.list(path).iterator()
+      while (it.hasNext) deleteRecursively(it.next())
+    }
+    Files.deleteIfExists(path)
+  }
+
+  /** Drop versions older than the newest `RetainPredecessors + 1`. */
+  private def pruneVersions(storeDir: String): Unit =
+    versionDirs(storeDir).dropRight(RetainPredecessors + 1)
+      .foreach { case (_, dir) => deleteRecursively(Paths.get(dir)) }
+
   /** Merge one micro-batch of raw documents into the count store. */
   def mergeBatch(batch: DataFrame, batchId: Long, storeDir: String,
       textCol: String, categoryCol: String,
       stopwords: Seq[String] = Tokenize.DefaultStopwords): Unit = {
     val spark = batch.sparkSession
     val docs = Tokenize.admitted_docs(batch, textCol, categoryCol)
+    // Zero-delta batch: the merged table would be byte-identical to the
+    // predecessor — skip the vocabulary-sized rewrite. latestCounts
+    // tolerates the version-number gap (it takes the newest id < below).
+    if (docs.isEmpty) return
     val toks = docs.select(col("category"),
       explode(Tokenize.tokenArray(col(textCol), stopwords)).as("term"))
     val deltaTermCat = toks.groupBy("term", "category").agg(count(lit(1)).as("a"))
@@ -82,6 +110,8 @@ object StreamingChiSquare {
     val out = s"$storeDir/v$batchId"
     mergedTc.write.mode(SaveMode.Overwrite).parquet(s"$out/term_cat")
     mergedCd.write.mode(SaveMode.Overwrite).parquet(s"$out/cat_docs")
+    // Only after the new version is fully written: bound the store.
+    pruneVersions(storeDir)
   }
 
   /** χ² + top-k over the CURRENT store contents — same contingency and

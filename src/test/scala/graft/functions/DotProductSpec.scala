@@ -54,6 +54,24 @@ class DotProductSpec extends SparkSpec {
     assert(expr.eval(null) === 11.0)
   }
 
+  test("mismatched array lengths yield NULL, not a truncated score") {
+    // codegen path
+    val row = spark.sql(
+      """SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(1.0d, 2.0d)) AS m,
+        |       graft_dot(CAST(array() AS ARRAY<DOUBLE>),
+        |                 CAST(array() AS ARRAY<DOUBLE>)) AS e""".stripMargin)
+      .collect().head
+    assert(row.isNullAt(0))
+    assert(row.getDouble(1) === 0.0) // equal (empty) lengths are fine
+    // interpreted path
+    def lit(xs: Array[Double]) =
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        xs, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))
+    assert(DotProduct(lit(Array(1.0, 2.0, 3.0)), lit(Array(1.0, 2.0)))
+      .eval(null) == null)
+  }
+
   test("similarity queries still oracle-shaped after the swap (spot check)") {
     val got = Similarity.queries("sim_cosine_topk")(spark, dir)
     assert(got.count() === Similarity.NumQueries.toLong * Similarity.TopK)

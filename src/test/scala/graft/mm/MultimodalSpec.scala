@@ -55,6 +55,30 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("byte-stride kernel equals the (slow) string-walk formulation") {
+    import org.apache.spark.sql.functions._
+    // the round-2 O(len²) string walk, kept here only as the reference
+    // semantics for the linear graft_byte_stride kernel
+    def slowPixels(txt: org.apache.spark.sql.Column, stride: Int) =
+      transform(sequence(lit(1), length(txt), lit(stride)),
+        i => ascii(txt.substr(i, lit(1))))
+    for (stride <- Seq(1, Multimodal.ResizeStride)) {
+      val m = Multimodal.media(spark, dir)
+        .select(col("media_id"), col("payload"),
+          col("payload").cast("string").as("txt"))
+        .select(
+          graft.functions.ByteStrideFunctions
+            .graftByteStride(col("payload"), lit(stride)).as("fast"),
+          slowPixels(col("txt"), stride).as("slow"))
+      assert(m.filter(not(col("fast") === col("slow"))).count() === 0,
+        s"stride $stride")
+    }
+    // invalid stride surfaces as null, not a clamped result
+    val bad = spark.sql(
+      "SELECT graft_byte_stride(CAST('ab' AS BINARY), 0) AS x").head()
+    assert(bad.isNullAt(0))
+  }
+
   test("a custom decoder plugs into the same seam") {
     val s = spark; import s.implicits._
     val constDecoder: Array[Byte] => Array[Int] = _ => Array(7, 7, 7)

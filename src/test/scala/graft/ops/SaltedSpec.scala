@@ -29,10 +29,25 @@ class SaltedSpec extends SparkSpec {
   test("first-stage groups spread the hot key over many sub-keys") {
     val df = spark.range(10000).selectExpr("'hot' AS k", "CAST(id AS DOUBLE) AS v")
     val firstStage = df
-      .withColumn("__salt", pmod(hash(col("v")), lit(Salted.DefaultBuckets)))
+      .withColumn("__salt", Salted.saltCol())
       .groupBy("k", "__salt").count()
     // the single hot key becomes ~DefaultBuckets partial groups
     assert(firstStage.count() > Salted.DefaultBuckets / 2)
+  }
+
+  test("constant-value hot key still spreads (the case value-derived salt broke)") {
+    // 10k rows, ONE key, ONE value — a value-derived salt collapses this
+    // to a single first-stage group; the position-derived salt must not.
+    val df = spark.range(10000).selectExpr("'hot' AS k", "CAST(42 AS DOUBLE) AS v")
+    val firstStage = df
+      .withColumn("__salt", Salted.saltCol())
+      .groupBy("k", "__salt").count()
+    assert(firstStage.count() > Salted.DefaultBuckets / 2)
+    // and the merged result is unchanged
+    val merged = Salted.sumCountByKey(df, Seq("k"), col("v")).collect()
+    assert(merged.length === 1)
+    assert(merged(0).getDouble(1) === 42.0 * 10000)
+    assert(merged(0).getLong(2) === 10000L)
   }
 
   test("plan shape: two exchanges (salted partial, then final merge)") {

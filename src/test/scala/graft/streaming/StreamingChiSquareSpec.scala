@@ -55,4 +55,50 @@ class StreamingChiSquareSpec extends SparkSpec {
       === Map("X" -> 2L))
     assert(tc.count() === 2L) // apple, banana in X
   }
+
+  test("store is bounded: old versions pruned, results unchanged") {
+    val s = spark; import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft-chi-store3").toString
+    val stream = MemoryStream[Doc]
+    // 4 micro-batches (one per attach under AvailableNow), 1-2 docs each
+    val batches = Seq(corpus.take(2), corpus.slice(2, 3),
+      corpus.slice(3, 5), corpus.drop(5))
+    for (b <- batches) {
+      stream.addData(b)
+      StreamingChiSquare.attach(stream.toDF(), store,
+        "reviewText", "category", stopwords = Seq.empty).awaitTermination()
+    }
+    val gens = new java.io.File(store).list().filter(_.startsWith("v"))
+    assert(gens.length <= StreamingChiSquare.RetainPredecessors + 1,
+      gens.mkString(","))
+    assert(gens.contains("v3")) // newest version survives
+    // and the maintained counts still equal the batch pipeline
+    val streamed = StreamingChiSquare.topTermsFromStore(spark, store)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getInt(3))).toMap
+    val batch = ChiSquarePipeline.topTerms(
+      corpus.toDF("reviewText", "category"), "reviewText", "category",
+      k = ChiSquarePipeline.DefaultK, stopwords = Seq.empty)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getInt(3))).toMap
+    assert(streamed === batch)
+  }
+
+  test("empty micro-batch skips the rewrite (no new version dir)") {
+    val s = spark; import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft-chi-store4").toString
+    val stream = MemoryStream[Doc]
+    stream.addData(corpus.take(2))
+    StreamingChiSquare.attach(stream.toDF(), store,
+      "reviewText", "category", stopwords = Seq.empty).awaitTermination()
+    val before = new java.io.File(store).list().filter(_.startsWith("v")).toSet
+    // a batch whose docs are all inadmissible (empty text) is a zero delta
+    StreamingChiSquare.mergeBatch(
+      Seq(Doc("", "X")).toDF("reviewText", "category"), 99L, store,
+      "reviewText", "category", stopwords = Seq.empty)
+    val after = new java.io.File(store).list().filter(_.startsWith("v")).toSet
+    assert(after === before)
+  }
 }
