@@ -44,9 +44,24 @@ object Dedup {
   val JaccardThreshold = 0.8
   /** Shingles appearing in more docs than this are dropped from the
     * inverted index (and, symmetrically, from the compared sets).
+    * DEFAULT for the registered queries; [[ngramJaccard]] takes it as a
+    * parameter. Scale guidance: a posting list of df docs expands
+    * df·(df−1)/2 candidate pairs per shingle — at web scale (boilerplate,
+    * license headers, navigation chrome) set this to O(100) or lower, or
+    * add prefix filtering; ultra-common shingles carry no dedup signal
+    * anyway. Truncation is OBSERVABLE, not silent: [[bucketStats]] /
+    * `dedup_bucket_stats` reports how many buckets and postings each cap
+    * dropped, so a run can be audited for over-aggressive capping.
     */
   val MaxShingleDf = 500
-  /** LSH buckets larger than this are dropped before pair expansion. */
+  /** LSH buckets larger than this are dropped before pair expansion
+    * (default for the registered queries; the candidate generators take
+    * it as a parameter). Same quadratic-blowup rationale as
+    * [[MaxShingleDf]]: a bucket of b members expands b·(b−1)/2 pairs, so
+    * the cap bounds per-bucket work at b²/2 ≈ 20k pair expansions.
+    * Oversized buckets are near-always degenerate content (empty-ish
+    * docs, templates) — but verify with [[bucketStats]] before lowering.
+    */
   val MaxBucketSize = 200
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -114,14 +129,15 @@ object Dedup {
   /** Distinct candidate pairs (doc_a < doc_b) sharing any LSH bucket,
     * with oversized buckets dropped before the pair expansion.
     */
-  def minhashCandidates(d: DataFrame): DataFrame = {
+  def minhashCandidates(d: DataFrame,
+      maxBucketSize: Int = MaxBucketSize): DataFrame = {
     val buckets = lshBuckets(minhashSignatures(shingles(d)))
     // groupBy + in-list pair expansion, not a bucket self-join: a
     // self-join recomputes the whole signature subtree per branch. The
     // size filter both caps degenerate buckets and drops singletons.
     buckets.groupBy("band", "sig")
       .agg(collect_list(col("doc_id")).as("members"))
-      .filter(size(col("members")).between(2, MaxBucketSize))
+      .filter(size(col("members")).between(2, maxBucketSize))
       .withColumn("arr", array_sort(col("members")))
       .select(explode(flatten(transform(col("arr"), (x, i) =>
         transform(slice(col("arr"), i + lit(2), size(col("arr"))),
@@ -179,7 +195,8 @@ object Dedup {
     * signature subtree on BOTH sides (measured ~7× slower) — grouping
     * computes signatures once and expands pairs inside each bucket row.
     */
-  def simhashPairs(d: DataFrame): DataFrame = {
+  def simhashPairs(d: DataFrame,
+      maxBucketSize: Int = MaxBucketSize): DataFrame = {
     val sigs = simhashSignaturesWithChunks(d)
     val chunkStructs = (0 until 4).map(c =>
       struct(lit(c).as("chunk_id"), col(s"ci$c").as("chunk")))
@@ -198,7 +215,7 @@ object Dedup {
       // degenerate chunk values shared by half the corpus generate
       // quadratic pair counts and zero dedup signal — same cap rationale
       // as the MinHash buckets
-      .filter(size(col("members")).between(2, MaxBucketSize))
+      .filter(size(col("members")).between(2, maxBucketSize))
       .withColumn("arr", array_sort(col("members")))
       .select(explode(flatten(transform(col("arr"), (x, i) =>
         transform(slice(col("arr"), i + lit(2), size(col("arr"))),
@@ -219,7 +236,8 @@ object Dedup {
     * inverted-index join (never all-pairs).
     */
   def ngramJaccard(d: DataFrame,
-      threshold: Double = JaccardThreshold): DataFrame = {
+      threshold: Double = JaccardThreshold,
+      maxShingleDf: Int = MaxShingleDf): DataFrame = {
     // 60-bit hash of each shingle: the inverted index joins/aggregates
     // on fixed-width longs instead of ~20-char strings (smaller shuffle,
     // cheaper compares). Collisions (~|shingles|²/2⁶⁰) are shared by
@@ -232,7 +250,7 @@ object Dedup {
     // simhashPairs), so no self-join; the size joins are left to AQE
     // (broadcast when the doc-count table is small, shuffle at scale).
     val idx = sh.groupBy("sh").agg(collect_list(col("doc_id")).as("docs"))
-      .filter(size(col("docs")) <= MaxShingleDf)
+      .filter(size(col("docs")) <= maxShingleDf)
     val sizes = idx
       .select(explode(col("docs")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -251,6 +269,42 @@ object Dedup {
         col("ix").cast("double") / (col("na") + col("nb") - col("ix")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Cap observability (the caps must never truncate SILENTLY): one row
+    * per candidate-generation method with how many buckets exceed its
+    * cap and how many postings (doc memberships) those buckets carry —
+    * exactly what the capped operators drop. Always emits all three
+    * rows (zeros when nothing is oversized), so "nothing dropped" is an
+    * asserted fact, not an absent one. Registered as
+    * `dedup_bucket_stats`; run it alongside a dedup pass to audit the
+    * caps before tightening them.
+    */
+  def bucketStats(d: DataFrame, maxShingleDf: Int = MaxShingleDf,
+      maxBucketSize: Int = MaxBucketSize): DataFrame = {
+    def dropped(sizes: DataFrame, cap: Int, method: String): DataFrame =
+      sizes.filter(col("sz") > cap)
+        .agg(count(lit(1)).as("dropped_buckets"),
+          coalesce(sum(col("sz")), lit(0L)).as("dropped_postings"))
+        .select(lit(method).as("method"),
+          col("dropped_buckets"), col("dropped_postings"))
+    val mhSizes = lshBuckets(minhashSignatures(shingles(d)))
+      .groupBy("band", "sig").agg(count(lit(1)).as("sz"))
+    val chunkStructs = (0 until 4).map(c =>
+      struct(lit(c).as("chunk_id"), col(s"ci$c").as("chunk")))
+    val simSizes = simhashSignaturesWithChunks(d)
+      .select(explode(array(chunkStructs: _*)).as("cs"))
+      .groupBy(col("cs.chunk_id"), col("cs.chunk"))
+      .agg(count(lit(1)).as("sz"))
+    // same hashed shingle key ngramJaccard's inverted index caps on
+    val jacSizes = shingles(d)
+      .select(conv(substring(md5(col("s")), 1, 15), 16, 10)
+        .cast("long").as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("sz"))
+    dropped(jacSizes, maxShingleDf, "jaccard_shingle")
+      .unionByName(dropped(mhSizes, maxBucketSize, "minhash_lsh"))
+      .unionByName(dropped(simSizes, maxBucketSize, "simhash_chunk"))
+      .orderBy("method")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -278,23 +332,34 @@ object Dedup {
     "dedup_simhash_pairs" -> ((s, dir) =>
       simhashPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      ngramJaccard(docs(s, dir)).orderBy("doc_a", "doc_b"))
+      ngramJaccard(docs(s, dir)).orderBy("doc_a", "doc_b")),
+    "dedup_bucket_stats" -> ((s, dir) => bucketStats(docs(s, dir)))
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
 
+  /** CTE bodies, kept separate so the bucket-stats oracle can compose
+    * the minhash, simhash, and jaccard chains into ONE statement
+    * (duplicate CTE names are illegal in a single WITH).
+    */
+  private val dBody: String =
+    """  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                     t -> length(t) > 0) AS toks
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND length(text) > 0""".stripMargin
+
+  private val shBody: String =
+    s"""  SELECT DISTINCT doc_id,
+       |         array_to_string(list_slice(toks, i, i + ${ShingleSize - 1}), ' ') AS s
+       |  FROM d, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - ${ShingleSize - 1}, 0))) AS i)""".stripMargin
+
   /** Shared CTE prefix: admitted docs → tokens → distinct shingles. */
   private val shCte: String =
     s"""WITH d AS (
-       |  SELECT doc_id,
-       |         list_filter(regexp_split_to_array(lower(text), '\\s+'),
-       |                     t -> length(t) > 0) AS toks
-       |  FROM documents
-       |  WHERE text IS NOT NULL AND length(text) > 0
+       |$dBody
        |), sh AS (
-       |  SELECT DISTINCT doc_id,
-       |         array_to_string(list_slice(toks, i, i + ${ShingleSize - 1}), ' ') AS s
-       |  FROM d, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - ${ShingleSize - 1}, 0))) AS i)
+       |$shBody
        |)""".stripMargin
 
   /** Positional hex→int build of the 7-digit base hash (DuckDB has no
@@ -339,14 +404,28 @@ object Dedup {
     (0 until SimHashBits).map(b =>
       s"CASE WHEN s$b > 0 THEN '1' ELSE '0' END").mkString(" || ")
 
+  private val hbBody: String =
+    s"""  SELECT doc_id, $baseHashSql AS hbase
+       |  FROM (SELECT doc_id, substr(md5(s), 1, 7) AS hx FROM sh)""".stripMargin
+
+  private val mhBody: String =
+    s"""  SELECT doc_id,
+       |         $minhashSelects
+       |  FROM hb GROUP BY doc_id""".stripMargin
+
+  private val shhBody: String =
+    s"""  SELECT doc_id, $jaccardHashSql AS s
+       |  FROM (SELECT doc_id, substr(md5(s), 1, 15) AS hx FROM sh)""".stripMargin
+
+  private val chunksBody: String =
+    """  SELECT doc_id, simhash, c AS chunk_id,
+      |         substr(simhash, c * 16 + 1, 16) AS chunk
+      |  FROM sig, LATERAL (SELECT unnest(generate_series(0, 3)) AS c)""".stripMargin
+
   /** CTE producing sig(doc_id, simhash) — shared by both simhash oracles. */
   private val simhashCte: String =
     s"""WITH d AS (
-       |  SELECT doc_id,
-       |         list_filter(regexp_split_to_array(lower(text), '\\s+'),
-       |                     t -> length(t) > 0) AS toks
-       |  FROM documents
-       |  WHERE text IS NOT NULL AND length(text) > 0
+       |$dBody
        |), tc AS (
        |  SELECT doc_id, t, count(*) AS cnt
        |  FROM (SELECT doc_id, unnest(toks) AS t FROM d) GROUP BY 1, 2
