@@ -17,7 +17,13 @@ import java.nio.file.{Files, Paths}
   *    the MEDIAN is reported — round 2's single-shot timing turned one
   *    GC/JIT pause into a phantom 10× "regression" (chi2_scores 7.07 s vs
   *    its strict-subset sibling at 0.72 s); medians make a one-off pause
-  *    cost at most rank, never the headline number.
+  *    cost at most rank, never the headline number;
+  *  - ALL raw samples are emitted under "samples" (round 3's sustained
+  *    4–6× window on three consecutive queries was undiagnosable from
+  *    medians alone), and cross-query state is isolated: the cache is
+  *    cleared and a GC is requested between queries, so one query's
+  *    persisted/cached data or heap pressure can't tax its neighbors'
+  *    samples.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -44,26 +50,37 @@ object Bench {
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
     var errors = Vector.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      // Isolation barrier: drop anything a previous query cached/persisted
+      // and invite a GC so residual heap pressure from a heavy neighbor
+      // is paid here, between timers, not inside the next sample window.
+      spark.catalog.clearCache()
+      System.gc()
       val times =
         try {
           (1 to iters).map { _ =>
             val t0 = System.nanoTime()
             fn(spark, sfDir).count()
             (System.nanoTime() - t0) / 1e9
-          }.sorted
+          }
         } catch { case e: Throwable =>
           errors :+= (name -> String.valueOf(e.getMessage).take(200))
           Vector.empty[Double]
         }
-      name -> (if (times.isEmpty) -1.0 else times(times.size / 2))
+      (name, times)
     }
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .map(c => if (c < ' ') ' ' else c) + "\""
-    val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    def median(ts: Seq[Double]): Double =
+      if (ts.isEmpty) -1.0 else ts.sorted.apply(ts.size / 2)
+    val qs = results.map { case (k, ts) => s"${q(k)}:${median(ts)}" }
+      .mkString("{", ",", "}")
+    val samples = results.map { case (k, ts) =>
+      s"${q(k)}:${ts.map(t => f"$t%.4f").mkString("[", ",", "]")}"
+    }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = results.collect { case (_, ts) if ts.nonEmpty => median(ts) }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samples,"errors":$errJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), line + "\n")
     Console.out.println(line)
     Console.out.flush()

@@ -83,10 +83,19 @@ object Dedup {
       .otherwise(transform(sequence(lit(1), size(toks) - (ShingleSize - 1)),
         i => concat_ws(" ", slice(toks, i, lit(ShingleSize)))))
 
-  /** (doc_id, s): per-document DISTINCT shingles (set semantics). */
-  def shingles(d: DataFrame): DataFrame =
+  /** (doc_id, toks): the bound token-array projection — the ONE
+    * corpus-scanning step every dedup method shares. [[bucketStats]]
+    * persists this frame so its three audit branches read the corpus
+    * once instead of three times.
+    */
+  private def toksOf(d: DataFrame): DataFrame =
     d.select(col("doc_id"), toksCol.as("toks"))
-      .select(col("doc_id"), explode(shingleOf(col("toks"))).as("s"))
+
+  /** (doc_id, s): per-document DISTINCT shingles (set semantics). */
+  def shingles(d: DataFrame): DataFrame = shinglesFromToks(toksOf(d))
+
+  private def shinglesFromToks(toks: DataFrame): DataFrame =
+    toks.select(col("doc_id"), explode(shingleOf(col("toks"))).as("s"))
       .distinct()
 
   /** MinHash prime modulus and md5-seeded affine coefficients: the
@@ -158,8 +167,11 @@ object Dedup {
     * compute format (downstream hamming is XOR + bit_count on longs
     * instead of per-character array comparison).
     */
-  private def simhashSignaturesWithChunks(d: DataFrame): DataFrame = {
-    val tokCounts = d.select(col("doc_id"), explode(toksCol).as("t"))
+  private def simhashSignaturesWithChunks(d: DataFrame): DataFrame =
+    simhashChunksFromToks(toksOf(d))
+
+  private def simhashChunksFromToks(toks: DataFrame): DataFrame = {
+    val tokCounts = toks.select(col("doc_id"), explode(col("toks")).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
     // First 16 hex chars of md5(term) = 64 hash bits; digit p value 0–15.
     val withDigits = (1 to 16).foldLeft(
@@ -288,16 +300,28 @@ object Dedup {
           coalesce(sum(col("sz")), lit(0L)).as("dropped_postings"))
         .select(lit(method).as("method"),
           col("dropped_buckets"), col("dropped_postings"))
-    val mhSizes = lshBuckets(minhashSignatures(shingles(d)))
+    // The three audit branches share ONE corpus scan: the token
+    // projection is persisted (spill-to-disk, not memory-only — at
+    // 100 TB the token table won't fit in RAM) and both shingle
+    // consumers reuse one persisted shingle table on top of it. Without
+    // this, the union re-reads and re-tokenizes the corpus per branch
+    // (Spark reuses exchanges, not arbitrary subtrees). The handles are
+    // released by the session's cache eviction / clearCache — an audit
+    // query, not a resident pipeline.
+    val toks = toksOf(d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = shinglesFromToks(toks)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mhSizes = lshBuckets(minhashSignatures(sh))
       .groupBy("band", "sig").agg(count(lit(1)).as("sz"))
     val chunkStructs = (0 until 4).map(c =>
       struct(lit(c).as("chunk_id"), col(s"ci$c").as("chunk")))
-    val simSizes = simhashSignaturesWithChunks(d)
+    val simSizes = simhashChunksFromToks(toks)
       .select(explode(array(chunkStructs: _*)).as("cs"))
       .groupBy(col("cs.chunk_id"), col("cs.chunk"))
       .agg(count(lit(1)).as("sz"))
     // same hashed shingle key ngramJaccard's inverted index caps on
-    val jacSizes = shingles(d)
+    val jacSizes = sh
       .select(conv(substring(md5(col("s")), 1, 15), 16, 10)
         .cast("long").as("sh"))
       .groupBy("sh").agg(count(lit(1)).as("sz"))
@@ -422,11 +446,12 @@ object Dedup {
       |         substr(simhash, c * 16 + 1, 16) AS chunk
       |  FROM sig, LATERAL (SELECT unnest(generate_series(0, 3)) AS c)""".stripMargin
 
-  /** CTE producing sig(doc_id, simhash) — shared by both simhash oracles. */
-  private val simhashCte: String =
-    s"""WITH d AS (
-       |$dBody
-       |), tc AS (
+  /** tc → dg → bits → sig chain (leading comma — appends after a CTE),
+    * so the simhash oracles AND the bucket-stats oracle can graft it
+    * onto their own `WITH d AS (…)` prefix without duplicating `d`.
+    */
+  private val simhashSigCtes: String =
+    s""", tc AS (
        |  SELECT doc_id, t, count(*) AS cnt
        |  FROM (SELECT doc_id, unnest(toks) AS t FROM d) GROUP BY 1, 2
        |), dg AS (
@@ -440,6 +465,12 @@ object Dedup {
        |), sig AS (
        |  SELECT doc_id, $simhashConcat AS simhash FROM bits
        |)""".stripMargin
+
+  /** CTE producing sig(doc_id, simhash) — shared by both simhash oracles. */
+  private val simhashCte: String =
+    s"""WITH d AS (
+       |$dBody
+       |)$simhashSigCtes""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -519,6 +550,44 @@ object Dedup {
          |JOIN sizes na ON na.doc_id = doc_a
          |JOIN sizes nb ON nb.doc_id = doc_b
          |WHERE CAST(ix AS DOUBLE) / CAST(na.n + nb.n - ix AS DOUBLE) >= $JaccardThreshold
-         |ORDER BY doc_a, doc_b""".stripMargin
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // One WITH composes all three candidate-generation chains (the CTE
+    // bodies above exist exactly for this — duplicate CTE names are
+    // illegal). The empty-filter agg emits one row of (0, NULL→0), so
+    // the always-emit-3-rows contract holds in both engines. sum(sz)
+    // is HUGEINT in DuckDB — cast back to BIGINT to match Spark's long.
+    "dedup_bucket_stats" ->
+      s"""WITH d AS (
+         |$dBody
+         |), sh AS (
+         |$shBody
+         |), hb AS (
+         |$hbBody
+         |), mh AS (
+         |$mhBody
+         |), bands AS (
+         |  $bandSelects
+         |)$simhashSigCtes, chunks AS (
+         |$chunksBody
+         |), shh AS (
+         |$shhBody
+         |), jac_drop AS (
+         |  SELECT count(*) AS db, CAST(coalesce(sum(sz), 0) AS BIGINT) AS dp
+         |  FROM (SELECT s, count(*) AS sz FROM shh GROUP BY 1)
+         |  WHERE sz > $MaxShingleDf
+         |), mh_drop AS (
+         |  SELECT count(*) AS db, CAST(coalesce(sum(sz), 0) AS BIGINT) AS dp
+         |  FROM (SELECT band, sig, count(*) AS sz FROM bands GROUP BY 1, 2)
+         |  WHERE sz > $MaxBucketSize
+         |), sim_drop AS (
+         |  SELECT count(*) AS db, CAST(coalesce(sum(sz), 0) AS BIGINT) AS dp
+         |  FROM (SELECT chunk_id, chunk, count(*) AS sz FROM chunks GROUP BY 1, 2)
+         |  WHERE sz > $MaxBucketSize
+         |)
+         |SELECT method, dropped_buckets, dropped_postings FROM (
+         |  SELECT 'jaccard_shingle' AS method, db AS dropped_buckets, dp AS dropped_postings FROM jac_drop
+         |  UNION ALL SELECT 'minhash_lsh', db, dp FROM mh_drop
+         |  UNION ALL SELECT 'simhash_chunk', db, dp FROM sim_drop
+         |) ORDER BY method""".stripMargin
   )
 }

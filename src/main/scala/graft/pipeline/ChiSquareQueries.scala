@@ -70,21 +70,28 @@ object ChiSquareQueries {
   )
 
   /** Writes a JSONL mirror of `documents` (text→reviewText, lang→category)
-    * plus a file of malformed lines, returns the directory. Deterministic
-    * per sfDir; rewritten on every call (cheap at verify scale, and the
-    * query must not depend on stale state).
+    * plus a file of malformed lines, returns the directory. The mirror is
+    * a pure function of the (immutable) sfDir fixture, so it is written
+    * ONCE per sfDir and reused — round 3 rewrote it on every invocation,
+    * which put a full-dataset write inside the benched query time. The
+    * marker is Spark's own _SUCCESS plus our malformed.json: both present
+    * ⟹ the previous write completed; anything less ⟹ rewrite.
     */
   private def jsonlMirror(s: SparkSession, dir: String): String = {
     val out = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_jsonl",
       dir.replaceAll("[^A-Za-z0-9.]", "_"))
-    docs(s, dir)
-      .select(col("text").as("reviewText"), col("lang").as("category"))
-      .write.mode("overwrite").json(out.toString)
-    // lines the DROPMALFORMED scan must silently skip: broken JSON, a
-    // bare value, and a truncated object
-    java.nio.file.Files.write(out.resolve("malformed.json"),
-      "this is not json\n42\n{\"reviewText\": \"unterminated\n".getBytes("UTF-8"))
+    val complete = java.nio.file.Files.exists(out.resolve("_SUCCESS")) &&
+      java.nio.file.Files.exists(out.resolve("malformed.json"))
+    if (!complete) {
+      docs(s, dir)
+        .select(col("text").as("reviewText"), col("lang").as("category"))
+        .write.mode("overwrite").json(out.toString)
+      // lines the DROPMALFORMED scan must silently skip: broken JSON, a
+      // bare value, and a truncated object
+      java.nio.file.Files.write(out.resolve("malformed.json"),
+        "this is not json\n42\n{\"reviewText\": \"unterminated\n".getBytes("UTF-8"))
+    }
     out.toString
   }
 
