@@ -39,6 +39,14 @@ object Similarity {
   /** IVF: number of coarse cells and probed cells per query. */
   val NumCells = 16
   val NProbe = 2
+  /** IVF quantizer training: Lloyd iterations over the deterministic
+    * training sample (`vec_id < TrainN`). Both are FIXED so the whole
+    * training chain stays a static, oracle-expressible plan; at scale
+    * the sample is the standard practice anyway (train the coarse
+    * quantizer on a sliver, assign the full corpus with it).
+    */
+  val TrainN = 256
+  val LloydIters = 2
 
   /** Deterministic ±1 hyperplane weights: plane p, dim j gets the parity
     * of the first hex digit of md5("p,j"). Seeded data, not code — both
@@ -103,61 +111,127 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** One Lloyd iteration: assign each training vector to its
+    * most-cosine-similar centroid, then replace each centroid by the
+    * MEAN of its assigned vectors. The mean is an IN-ORDER (by vec_id)
+    * fold over the collected vectors — order-fixed summation is what
+    * keeps the trained centroids bit-identical to the DuckDB oracle
+    * (a parallel `avg` would sum in partition order). collect_list here
+    * is bounded by TrainN, not the corpus — training runs on the
+    * sample, never at corpus scale. Cells that attract no sample
+    * vectors drop out (standard Lloyd-on-a-sample behavior, same
+    * GROUP BY semantics in both engines).
+    */
+  private def lloydStep(sample: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = sample.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cell_id"),
+        cosine(col("v"), col("cv"), col("nrm"), col("cn")).as("csim"))
+    val byVec = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cell_id").asc)
+    val assigned = scored.withColumn("crank", row_number().over(byVec))
+      .filter(col("crank") === 1)
+    assigned.groupBy("cell_id")
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("v")))).as("vs"))
+      .select(col("cell_id"),
+        transform(
+          aggregate(col("vs"), array_repeat(lit(0.0), Dim),
+            (acc, x) => zip_with(acc, x.getField("v"), (a, b) => a + b)),
+          s => s / size(col("vs"))).as("cv"))
+      .withColumn("cn", dot(col("cv"), col("cv")))
+  }
+
+  /** Trained coarse quantizer: seed = the first NumCells vectors, then
+    * LloydIters refinement steps over the deterministic TrainN sample.
+    */
+  private def trainedCentroids(c: DataFrame): DataFrame = {
+    val sample = c.filter(col("vec_id") < TrainN)
+      .select("vec_id", "v", "nrm")
+    val seed = c.filter(col("vec_id") < NumCells)
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    (1 to LloydIters).foldLeft(seed)((cents, _) => lloydStep(sample, cents))
+  }
+
+  /** Exact top-k: broadcast query batch × corpus scan, window top-k. */
+  private def exactTopK(s: SparkSession, dir: String): DataFrame = {
+    val c = prepared(s, dir, withBucket = false)
+    val q = c.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val pairs = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+    rankTopK(pairs, TopK)
+  }
+
+  /** LSH ANN: same scoring, but only candidates in the query's bucket. */
+  private def lshTopK(s: SparkSession, dir: String): DataFrame = {
+    val c = prepared(s, dir, withBucket = true)
+    val q = c.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+    val pairs = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+    rankTopK(pairs, TopK)
+  }
+
+  /** IVF ANN with a TRAINED coarse quantizer: seeded k-means centroids
+    * refined by [[LloydIters]] Lloyd steps over the [[TrainN]] sample.
+    * Every vector is assigned to its most-similar cell (NumCells dots
+    * per row via a broadcast of the centroids); a query probes its
+    * NProbe nearest cells and scores only those cells' members. At
+    * 100 TB the training touches only the sample, the assignment is a
+    * narrow map over the corpus, and the probe join touches
+    * NProbe/NumCells of the data. Tune NProbe against the measured
+    * `sim_ann_recall` query, not by feel.
+    */
+  private def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val c = prepared(s, dir, withBucket = false)
+    val cents = trainedCentroids(c)
+    val scoredCells = c.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell_id"),
+        cosine(col("v"), col("cv"), col("nrm"), col("cn")).as("csim"))
+    val byVec = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cell_id").asc)
+    val ranked = scoredCells.withColumn("crank", row_number().over(byVec))
+    val assign = ranked.filter(col("crank") === 1)
+      .select(col("cell_id"), col("vec_id"), col("v"), col("nrm"))
+    val qcells = ranked
+      .filter(col("vec_id") < NumQueries && col("crank") <= NProbe)
+      .select(col("cell_id"), col("vec_id").as("query_id"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val pairs = assign.join(broadcast(qcells), Seq("cell_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+    rankTopK(pairs, TopK)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Exact top-k: broadcast query batch × corpus scan, window top-k.
-    "sim_cosine_topk" -> ((s, dir) => {
-      val c = prepared(s, dir, withBucket = false)
-      val q = c.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-      val pairs = c.crossJoin(broadcast(q))
-        .filter(col("query_id") =!= col("vec_id"))
-        .select(col("query_id"), col("vec_id"),
-          cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
-      rankTopK(pairs, TopK)
-    }),
-    // ANN: same scoring, but only candidates sharing the query's bucket.
-    "sim_cosine_ann_lsh" -> ((s, dir) => {
-      val c = prepared(s, dir, withBucket = true)
-      val q = c.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("nrm").as("qn"), col("bucket"))
-      val pairs = c.join(broadcast(q), Seq("bucket"))
-        .filter(col("query_id") =!= col("vec_id"))
-        .select(col("query_id"), col("vec_id"),
-          cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
-      rankTopK(pairs, TopK)
-    }),
-    // IVF ANN: coarse quantizer = the first NumCells vectors (a SEEDED
-    // stand-in for trained k-means centroids — training is out of scope,
-    // the cell-assignment/probe mechanics are the operator). Every
-    // vector is assigned to its most-similar cell (16 dots per row via a
-    // broadcast of the centroids); a query probes its NProbe nearest
-    // cells and scores only those cells' members. At 100 TB the
-    // assignment is a narrow map over the corpus and the probe join
-    // touches NProbe/NumCells of the data.
-    "sim_cosine_ann_ivf" -> ((s, dir) => {
-      val c = prepared(s, dir, withBucket = false)
-      val cents = c.filter(col("vec_id") < NumCells)
-        .select(col("vec_id").as("cell_id"), col("v").as("cv"),
-          col("nrm").as("cn"))
-      val scoredCells = c.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("v"), col("nrm"), col("cell_id"),
-          cosine(col("v"), col("cv"), col("nrm"), col("cn")).as("csim"))
-      val byVec = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id"))
-        .orderBy(col("csim").desc, col("cell_id").asc)
-      val ranked = scoredCells.withColumn("crank", row_number().over(byVec))
-      val assign = ranked.filter(col("crank") === 1)
-        .select(col("cell_id"), col("vec_id"), col("v"), col("nrm"))
-      val qcells = ranked
-        .filter(col("vec_id") < NumQueries && col("crank") <= NProbe)
-        .select(col("cell_id"), col("vec_id").as("query_id"),
-          col("v").as("qv"), col("nrm").as("qn"))
-      val pairs = assign.join(broadcast(qcells), Seq("cell_id"))
-        .filter(col("query_id") =!= col("vec_id"))
-        .select(col("query_id"), col("vec_id"),
-          cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
-      rankTopK(pairs, TopK)
+    "sim_cosine_topk" -> (exactTopK _),
+    "sim_cosine_ann_lsh" -> (lshTopK _),
+    "sim_cosine_ann_ivf" -> (ivfTopK _),
+    // Recall@k of each ANN variant against the exact scan — the number
+    // a user tunes NProbe/NumPlanes with. One row per (variant, query):
+    // hits = |ANN top-k ∩ exact top-k|, recall = hits/k. The exact
+    // result is persisted: it is the expensive branch and both variants
+    // consume it.
+    "sim_ann_recall" -> ((s, dir) => {
+      val exact = exactTopK(s, dir).select("query_id", "vec_id").persist()
+      def rec(ann: DataFrame, variant: String): DataFrame =
+        exact.join(
+            ann.select(col("query_id"), col("vec_id"), lit(1).as("hit")),
+            Seq("query_id", "vec_id"), "left")
+          .groupBy("query_id").agg(count(col("hit")).as("hits"))
+          .select(lit(variant).as("variant"), col("query_id"), col("hits"),
+            (col("hits").cast("double") / lit(TopK)).as("recall"))
+      rec(ivfTopK(s, dir), "ivf")
+        .unionByName(rec(lshTopK(s, dir), "lsh"))
+        .orderBy("variant", "query_id")
     }),
     // Corpus-level near-dup pairs: per-bucket self-join + exact rescore.
     "sim_embedding_neardup" -> ((s, dir) => {
@@ -206,6 +280,67 @@ object Similarity {
        |  SELECT vec_id, v, nrm, $bucketSql AS bucket FROM n
        |)""".stripMargin
 
+  /** One Lloyd step as CTEs: sc<i> scores sample×cents<i-1>, as<i>
+    * assigns winners, cents<i> is the in-order per-cell mean (list(v
+    * ORDER BY vec_id) + no-init list_reduce ≡ Spark's array_sort +
+    * zero-init aggregate: the leading 0.0 + x is exact).
+    */
+  private def lloydCtesSql(it: Int): String =
+    s""", sc$it AS (
+       |  SELECT s.vec_id, s.v, c.cell_id,
+       |         ${dotSql("s.v", "c.cv")} / (sqrt(s.nrm) * sqrt(c.cn)) AS csim
+       |  FROM samp s CROSS JOIN cents${it - 1} c
+       |), as$it AS (
+       |  SELECT vec_id, v, cell_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY csim DESC, cell_id ASC) AS crank
+       |    FROM sc$it) WHERE crank = 1
+       |), cm$it AS (
+       |  SELECT cell_id, list_transform(sv, s -> s / cnt) AS cv
+       |  FROM (
+       |    SELECT cell_id,
+       |           list_reduce(list(v ORDER BY vec_id),
+       |             (a, x) -> list_transform(range(1, ${Dim + 1}), i -> a[i] + x[i])) AS sv,
+       |           count(*) AS cnt
+       |    FROM as$it GROUP BY cell_id)
+       |), cents$it AS (
+       |  SELECT cell_id, cv, ${dotSql("cv", "cv")} AS cn FROM cm$it
+       |)""".stripMargin
+
+  /** Quantizer training + full-corpus assignment + probe chain, ending
+    * in ir (ANN ranking). Appended after eCte/bCte (leading comma).
+    */
+  private val ivfCtes: String =
+    s""", samp AS (
+       |  SELECT vec_id, v, nrm FROM n WHERE vec_id < $TrainN
+       |), cents0 AS (
+       |  SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM n
+       |  WHERE vec_id < $NumCells
+       |)${(1 to LloydIters).map(lloydCtesSql).mkString}, iscored AS (
+       |  SELECT n.vec_id, n.v, n.nrm, c.cell_id,
+       |         ${dotSql("n.v", "c.cv")} / (sqrt(n.nrm) * sqrt(c.cn)) AS csim
+       |  FROM n CROSS JOIN cents$LloydIters c
+       |), iranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY csim DESC, cell_id ASC) AS crank
+       |  FROM iscored
+       |), iassign AS (
+       |  SELECT cell_id, vec_id, v, nrm FROM iranked WHERE crank = 1
+       |), iqcells AS (
+       |  SELECT cell_id, vec_id AS query_id, v AS qv, nrm AS qn
+       |  FROM iranked WHERE vec_id < $NumQueries AND crank <= $NProbe
+       |), ip AS (
+       |  SELECT q.query_id, a.vec_id,
+       |         ${dotSql("q.qv", "a.v")} / (sqrt(q.qn) * sqrt(a.nrm)) AS cos
+       |  FROM iassign a JOIN iqcells q
+       |    ON a.cell_id = q.cell_id AND q.query_id <> a.vec_id
+       |), ir AS (
+       |  SELECT query_id, vec_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+       |  FROM ip
+       |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "sim_cosine_topk" ->
       s"""$eCte, p AS (
@@ -236,36 +371,50 @@ object Similarity {
          |SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= $TopK
          |ORDER BY query_id, rank""".stripMargin,
     "sim_cosine_ann_ivf" ->
-      s"""$eCte, cents AS (
-         |  SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM n
-         |  WHERE vec_id < $NumCells
-         |), scored_cells AS (
-         |  SELECT n.vec_id, n.v, n.nrm, cents.cell_id,
-         |         ${dotSql("n.v", "cents.cv")} / (sqrt(n.nrm) * sqrt(cents.cn)) AS csim
-         |  FROM n CROSS JOIN cents
-         |), ranked_cells AS (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY csim DESC, cell_id ASC) AS crank
-         |  FROM scored_cells
-         |), assign AS (
-         |  SELECT cell_id, vec_id, v, nrm FROM ranked_cells WHERE crank = 1
-         |), qcells AS (
-         |  SELECT cell_id, vec_id AS query_id, v AS qv, nrm AS qn
-         |  FROM ranked_cells
-         |  WHERE vec_id < $NumQueries AND crank <= $NProbe
-         |), p AS (
-         |  SELECT q.query_id, a.vec_id,
-         |         ${dotSql("q.qv", "a.v")} / (sqrt(q.qn) * sqrt(a.nrm)) AS cos
-         |  FROM assign a JOIN qcells q
-         |    ON a.cell_id = q.cell_id AND q.query_id <> a.vec_id
-         |), r AS (
-         |  SELECT query_id, vec_id, cos,
-         |         CAST(row_number() OVER (PARTITION BY query_id
-         |           ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
-         |  FROM p
-         |)
-         |SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= $TopK
+      s"""$eCte$ivfCtes
+         |SELECT query_id, vec_id, cos, rank FROM ir WHERE rank <= $TopK
          |ORDER BY query_id, rank""".stripMargin,
+    "sim_ann_recall" ->
+      s"""$bCte$ivfCtes, xp AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |         ${dotSql("q.v", "c.v")} / (sqrt(q.nrm) * sqrt(c.nrm)) AS cos
+         |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < $NumQueries
+         |), xt AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cos DESC, vec_id ASC) AS rank
+         |    FROM xp) WHERE rank <= $TopK
+         |), lp AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |         ${dotSql("q.v", "c.v")} / (sqrt(q.nrm) * sqrt(c.nrm)) AS cos
+         |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < $NumQueries
+         |), lt AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cos DESC, vec_id ASC) AS rank
+         |    FROM lp) WHERE rank <= $TopK
+         |), ivf_t AS (
+         |  SELECT query_id, vec_id FROM ir WHERE rank <= $TopK
+         |)
+         |SELECT variant, query_id, hits,
+         |       CAST(hits AS DOUBLE) / $TopK AS recall
+         |FROM (
+         |  SELECT 'ivf' AS variant, x.query_id AS query_id,
+         |         count(t.vec_id) AS hits
+         |  FROM xt x LEFT JOIN ivf_t t
+         |    ON x.query_id = t.query_id AND x.vec_id = t.vec_id
+         |  GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT 'lsh' AS variant, x.query_id AS query_id,
+         |         count(t.vec_id) AS hits
+         |  FROM xt x LEFT JOIN lt t
+         |    ON x.query_id = t.query_id AND x.vec_id = t.vec_id
+         |  GROUP BY 1, 2
+         |) ORDER BY variant, query_id""".stripMargin,
     "sim_embedding_neardup" ->
       s"""$bCte
          |SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,

@@ -72,6 +72,29 @@ class SimilaritySpec extends SparkSpec {
     for ((q, b) <- ivfBest) assert(b <= exactBest(q) + 1e-15, s"query $q")
   }
 
+  test("recall@k: trained IVF clears the pinned floor; table is well-formed") {
+    val rows = Similarity.queries("sim_ann_recall")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // one row per (variant, query), both variants, all queries
+    assert(rows.length === 2 * Similarity.NumQueries)
+    assert(rows.map(_._1).distinct.sorted === Seq("ivf", "lsh"))
+    for ((v, q, hits, recall) <- rows) {
+      assert(hits >= 0 && hits <= Similarity.TopK, s"$v/$q hits=$hits")
+      assert(recall === hits.toDouble / Similarity.TopK, s"$v/$q")
+    }
+    // The Lloyd-trained quantizer at NProbe=2/16 must keep mean recall@5
+    // >= 0.7 on the fixture (observed 0.9; the pre-trained first-16
+    // seed centroids are strictly worse). LSH's single-table 8-bit
+    // recall is EXPECTED to be near zero here — sign-LSH match prob is
+    // ~p^8 ≈ 3% at this corpus's neighbor similarity (p ≈ 0.65); its
+    // operative workload (threshold near-dup pairs) is oracle-gated
+    // separately. The recall table existing is what makes that tradeoff
+    // visible instead of folklore.
+    val ivfMean = rows.filter(_._1 == "ivf").map(_._4).sum / Similarity.NumQueries
+    assert(ivfMean >= 0.7, s"ivf mean recall $ivfMean")
+  }
+
   test("brute-force and ANN agree on shared candidates") {
     val dir = "/root/testdata/sf0.001"
     val exact = Similarity.queries("sim_cosine_topk")(spark, dir)
