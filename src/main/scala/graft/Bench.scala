@@ -38,6 +38,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Bench knob for the production-hash variant (default: oracle md5).
+    sys.env.get("SPARK_GRAFT_PRODUCTION_HASH")
+      .foreach(spark.conf.set(graft.functions.PortableHash.ConfKey, _))
 
     // Warmup: run everything once at the smallest scale so codegen,
     // classloading, and shuffle machinery are hot before timing.

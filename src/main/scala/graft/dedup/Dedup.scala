@@ -8,15 +8,18 @@ import org.apache.spark.sql.functions._
   * generation, SimHash signatures + hamming-banded pairs, and n-gram
   * Jaccard verification via an inverted shingle index.
   *
-  * Cross-engine determinism: every hash bottoms out in md5 (identical
-  * lowercase-hex output in Spark and DuckDB). MinHash derives ONE
-  * 28-bit base integer per shingle from the md5 prefix (Spark: conv();
-  * DuckDB oracle: positional digit arithmetic — same value) and expands
-  * it through k affine transforms mod a 31-bit prime, the classic
-  * universal-hash family — one md5 per shingle instead of k. SimHash
-  * bit extraction uses strpos/shift arithmetic that evaluates
-  * identically in both engines. At production scale one would swap md5
-  * for xxhash64 (cheaper, codegen'd); the plan shapes are unchanged.
+  * Cross-engine determinism: in the default (oracle) mode every hash
+  * bottoms out in md5 (identical lowercase-hex output in Spark and
+  * DuckDB). MinHash derives ONE 28-bit base integer per shingle from
+  * the md5 prefix (Spark: conv(); DuckDB oracle: positional digit
+  * arithmetic — same value) and expands it through k affine transforms
+  * mod a 31-bit prime, the classic universal-hash family — one md5 per
+  * shingle instead of k. SimHash bit extraction uses strpos/shift
+  * arithmetic that evaluates identically in both engines. Setting
+  * [[graft.functions.PortableHash.ConfKey]] swaps the candidate hashes
+  * for codegen'd xxhash64 (production mode — see PortableHash for the
+  * scope rationale); ProductionHashSpec pins that plan shapes are
+  * identical in both modes.
   *
   * Scale notes (100 TB posture):
   *  - exact dedup: one shuffle keyed on the text hash; map-side partial
@@ -116,7 +119,8 @@ object Dedup {
 
   /** (doc_id, h0..h{k-1}): MinHash signature, one groupBy. */
   def minhashSignatures(sh: DataFrame): DataFrame = {
-    val base = conv(substring(md5(col("s")), 1, 7), 16, 10).cast("long")
+    val base = graft.functions.PortableHash.base28(col("s"),
+      graft.functions.PortableHash.enabled(sh))
     val withBase = sh.select(col("doc_id"), base.as("hbase"))
     val aggs = minHashCoeffs.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("hbase") + lit(b)) % lit(MinHashP)).as(s"h$i")
@@ -173,20 +177,31 @@ object Dedup {
   private def simhashChunksFromToks(toks: DataFrame): DataFrame = {
     val tokCounts = toks.select(col("doc_id"), explode(col("toks")).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
-    // First 16 hex chars of md5(term) = 64 hash bits; digit p value 0–15.
-    val withDigits = (1 to 16).foldLeft(
-      tokCounts.withColumn("h", substring(md5(col("t")), 1, 16))) {
-      case (df, p) =>
-        df.withColumn(s"dv$p",
-          instr(lit("0123456789abcdef"), substring(col("h"), p, 1)) - 1)
-    }
+    // 64 hash bits per term. Oracle mode: first 16 hex chars of
+    // md5(term), digit p value 0–15 (DuckDB-reproducible). Production
+    // mode: the xxhash64 long's bits directly — no hex round-trip, one
+    // codegen'd call; Catalyst collapses both into a single Project so
+    // the plan shape is identical.
+    val (hashed, bit) =
+      if (graft.functions.PortableHash.enabled(toks))
+        (tokCounts.withColumn("h64", xxhash64(col("t"))),
+          (b: Int) => shiftrightunsigned(col("h64"), 63 - b)
+            .bitwiseAND(lit(1L)))
+      else {
+        val withDigits = (1 to 16).foldLeft(
+          tokCounts.withColumn("h", substring(md5(col("t")), 1, 16))) {
+          case (df, p) =>
+            df.withColumn(s"dv$p",
+              instr(lit("0123456789abcdef"), substring(col("h"), p, 1)) - 1)
+        }
+        (withDigits,
+          (b: Int) => shiftright(col(s"dv${b / 4 + 1}"), 3 - b % 4)
+            .bitwiseAND(lit(1)))
+      }
     val bitSums = (0 until SimHashBits).map { b =>
-      val p = b / 4 + 1
-      val shift = 3 - b % 4
-      val bit = shiftright(col(s"dv$p"), shift).bitwiseAND(lit(1))
-      sum((bit * 2 - 1) * col("cnt")).as(s"s$b")
+      sum((bit(b) * 2 - 1) * col("cnt")).as(s"s$b")
     }
-    val sums = withDigits.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sums = hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
     val bitChars = (0 until SimHashBits).map(b =>
       when(col(s"s$b") > 0, "1").otherwise("0"))
     val chunkInts = (0 until 4).map { c =>
@@ -255,7 +270,8 @@ object Dedup {
     // cheaper compares). Collisions (~|shingles|²/2⁶⁰) are shared by
     // both engines — the oracle hashes identically.
     val sh = shingles(d).select(col("doc_id"),
-      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("sh"))
+      graft.functions.PortableHash.key64(col("s"),
+        graft.functions.PortableHash.enabled(d)).as("sh"))
     // ONE inverted index (groupBy sh) feeds both set sizes and pair
     // expansion — a join-based formulation would recompute the shingle
     // scan on every branch. Pairs expand inside each posting list (like
@@ -322,8 +338,8 @@ object Dedup {
       .agg(count(lit(1)).as("sz"))
     // same hashed shingle key ngramJaccard's inverted index caps on
     val jacSizes = sh
-      .select(conv(substring(md5(col("s")), 1, 15), 16, 10)
-        .cast("long").as("sh"))
+      .select(graft.functions.PortableHash.key64(col("s"),
+        graft.functions.PortableHash.enabled(d)).as("sh"))
       .groupBy("sh").agg(count(lit(1)).as("sz"))
     dropped(jacSizes, maxShingleDf, "jaccard_shingle")
       .unionByName(dropped(mhSizes, maxBucketSize, "minhash_lsh"))

@@ -13,9 +13,14 @@ import org.apache.spark.sql.functions._
   * property (stable membership under re-runs and backfills) is what a
   * training pipeline actually needs from its train/val/test split.
   *
-  * The bucket is the md5-derived 28-bit integer of the key mod 100 —
-  * the same portable hash construction the dedup module uses, so the
-  * DuckDB oracle reproduces membership exactly.
+  * The bucket is the base-hash 28-bit integer of the key mod 100 —
+  * the same portable hash construction the dedup module uses
+  * ([[graft.functions.PortableHash]]): md5-derived by default so the
+  * DuckDB oracle reproduces membership exactly, xxhash64 under the
+  * production flag (both are pure functions of the key, so the split
+  * stays stable under re-runs either way — but NOT across a mode flip:
+  * changing the flag reassigns membership, so pick a mode per dataset
+  * lifetime).
   */
 object Sampling {
 
@@ -23,12 +28,14 @@ object Sampling {
   val ValPct = 5 // test gets the remainder
 
   /** 0–99 deterministic bucket for a key column (as string). */
-  def hashBucket(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    pmod(conv(substring(md5(key.cast("string")), 1, 7), 16, 10).cast("long"),
+  def hashBucket(key: org.apache.spark.sql.Column,
+      production: Boolean = false): org.apache.spark.sql.Column =
+    pmod(graft.functions.PortableHash.base28(key.cast("string"), production),
       lit(100L))
 
   def split(d: DataFrame, keyCol: String): DataFrame =
-    d.withColumn("bucket", hashBucket(col(keyCol)))
+    d.withColumn("bucket",
+      hashBucket(col(keyCol), graft.functions.PortableHash.enabled(d)))
       .withColumn("split",
         when(col("bucket") < TrainPct, "train")
           .when(col("bucket") < TrainPct + ValPct, "val")
