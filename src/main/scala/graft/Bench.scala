@@ -5,31 +5,48 @@ import java.nio.file.{Files, Paths}
 /** Driver-run benchmark: times every SparkEntry query at SPARK_GRAFT_SF_DIR.
   *
   * Handshake hardening (round-1 recorded "parsed": null because the metric
-  * line was emitted inside sbt's [info]-prefixed stream):
-  *  - the JSON line goes to stdout via the raw Console.out AND to a file
-  *    (SPARK_GRAFT_BENCH_OUT, default /tmp/graft_bench.json) so the driver
-  *    can read it even if stdout is log-prefixed;
+  * line was emitted inside sbt's [info]-prefixed stream; round-4 recorded
+  * it AGAIN because the per-iteration "samples" object grew the single
+  * JSON line past the driver's tail/parse window):
+  *  - the LAST stdout line is the compact canonical handshake —
+  *    {"metric","value","unit","queries","errors","sf"} with %.4f
+  *    medians — and nothing else; it stays ~1.5 KB at 44 queries, the
+  *    shape that parsed fine in rounds 1–3;
+  *  - the full per-iteration samples are emitted as a SEPARATE,
+  *    EARLIER stdout line (prefix "BENCH_SAMPLES ") and in the JSON
+  *    file (SPARK_GRAFT_BENCH_OUT, default /tmp/graft_bench.json),
+  *    which carries the full record including samples;
+  *  - all numeric formatting uses Locale.ROOT (a comma-decimal default
+  *    locale would serialize 1,2345 — invalid JSON);
   *  - a warmup pass (smallest fixture) runs first so the headline numbers
   *    measure the queries, not first-query JVM/codegen warmup;
   *  - per-query failures are NOT swallowed into fast wall-times: a failed
   *    query records -1 and lands in an "errors" map;
   *  - each query is timed SPARK_GRAFT_BENCH_ITERS times (default 3) and
   *    the MEDIAN is reported — round 2's single-shot timing turned one
-  *    GC/JIT pause into a phantom 10× "regression" (chi2_scores 7.07 s vs
-  *    its strict-subset sibling at 0.72 s); medians make a one-off pause
-  *    cost at most rank, never the headline number;
-  *  - ALL raw samples are emitted under "samples" (round 3's sustained
-  *    4–6× window on three consecutive queries was undiagnosable from
-  *    medians alone), and cross-query state is isolated: the cache is
-  *    cleared and a GC is requested between queries, so one query's
-  *    persisted/cached data or heap pressure can't tax its neighbors'
-  *    samples.
+  *    GC/JIT pause into a phantom 10× "regression";
+  *  - cross-query AND cross-iteration state is isolated: the cache is
+  *    cleared before EVERY sample (not just every query) so a frame a
+  *    query persists internally can never make iterations 2..n
+  *    warm-cache, and a GC is requested between queries so one query's
+  *    heap pressure isn't paid inside a neighbor's window. The barriers
+  *    are toggleable (SPARK_GRAFT_BENCH_BARRIERS=false) to measure
+  *    their own tax — see docs/BENCH_NOTES.md.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    val barriers = sys.env.get("SPARK_GRAFT_BENCH_BARRIERS")
+      .forall(v => parseBool(v, "SPARK_GRAFT_BENCH_BARRIERS"))
+    // Bench knob for the production-hash variant (default: oracle md5).
+    // Validated here, once, at startup: PortableHash.enabled calls
+    // String.toBoolean, so an unvalidated "1"/"yes" would otherwise
+    // surface as an IllegalArgumentException inside EVERY
+    // hash-consulting query at plan-build time.
+    val prodHash = sys.env.get("SPARK_GRAFT_PRODUCTION_HASH")
+      .map(v => parseBool(v, "SPARK_GRAFT_PRODUCTION_HASH"))
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
@@ -38,9 +55,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Bench knob for the production-hash variant (default: oracle md5).
-    sys.env.get("SPARK_GRAFT_PRODUCTION_HASH")
-      .foreach(spark.conf.set(graft.functions.PortableHash.ConfKey, _))
+    prodHash.foreach(b =>
+      spark.conf.set(graft.functions.PortableHash.ConfKey, b.toString))
 
     // Warmup: run everything once at the smallest scale so codegen,
     // classloading, and shuffle machinery are hot before timing.
@@ -53,14 +69,15 @@ object Bench {
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
     var errors = Vector.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      // Isolation barrier: drop anything a previous query cached/persisted
-      // and invite a GC so residual heap pressure from a heavy neighbor
-      // is paid here, between timers, not inside the next sample window.
-      spark.catalog.clearCache()
-      System.gc()
+      if (barriers) System.gc()
       val times =
         try {
           (1 to iters).map { _ =>
+            // Per-SAMPLE cache barrier: internally-persisted frames are
+            // deduped by logical plan in the CacheManager, so without
+            // this, iterations 2..n of a persisting query measure a
+            // warm cache and the median understates cold cost.
+            if (barriers) spark.catalog.clearCache()
             val t0 = System.nanoTime()
             fn(spark, sfDir).count()
             (System.nanoTime() - t0) / 1e9
@@ -73,20 +90,40 @@ object Bench {
     }
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .map(c => if (c < ' ') ' ' else c) + "\""
+    def num(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
     def median(ts: Seq[Double]): Double =
       if (ts.isEmpty) -1.0 else ts.sorted.apply(ts.size / 2)
-    val qs = results.map { case (k, ts) => s"${q(k)}:${median(ts)}" }
+    val qs = results.map { case (k, ts) => s"${q(k)}:${num(median(ts))}" }
       .mkString("{", ",", "}")
     val samples = results.map { case (k, ts) =>
-      s"${q(k)}:${ts.map(t => f"$t%.4f").mkString("[", ",", "]")}"
+      s"${q(k)}:${ts.map(num).mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, ts) if ts.nonEmpty => median(ts) }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samples,"errors":$errJson,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get(outPath), line + "\n")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    val full =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"samples":$samples,"errors":$errJson,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get(outPath), full + "\n")
+    spark.stop()
+    // Samples first (diagnostic), compact canonical line LAST — the
+    // driver tails stdout and must see the short line at the very end.
+    Console.out.println("BENCH_SAMPLES " + samples)
     Console.out.println(line)
     Console.out.flush()
-    spark.stop()
   }
+
+  /** Lenient-but-fail-fast boolean env parsing: 1/true/yes/on and
+    * 0/false/no/off (case-insensitive); anything else aborts at startup
+    * with the offending name, instead of per-query plan-time errors.
+    */
+  private def parseBool(v: String, name: String): Boolean =
+    v.trim.toLowerCase(java.util.Locale.ROOT) match {
+      case "1" | "true" | "yes" | "on" => true
+      case "0" | "false" | "no" | "off" => false
+      case other =>
+        throw new IllegalArgumentException(
+          s"$name must be a boolean (1/true/yes/on or 0/false/no/off), got: '$other'")
+    }
 }

@@ -178,32 +178,61 @@ object Similarity {
     rankTopK(pairs, TopK)
   }
 
+  /** Trained centroids materialized to the driver: NumCells (16) rows of
+    * 64 doubles — a BOUNDED side input exactly like the stopword list,
+    * never corpus-sized. Running the (sample-only) training chain
+    * eagerly here and re-entering the values as literals is what lets
+    * full-corpus assignment be a narrow projection: r4 kept the
+    * centroids as a broadcast DataFrame and assigned via
+    * crossJoin + per-vector row_number window, which (a) shuffled the
+    * whole corpus for the window and (b) executed that subtree TWICE,
+    * because `assign` and `qcells` were two consumers and Spark reuses
+    * exchanges, not arbitrary subtrees — measured 3.2× slower at sf0.1.
+    */
+  private def centroidLiterals(c: DataFrame): Seq[(Long, Seq[Double], Double)] =
+    trainedCentroids(c).orderBy("cell_id").collect().toSeq.map { r =>
+      (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))
+    }
+
+  /** Per-row sorted probe list: an array of (−csim, cell_id) structs,
+    * one per centroid, array_sort'ed — ascending on the NEGATED cosine
+    * is exactly the r4 window's (csim DESC, cell_id ASC) order, with
+    * zero shuffle. Element 1 is the vector's cell; the first NProbe are
+    * a query's probe cells.
+    */
+  private def probeCells(cents: Seq[(Long, Seq[Double], Double)]): Column =
+    array_sort(array(cents.map { case (id, cv, cn) =>
+      val w = array(cv.map(lit): _*)
+      struct((-(dot(col("v"), w) / (sqrt(col("nrm")) * sqrt(lit(cn))))).as("neg"),
+        lit(id).as("cell_id"))
+    }: _*))
+
   /** IVF ANN with a TRAINED coarse quantizer: seeded k-means centroids
-    * refined by [[LloydIters]] Lloyd steps over the [[TrainN]] sample.
-    * Every vector is assigned to its most-similar cell (NumCells dots
-    * per row via a broadcast of the centroids); a query probes its
-    * NProbe nearest cells and scores only those cells' members. At
-    * 100 TB the training touches only the sample, the assignment is a
-    * narrow map over the corpus, and the probe join touches
-    * NProbe/NumCells of the data. Tune NProbe against the measured
-    * `sim_ann_recall` query, not by feel.
+    * refined by [[LloydIters]] Lloyd steps over the [[TrainN]] sample,
+    * then collected (16 rows) and embedded as literals. Every vector is
+    * assigned to its most-similar cell by a NARROW map (NumCells dots +
+    * one 16-element array_sort per row — no shuffle); a query probes
+    * its NProbe nearest cells and scores only those cells' members via
+    * one broadcast equi-join. At 100 TB: training touches only the
+    * sample, assignment is one corpus pass with zero exchanges, and the
+    * probe join touches NProbe/NumCells of the data. Tune NProbe
+    * against the measured `sim_ann_recall` query, not by feel.
+    * IvfPlanSpec pins the no-corpus-window shape.
     */
   private def ivfTopK(s: SparkSession, dir: String): DataFrame = {
     val c = prepared(s, dir, withBucket = false)
-    val cents = trainedCentroids(c)
-    val scoredCells = c.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell_id"),
-        cosine(col("v"), col("cv"), col("nrm"), col("cn")).as("csim"))
-    val byVec = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cell_id").asc)
-    val ranked = scoredCells.withColumn("crank", row_number().over(byVec))
-    val assign = ranked.filter(col("crank") === 1)
-      .select(col("cell_id"), col("vec_id"), col("v"), col("nrm"))
-    val qcells = ranked
-      .filter(col("vec_id") < NumQueries && col("crank") <= NProbe)
-      .select(col("cell_id"), col("vec_id").as("query_id"),
-        col("v").as("qv"), col("nrm").as("qn"))
+    val cells = probeCells(centroidLiterals(c))
+    val assign = c.withColumn("cells", cells)
+      .select(element_at(col("cells"), 1).getField("cell_id").as("cell_id"),
+        col("vec_id"), col("v"), col("nrm"))
+    // the query side re-derives its probe list from the (pushdown-
+    // filtered: vec_id < NumQueries) scan — a second *tiny* read, not a
+    // second corpus pass
+    val qcells = c.filter(col("vec_id") < NumQueries)
+      .withColumn("cells", cells)
+      .select(explode(slice(col("cells"), 1, NProbe)).as("pc"),
+        col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .select(col("pc.cell_id").as("cell_id"), col("query_id"), col("qv"), col("qn"))
     val pairs = assign.join(broadcast(qcells), Seq("cell_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
