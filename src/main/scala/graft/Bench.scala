@@ -106,7 +106,11 @@ object Bench {
     val full =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"samples":$samples,"errors":$errJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), full + "\n")
-    spark.stop()
+    // stop() can throw in local-mode shutdown races; the handshake lines
+    // below MUST still print (a swallowed stop() failure costs nothing,
+    // a missing last line re-breaks the driver's parser).
+    try spark.stop()
+    catch { case e: Throwable => Console.err.println(s"spark.stop: $e") }
     // Samples first (diagnostic), compact canonical line LAST — the
     // driver tails stdout and must see the short line at the very end.
     Console.out.println("BENCH_SAMPLES " + samples)

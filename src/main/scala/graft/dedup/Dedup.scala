@@ -87,9 +87,7 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i, lit(ShingleSize)))))
 
   /** (doc_id, toks): the bound token-array projection — the ONE
-    * corpus-scanning step every dedup method shares. [[bucketStats]]
-    * persists this frame so its three audit branches read the corpus
-    * once instead of three times.
+    * corpus-scanning step every dedup method shares.
     */
   private def toksOf(d: DataFrame): DataFrame =
     d.select(col("doc_id"), toksCol.as("toks"))
@@ -316,35 +314,45 @@ object Dedup {
           coalesce(sum(col("sz")), lit(0L)).as("dropped_postings"))
         .select(lit(method).as("method"),
           col("dropped_buckets"), col("dropped_postings"))
-    // The three audit branches share ONE corpus scan: the token
-    // projection is persisted (spill-to-disk, not memory-only — at
-    // 100 TB the token table won't fit in RAM) and both shingle
-    // consumers reuse one persisted shingle table on top of it. Without
-    // this, the union re-reads and re-tokenizes the corpus per branch
-    // (Spark reuses exchanges, not arbitrary subtrees). The handles are
-    // released by the session's cache eviction / clearCache — an audit
-    // query, not a resident pipeline.
-    val toks = toksOf(d)
+    // Persist ONLY the shingle table: the minhash and jaccard branches
+    // both consume it and Spark reuses exchanges, not arbitrary
+    // subtrees. The simhash branch re-derives its token input from the
+    // (column-pruned) corpus scan instead — one extra cheap read beats
+    // keeping a second, corpus-sized persisted table alive (r5 persisted
+    // toks AND sh and medianed 15.9 s at sf0.1; the token persist bought
+    // one branch one scan and cost a full materialization + eviction
+    // pressure). Spill-to-disk level: at 100 TB the shingle table won't
+    // fit in RAM.
+    val sh = shinglesFromToks(toksOf(d))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sh = shinglesFromToks(toks)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val mhSizes = lshBuckets(minhashSignatures(sh))
-      .groupBy("band", "sig").agg(count(lit(1)).as("sz"))
-    val chunkStructs = (0 until 4).map(c =>
-      struct(lit(c).as("chunk_id"), col(s"ci$c").as("chunk")))
-    val simSizes = simhashChunksFromToks(toks)
-      .select(explode(array(chunkStructs: _*)).as("cs"))
-      .groupBy(col("cs.chunk_id"), col("cs.chunk"))
-      .agg(count(lit(1)).as("sz"))
-    // same hashed shingle key ngramJaccard's inverted index caps on
-    val jacSizes = sh
-      .select(graft.functions.PortableHash.key64(col("s"),
-        graft.functions.PortableHash.enabled(d)).as("sh"))
-      .groupBy("sh").agg(count(lit(1)).as("sz"))
-    dropped(jacSizes, maxShingleDf, "jaccard_shingle")
-      .unionByName(dropped(mhSizes, maxBucketSize, "minhash_lsh"))
-      .unionByName(dropped(simSizes, maxBucketSize, "simhash_chunk"))
-      .orderBy("method")
+    try {
+      val mhSizes = lshBuckets(minhashSignatures(sh))
+        .groupBy("band", "sig").agg(count(lit(1)).as("sz"))
+      val chunkStructs = (0 until 4).map(c =>
+        struct(lit(c).as("chunk_id"), col(s"ci$c").as("chunk")))
+      val simSizes = simhashChunksFromToks(toksOf(d))
+        .select(explode(array(chunkStructs: _*)).as("cs"))
+        .groupBy(col("cs.chunk_id"), col("cs.chunk"))
+        .agg(count(lit(1)).as("sz"))
+      // same hashed shingle key ngramJaccard's inverted index caps on
+      val jacSizes = sh
+        .select(graft.functions.PortableHash.key64(col("s"),
+          graft.functions.PortableHash.enabled(d)).as("sh"))
+        .groupBy("sh").agg(count(lit(1)).as("sz"))
+      val stats = dropped(jacSizes, maxShingleDf, "jaccard_shingle")
+        .unionByName(dropped(mhSizes, maxBucketSize, "minhash_lsh"))
+        .unionByName(dropped(simSizes, maxBucketSize, "simhash_chunk"))
+        .orderBy("method")
+      // The result is EXACTLY three rows (one per method — a bounded
+      // audit summary), so it is computed eagerly and re-entered as a
+      // local frame. That is what lets the corpus-sized persist be
+      // released BEFORE returning: an audit query must not leave
+      // resident state behind in a user session (RegistrySpec asserts
+      // the cache is empty after every registered query's action).
+      val rows = stats.collect()
+      d.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), stats.schema).orderBy("method")
+    } finally sh.unpersist(blocking = false)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -115,16 +115,21 @@ object Relational {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)
     }),
-    // Set-operation surface: INTERSECT/EXCEPT with set semantics.
+    // Set-operation surface: INTERSECT/EXCEPT with set semantics,
+    // computed in ONE pass. The naive intersect ∪ except form builds
+    // both inputs twice (each set op is its own join subtree — 2×
+    // the scans and shuffles at scale); since c_custkey is the customer
+    // primary key (already distinct), one left join of the filtered
+    // customers against the distinct order keys tags every key as
+    // exactly one of with/without — identical rows, half the work.
     "rel_setops" -> ((s, dir) => {
       val building = t(s, dir, "customer")
         .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
       val withOrders = t(s, dir, "orders")
-        .select(col("o_custkey").as("c_custkey")).distinct()
-      building.intersect(withOrders)
-        .select(lit("building_with_orders").as("subset"), col("c_custkey"))
-        .unionByName(building.except(withOrders)
-          .select(lit("building_no_orders").as("subset"), col("c_custkey")))
+        .select(col("o_custkey")).distinct()
+      building.join(withOrders, col("c_custkey") === col("o_custkey"), "left")
+        .select(when(col("o_custkey").isNotNull, "building_with_orders")
+          .otherwise("building_no_orders").as("subset"), col("c_custkey"))
         .orderBy("subset", "c_custkey")
     }),
     // Anti/semi join surface in ONE pass over orders: left join against

@@ -141,16 +141,78 @@ object Similarity {
       .withColumn("cn", dot(col("cv"), col("cv")))
   }
 
-  /** Trained coarse quantizer: seed = the first NumCells vectors, then
-    * LloydIters refinement steps over the deterministic TrainN sample.
+  /** Trained coarse quantizer as a Spark plan: seed = the first NumCells
+    * vectors, then LloydIters refinement steps over the deterministic
+    * TrainN sample. NOT on the query path anymore — [[lloydDriver]]
+    * computes the same centroids on the driver from the collected
+    * sample; this chain is kept as the independent cross-check
+    * IvfPlanSpec's training-parity test compares against (and as the
+    * executable documentation of what the oracle SQL computes).
     */
-  private def trainedCentroids(c: DataFrame): DataFrame = {
+  private[sim] def trainedCentroids(c: DataFrame): DataFrame = {
     val sample = c.filter(col("vec_id") < TrainN)
       .select("vec_id", "v", "nrm")
     val seed = c.filter(col("vec_id") < NumCells)
       .select(col("vec_id").as("cell_id"), col("v").as("cv"),
         col("nrm").as("cn"))
     (1 to LloydIters).foldLeft(seed)((cents, _) => lloydStep(sample, cents))
+  }
+
+  /** The TrainN training vectors, collected: ≤256 rows × 64 doubles
+    * (~128 KB) — a bounded side input like the stopword list. ONE
+    * pushdown-filtered (`vec_id < TrainN`) scan; training never touches
+    * the rest of the corpus.
+    */
+  private[sim] def collectSample(c: DataFrame): Seq[(Long, Array[Double])] =
+    c.filter(col("vec_id") < TrainN).select("vec_id", "v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      .sortBy(_._1)
+
+  /** Lloyd's algorithm on the driver, mirroring [[lloydStep]] /
+    * [[trainedCentroids]] operation-for-operation in plain double
+    * arithmetic (in-order dot fold, vec_id-ordered mean summation,
+    * csim-desc/cell-id-asc assignment, empty cells drop) — so the
+    * result is bit-identical to both the Spark training chain
+    * (IvfPlanSpec pins this) and the DuckDB oracle. Training a coarse
+    * quantizer on a collected sliver and shipping the centroids back as
+    * literals is the standard IVF shape at any scale; running the 2
+    * Lloyd steps as Spark jobs over 256 rows bought nothing but ~1 s of
+    * per-invocation job-scheduling overhead. Finite values assumed
+    * (zero-norm vectors would produce NaN cosines, which the engines
+    * order differently — the fixtures contain none).
+    */
+  private[sim] def lloydDriver(
+      sample: Seq[(Long, Array[Double])]): Seq[(Long, Seq[Double], Double)] = {
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val withN = sample.map { case (id, v) => (id, v, dotD(v, v)) }
+    var cents: Seq[(Long, Array[Double], Double)] =
+      withN.filter(_._1 < NumCells)
+    for (_ <- 1 to LloydIters) {
+      val assigned = withN.map { case (id, v, n) =>
+        // first strict win over cell_id-ascending cents ≡ row_number 1
+        // under (csim DESC, cell_id ASC)
+        var bestCid = -1L; var bestNeg = Double.PositiveInfinity
+        for ((cid, cv, cn) <- cents) {
+          val neg = -(dotD(v, cv) / (math.sqrt(n) * math.sqrt(cn)))
+          if (neg < bestNeg) { bestNeg = neg; bestCid = cid }
+        }
+        (bestCid, id, v)
+      }
+      cents = assigned.groupBy(_._1).toSeq.map { case (cid, vs) =>
+        val sorted = vs.sortBy(_._2)
+        val acc = Array.fill(Dim)(0.0)
+        sorted.foreach { case (_, _, v) =>
+          var i = 0; while (i < Dim) { acc(i) = acc(i) + v(i); i += 1 }
+        }
+        val cv = acc.map(x => x / sorted.size)
+        (cid, cv, dotD(cv, cv))
+      }.sortBy(_._1)
+    }
+    cents.map { case (id, cv, cn) => (id, cv.toSeq, cn) }
   }
 
   /** Exact top-k: broadcast query batch × corpus scan, window top-k. */
@@ -180,25 +242,35 @@ object Similarity {
 
   /** Trained centroids materialized to the driver: NumCells (16) rows of
     * 64 doubles — a BOUNDED side input exactly like the stopword list,
-    * never corpus-sized. Running the (sample-only) training chain
-    * eagerly here and re-entering the values as literals is what lets
-    * full-corpus assignment be a narrow projection: r4 kept the
-    * centroids as a broadcast DataFrame and assigned via
-    * crossJoin + per-vector row_number window, which (a) shuffled the
-    * whole corpus for the window and (b) executed that subtree TWICE,
-    * because `assign` and `qcells` were two consumers and Spark reuses
-    * exchanges, not arbitrary subtrees — measured 3.2× slower at sf0.1.
+    * never corpus-sized. Materializing the trained values and
+    * re-entering them as literals is what lets full-corpus assignment
+    * be a narrow projection: r4 kept the centroids as a broadcast
+    * DataFrame and assigned via crossJoin + per-vector row_number
+    * window, which (a) shuffled the whole corpus for the window and
+    * (b) executed that subtree TWICE, because `assign` and `qcells`
+    * were two consumers and Spark reuses exchanges, not arbitrary
+    * subtrees — measured 3.2× slower at sf0.1. Since r6 the Lloyd
+    * refinement itself runs on the driver over the ONE collected
+    * sample ([[lloydDriver]]; parity with the Spark chain pinned by
+    * IvfPlanSpec), so building the query costs one tiny
+    * pushdown-filtered collect instead of three scheduled jobs. This
+    * collect is the registry's one deliberate eager step: it runs at
+    * query-BUILD time (even for a bare `explain`), which is the price
+    * of a literal-embedded quantizer.
     */
   private def centroidLiterals(c: DataFrame): Seq[(Long, Seq[Double], Double)] =
-    trainedCentroids(c).orderBy("cell_id").collect().toSeq.map { r =>
-      (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))
-    }
+    lloydDriver(collectSample(c))
 
   /** Per-row sorted probe list: an array of (−csim, cell_id) structs,
-    * one per centroid, array_sort'ed — ascending on the NEGATED cosine
-    * is exactly the r4 window's (csim DESC, cell_id ASC) order, with
-    * zero shuffle. Element 1 is the vector's cell; the first NProbe are
-    * a query's probe cells.
+    * one per centroid, array_sort'ed — for FINITE cosines, ascending on
+    * the negated value is exactly the r4 window's (csim DESC, cell_id
+    * ASC) order, with zero shuffle. (NaN cosines — possible only from a
+    * zero-norm vector or centroid — would diverge: a DESC window sorts
+    * NaN first, array_sort ascending sorts it last. The embeddings
+    * fixture and any L2-normalized corpus contain no zero vectors;
+    * callers with unnormalized data should pre-filter `nrm > 0`.)
+    * Element 1 is the vector's cell; the first NProbe are a query's
+    * probe cells.
     */
   private def probeCells(cents: Seq[(Long, Seq[Double], Double)]): Column =
     array_sort(array(cents.map { case (id, cv, cn) =>
@@ -247,10 +319,15 @@ object Similarity {
     // Recall@k of each ANN variant against the exact scan — the number
     // a user tunes NProbe/NumPlanes with. One row per (variant, query):
     // hits = |ANN top-k ∩ exact top-k|, recall = hits/k. The exact
-    // result is persisted: it is the expensive branch and both variants
-    // consume it.
+    // top-k is NumQueries·TopK = 50 rows — a BOUNDED side input. It is
+    // the expensive |Q|·|C| branch and both variants consume it, so it
+    // is computed ONCE here and re-entered as a local frame: nothing is
+    // persisted, so nothing can leak into the session cache
+    // (RegistrySpec asserts the cache is empty after every query).
     "sim_ann_recall" -> ((s, dir) => {
-      val exact = exactTopK(s, dir).select("query_id", "vec_id").persist()
+      val ex = exactTopK(s, dir).select("query_id", "vec_id")
+      val exact = s.createDataFrame(
+        java.util.Arrays.asList(ex.collect(): _*), ex.schema)
       def rec(ann: DataFrame, variant: String): DataFrame =
         exact.join(
             ann.select(col("query_id"), col("vec_id"), lit(1).as("hit")),
