@@ -11,6 +11,17 @@ class RegistrySpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  /** The registry's documented eager-at-build entries (see docs/PLANS.md
+    * §"Eager-at-build registry entries"): each runs a BOUNDED collect
+    * while the DataFrame is being constructed, so even a bare `explain`
+    * schedules jobs. Every other entry must stay fully lazy at build.
+    */
+  private val eagerAtBuild = Set(
+    "dedup_bucket_stats",   // 3-row cap-audit summary, re-entered locally
+    "sim_ann_recall",       // 50-row exact top-k side input
+    "sim_cosine_ann_ivf"    // ≤256-row training sample for driver Lloyd
+  )
+
   test("every registered query has an oracle twin (column-named match)") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
@@ -25,8 +36,17 @@ class RegistrySpec extends SparkSpec {
           val df = fn(spark, dir)
           val plan = df.queryExecution.executedPlan.toString
           val n = df.count()
+          // No registered query may leave persisted state behind after
+          // its action: internally-persisted frames must be unpersisted
+          // (or never persisted — collect + re-enter) before returning.
+          // An audit/recall query that leaks a corpus-sized cache into a
+          // user session is a defect even when its RESULT is correct.
+          val cacheEmpty = spark.sharedState.cacheManager.isEmpty
+          if (!cacheEmpty) spark.catalog.clearCache() // isolate later queries
           val problems = Seq(
             if (n == 0) Some(s"$name: 0 rows") else None,
+            if (!cacheEmpty)
+              Some(s"$name: left cached state behind after its action") else None,
             // broadcast NL joins are fine (bounded build side: the N
             // cross-join, query batches, centroids); an unbounded
             // CartesianProduct never is
@@ -43,5 +63,59 @@ class RegistrySpec extends SparkSpec {
 
   test("flagship entry returns rows (driver t1 smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("building a query schedules no job, except the documented eager entries") {
+    // The registry contract is lazy-at-build: constructing the DataFrame
+    // (what `explain` does) must schedule zero Spark jobs. Exactly three
+    // entries are documented exceptions (eagerAtBuild above) — each runs
+    // a bounded collect at build time by design. This pins BOTH sides:
+    // a lazy query growing a hidden build-time job fails, and an eager
+    // entry silently losing its (intentional) collect fails too.
+    //
+    // One job class is exempt: every `spark.read.parquet` runs a tiny
+    // footer-read job for schema inference (its stages are named
+    // "parquet at …") — that is the reader's contract, not a laziness
+    // defect, and it reads metadata only. Everything else
+    // (collect/count/…) counts.
+    val groups = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val schemaOnly = js.stageInfos.nonEmpty &&
+          js.stageInfos.forall(_.name.startsWith("parquet at"))
+        if (!schemaOnly)
+          Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+            .foreach(groups.add)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        spark.sparkContext.setJobGroup(s"build-$name", s"build $name")
+        try fn(spark, dir)
+        finally spark.sparkContext.clearJobGroup()
+      }
+      // The listener bus is async but FIFO: once the sentinel job's
+      // event is visible, every earlier build-time event is too.
+      spark.sparkContext.setJobGroup("build-sentinel", "sentinel")
+      try spark.range(1).count()
+      finally spark.sparkContext.clearJobGroup()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!groups.contains("build-sentinel") && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(groups.contains("build-sentinel"),
+        "listener never observed the sentinel job")
+      val ranAtBuild = SparkEntry.queries.keySet
+        .filter(n => groups.contains(s"build-$n"))
+      val offenders = ranAtBuild -- eagerAtBuild
+      assert(offenders.isEmpty,
+        s"queries ran Spark jobs at DataFrame-BUILD time but are not " +
+          s"documented as eager: $offenders")
+      assert(ranAtBuild == eagerAtBuild,
+        s"documented-eager entries no longer collect at build " +
+          s"(update docs/PLANS.md and eagerAtBuild): ${eagerAtBuild -- ranAtBuild}")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 }

@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Executes the production hash mode (`spark.graft.productionHash=true`
+  * → codegen'd xxhash64 instead of md5-derived integers) across every
+  * hash-consulting query, and pins that flipping the flag changes ONLY
+  * the hash expression — the physical plan SHAPE (node sequence) is
+  * identical in both modes, so every scale property verified in oracle
+  * mode (bucketed joins, partial aggregation, caps) carries over.
+  *
+  * Row-level expectations differ by query class:
+  *  - signature/assignment queries (dedup_simhash, sample_split_*,
+  *    dedup_bucket_stats) have mode-independent cardinality — one row
+  *    per doc / per group / per method — and well-formed values;
+  *  - candidate-PAIR queries (minhash/simhash/jaccard pairs) have
+  *    hash-dependent row sets by design (different hash → different
+  *    buckets), so they are asserted to execute and be well-formed, not
+  *    to be non-empty at this tiny fixture.
+  */
+class ProductionHashSpec extends graft.SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def inProductionMode[T](f: => T): T = {
+    spark.conf.set(PortableHash.ConfKey, "true")
+    try f finally spark.conf.set(PortableHash.ConfKey, "false")
+  }
+
+  /** Queries whose plans consult PortableHash. */
+  private val hashQueries = Seq(
+    "dedup_minhash_candidates", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_ngram_jaccard", "dedup_bucket_stats",
+    "sample_split_assign", "sample_split_stats")
+
+  private def run(name: String): DataFrame =
+    graft.SparkEntry.queries(name)(spark, dir)
+
+  test("every hash-consulting query executes in production mode, well-formed") {
+    inProductionMode {
+      val sigs = run("dedup_simhash").collect()
+      assert(sigs.length > 0)
+      assert(sigs.forall(_.getString(1).matches("^[01]{64}$")),
+        "simhash signatures must stay 64-char bit strings under xxhash64")
+
+      val assign = run("sample_split_assign").collect()
+      assert(assign.length > 0)
+      assert(assign.forall { r =>
+        val b = r.getLong(1); b >= 0 && b < 100
+      }, "xxhash64 split bucket out of [0,100)")
+      assert(assign.map(_.getString(2)).toSet.subsetOf(Set("train", "val", "test")))
+
+      val stats = run("sample_split_stats").collect()
+      assert(stats.length > 0 && stats.forall(_.getLong(2) > 0))
+
+      val audit = run("dedup_bucket_stats").collect()
+      assert(audit.map(_.getString(0)).toSeq.sorted ==
+        Seq("jaccard_shingle", "minhash_lsh", "simhash_chunk"),
+        "cap audit must always emit its three method rows")
+
+      // pair queries: row SETS are hash-dependent; assert execution +
+      // invariants on whatever rows exist
+      val mh = run("dedup_minhash_candidates").collect()
+      assert(mh.forall(r => r.getLong(0) < r.getLong(1)), "doc_a < doc_b")
+      val sp = run("dedup_simhash_pairs").collect()
+      assert(sp.forall(r => r.getLong(0) < r.getLong(1) && r.getLong(2) <= graft.dedup.Dedup.MaxHamming))
+      val jc = run("dedup_ngram_jaccard").collect()
+      assert(jc.forall { r =>
+        r.getLong(0) < r.getLong(1) &&
+          r.getDouble(2) >= graft.dedup.Dedup.JaccardThreshold && r.getDouble(2) <= 1.0
+      })
+    }
+  }
+
+  test("plan shape is identical in both modes (hash expression aside)") {
+    // Node-class sequence of the deterministic pre-AQE physical plan,
+    // with ProjectExec dropped: a Project is a narrow per-row map, and
+    // the two modes legitimately differ in how their hash helper
+    // columns fold into one (md5 digit columns are each reused 4×, so
+    // Catalyst keeps them materialized in an extra Project; the single
+    // xxhash64 column collapses). Everything scale-relevant — joins,
+    // aggregates, generates, sorts — must line up exactly.
+    def shape(df: DataFrame): Seq[String] =
+      df.queryExecution.sparkPlan
+        .collect { case p => p.getClass.getSimpleName }
+        .filterNot(_ == "ProjectExec")
+    hashQueries.filterNot(_ == "dedup_bucket_stats").foreach { name =>
+      // (bucket_stats collects eagerly at build and returns a 3-row
+      // local frame — its interesting plans run inside the build, so a
+      // shape diff there is covered by the queries it composes.)
+      val oracleShape = shape(run(name))
+      val prodShape = inProductionMode(shape(run(name)))
+      assert(oracleShape == prodShape,
+        s"$name plan shape diverged between hash modes:\n" +
+          s"oracle: $oracleShape\nprod:   $prodShape")
+    }
+  }
+}
