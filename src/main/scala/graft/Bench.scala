@@ -47,6 +47,12 @@ object Bench {
     // hash-consulting query at plan-build time.
     val prodHash = sys.env.get("SPARK_GRAFT_PRODUCTION_HASH")
       .map(v => parseBool(v, "SPARK_GRAFT_PRODUCTION_HASH"))
+    // Dev-only knob: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run to
+    // the named queries — for iterating on one query's cost without
+    // paying the full-suite wall clock. The driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
@@ -62,13 +68,13 @@ object Bench {
     // classloading, and shuffle machinery are hot before timing.
     val warmDir = "/root/testdata/sf0.001"
     if (Files.exists(Paths.get(warmDir)))
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
 
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
     var errors = Vector.empty[(String, String)]
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val results = selected.toSeq.map { case (name, fn) =>
       if (barriers) System.gc()
       val times =
         try {

@@ -96,8 +96,16 @@ object Dedup {
   def shingles(d: DataFrame): DataFrame = shinglesFromToks(toksOf(d))
 
   private def shinglesFromToks(toks: DataFrame): DataFrame =
+    rawShingles(toks).distinct()
+
+  /** (doc_id, s) shingle MULTISET — the narrow scan+explode with no
+    * distinct shuffle. For duplicate-insensitive consumers only: min
+    * aggregation (MinHash) and count(DISTINCT …) (posting sizes) give
+    * identical results on the multiset and on its distinct support, so
+    * those paths skip the (doc_id, s) exchange entirely.
+    */
+  private def rawShingles(toks: DataFrame): DataFrame =
     toks.select(col("doc_id"), explode(shingleOf(col("toks"))).as("s"))
-      .distinct()
 
   /** MinHash prime modulus and md5-seeded affine coefficients: the
     * classic h_i(x) = (a_i·x + b_i) mod P family over ONE base hash per
@@ -116,10 +124,16 @@ object Dedup {
   }
 
   /** (doc_id, h0..h{k-1}): MinHash signature, one groupBy. */
-  def minhashSignatures(sh: DataFrame): DataFrame = {
-    val base = graft.functions.PortableHash.base28(col("s"),
-      graft.functions.PortableHash.enabled(sh))
-    val withBase = sh.select(col("doc_id"), base.as("hbase"))
+  def minhashSignatures(sh: DataFrame): DataFrame =
+    minhashFromBase(sh.select(col("doc_id"),
+      graft.functions.PortableHash.base28(col("s"),
+        graft.functions.PortableHash.enabled(sh)).as("hbase")))
+
+  /** Signature from an already-hashed (doc_id, hbase) table — the seam
+    * that lets [[bucketStats]] hash each shingle ONCE and feed both its
+    * minhash and jaccard branches from the same persisted longs.
+    */
+  private def minhashFromBase(withBase: DataFrame): DataFrame = {
     val aggs = minHashCoeffs.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("hbase") + lit(b)) % lit(MinHashP)).as(s"h$i")
     }
@@ -142,7 +156,14 @@ object Dedup {
     */
   def minhashCandidates(d: DataFrame,
       maxBucketSize: Int = MaxBucketSize): DataFrame = {
-    val buckets = lshBuckets(minhashSignatures(shingles(d)))
+    // raw (non-distinct) shingles: min is duplicate-insensitive, so the
+    // signatures are identical and the (doc_id, s)-distinct exchange is
+    // skipped — map-side partial mins collapse repeats before the
+    // one tiny per-doc shuffle
+    val toks = toksOf(d)
+    val buckets = lshBuckets(minhashFromBase(rawShingles(toks)
+      .select(col("doc_id"), graft.functions.PortableHash.base28(col("s"),
+        graft.functions.PortableHash.enabled(d)).as("hbase"))))
     // groupBy + in-list pair expansion, not a bucket self-join: a
     // self-join recomputes the whole signature subtree per branch. The
     // size filter both caps degenerate buckets and drops singletons.
@@ -314,45 +335,53 @@ object Dedup {
           coalesce(sum(col("sz")), lit(0L)).as("dropped_postings"))
         .select(lit(method).as("method"),
           col("dropped_buckets"), col("dropped_postings"))
-    // Persist ONLY the shingle table: the minhash and jaccard branches
-    // both consume it and Spark reuses exchanges, not arbitrary
-    // subtrees. The simhash branch re-derives its token input from the
-    // (column-pruned) corpus scan instead — one extra cheap read beats
-    // keeping a second, corpus-sized persisted table alive (r5 persisted
-    // toks AND sh and medianed 15.9 s at sf0.1; the token persist bought
-    // one branch one scan and cost a full materialization + eviction
-    // pressure). Spill-to-disk level: at 100 TB the shingle table won't
-    // fit in RAM.
-    val sh = shinglesFromToks(toksOf(d))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val mhSizes = lshBuckets(minhashSignatures(sh))
-        .groupBy("band", "sig").agg(count(lit(1)).as("sz"))
-      val chunkStructs = (0 until 4).map(c =>
-        struct(lit(c).as("chunk_id"), col(s"ci$c").as("chunk")))
-      val simSizes = simhashChunksFromToks(toksOf(d))
-        .select(explode(array(chunkStructs: _*)).as("cs"))
-        .groupBy(col("cs.chunk_id"), col("cs.chunk"))
-        .agg(count(lit(1)).as("sz"))
-      // same hashed shingle key ngramJaccard's inverted index caps on
-      val jacSizes = sh
-        .select(graft.functions.PortableHash.key64(col("s"),
-          graft.functions.PortableHash.enabled(d)).as("sh"))
-        .groupBy("sh").agg(count(lit(1)).as("sz"))
-      val stats = dropped(jacSizes, maxShingleDf, "jaccard_shingle")
-        .unionByName(dropped(mhSizes, maxBucketSize, "minhash_lsh"))
-        .unionByName(dropped(simSizes, maxBucketSize, "simhash_chunk"))
-        .orderBy("method")
-      // The result is EXACTLY three rows (one per method — a bounded
-      // audit summary), so it is computed eagerly and re-entered as a
-      // local frame. That is what lets the corpus-sized persist be
-      // released BEFORE returning: an audit query must not leave
-      // resident state behind in a user session (RegistrySpec asserts
-      // the cache is empty after every registered query's action).
-      val rows = stats.collect()
-      d.sparkSession.createDataFrame(
-        java.util.Arrays.asList(rows: _*), stats.schema).orderBy("method")
-    } finally sh.unpersist(blocking = false)
+    // NO persist, NO distinct: every branch consumes the raw shingle
+    // multiset through a duplicate-insensitive aggregate, so the
+    // (doc_id, s)-distinct exchange and the materialized shingle table
+    // (r5 persisted toks+sh: 15.9 s; r6 persisted sh only: 9.9 s) are
+    // both gone — the audit is three independent one-shuffle
+    // aggregation branches collected in ONE job, running in parallel:
+    //  - minhash: min over a multiset ≡ min over its distinct support,
+    //    so signatures come straight off the raw explode (map-side
+    //    partial mins collapse duplicates before the tiny per-doc
+    //    shuffle);
+    //  - jaccard: count(DISTINCT doc_id, s) per hashed key ≡ the
+    //    distinct-pair inverted-index posting sizes (shkey is a
+    //    function of s), fusing dedup + count into one aggregation;
+    //  - simhash: token-level chain, unchanged.
+    // 100 TB posture: three column-pruned corpus scans, fully
+    // pipelined, zero cached state — re-tokenizing per branch beats
+    // materializing a corpus-sized table that would spill to disk.
+    val production = graft.functions.PortableHash.enabled(d)
+    val raw = rawShingles(toksOf(d))
+    val mhSizes = lshBuckets(minhashFromBase(raw.select(col("doc_id"),
+        graft.functions.PortableHash.base28(col("s"), production).as("hbase"))))
+      .groupBy("band", "sig").agg(count(lit(1)).as("sz"))
+    val chunkStructs = (0 until 4).map(c =>
+      struct(lit(c).as("chunk_id"), col(s"ci$c").as("chunk")))
+    val simSizes = simhashChunksFromToks(toksOf(d))
+      .select(explode(array(chunkStructs: _*)).as("cs"))
+      .groupBy(col("cs.chunk_id"), col("cs.chunk"))
+      .agg(count(lit(1)).as("sz"))
+    // same hashed shingle key ngramJaccard's inverted index caps on
+    val jacSizes = raw
+      .select(graft.functions.PortableHash.key64(col("s"), production)
+        .as("shkey"), col("doc_id"), col("s"))
+      .groupBy("shkey")
+      .agg(count_distinct(col("doc_id"), col("s")).as("sz"))
+    val stats = dropped(jacSizes, maxShingleDf, "jaccard_shingle")
+      .unionByName(dropped(mhSizes, maxBucketSize, "minhash_lsh"))
+      .unionByName(dropped(simSizes, maxBucketSize, "simhash_chunk"))
+      .orderBy("method")
+    // The result is EXACTLY three rows (one per method — a bounded
+    // audit summary), so it is computed eagerly and re-entered as a
+    // local frame: an audit query must not leave resident state behind
+    // in a user session (RegistrySpec asserts the cache is empty after
+    // every registered query's action — trivially true here, since
+    // nothing is persisted at all).
+    val rows = stats.collect()
+    d.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), stats.schema).orderBy("method")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
