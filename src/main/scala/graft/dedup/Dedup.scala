@@ -284,34 +284,54 @@ object Dedup {
   def ngramJaccard(d: DataFrame,
       threshold: Double = JaccardThreshold,
       maxShingleDf: Int = MaxShingleDf): DataFrame = {
-    // 60-bit hash of each shingle: the inverted index joins/aggregates
-    // on fixed-width longs instead of ~20-char strings (smaller shuffle,
+    // 60-bit hash of each shingle: the inverted index aggregates on
+    // fixed-width longs instead of ~20-char strings (smaller shuffle,
     // cheaper compares). Collisions (~|shingles|²/2⁶⁰) are shared by
     // both engines — the oracle hashes identically.
-    val sh = shingles(d).select(col("doc_id"),
-      graft.functions.PortableHash.key64(col("s"),
-        graft.functions.PortableHash.enabled(d)).as("sh"))
-    // ONE inverted index (groupBy sh) feeds both set sizes and pair
-    // expansion — a join-based formulation would recompute the shingle
-    // scan on every branch. Pairs expand inside each posting list (like
-    // simhashPairs), so no self-join; the size joins are left to AQE
-    // (broadcast when the doc-count table is small, shuffle at scale).
-    val idx = sh.groupBy("sh").agg(collect_list(col("doc_id")).as("docs"))
+    //
+    // LINEAR single-consumer chain — one corpus scan, zero joins,
+    // structurally (NgramPlanSpec pins 1 scan / 0 joins in the AQE
+    // final plan). The previous formulation (index feeding an `inter`
+    // branch plus two `sizes` joins) planned the scan+distinct+index
+    // subtree three times and leaned on AQE's runtime exchange reuse to
+    // collapse it back to one scan — which it did (measured: final plan
+    // 1 scan + 2 ReusedExchange), but (a) reuse dedups the EXCHANGE
+    // only: the post-shuffle index aggregation still ran once per
+    // consumer, (b) it hangs off plan canonicalization, which is
+    // notoriously brittle around higher-order-function lambdas — one
+    // innocent refactor away from a silent 3× corpus-scan regression,
+    // and (c) the two sizes joins are broadcast only while |docs| is
+    // broadcastable; at 100 TB they degrade to shuffle joins. Here
+    // per-doc kept-set sizes attach to each posting via ONE window over
+    // the fixed-width posting stream, pair expansion carries (na, nb)
+    // through, and jaccard is computed at the end with no join back —
+    // single materialization by construction, not by optimizer grace.
+    val production = graft.functions.PortableHash.enabled(d)
+    // distinct BEFORE hashing: exact set semantics mirrored by the
+    // oracle, including (shared) collision behavior
+    val posts = shingles(d).select(col("doc_id"),
+      graft.functions.PortableHash.key64(col("s"), production).as("shk"))
+    val idx = posts.groupBy("shk").agg(collect_list(col("doc_id")).as("docs"))
       .filter(size(col("docs")) <= maxShingleDf)
-    val sizes = idx
-      .select(explode(col("docs")).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = idx
-      .filter(size(col("docs")) >= 2)
-      .withColumn("arr", array_sort(col("docs")))
+    // n = |kept shingle set| per doc, windowed over the re-exploded
+    // postings (singleton keys still count toward n — only the pair
+    // expansion below requires ≥2 members)
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val sized = idx.select(col("shk"), explode(col("docs")).as("doc_id"))
+      .withColumn("n", count(lit(1)).over(byDoc))
+    // rebuild each posting list with n attached; structs sort by
+    // doc_id first, so expanded pairs keep doc_a < doc_b
+    val pairs = sized.groupBy("shk")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("n")))).as("arr"))
+      .filter(size(col("arr")) >= 2)
       .select(explode(flatten(transform(col("arr"), (x, i) =>
         transform(slice(col("arr"), i + lit(2), size(col("arr"))),
-          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+          y => struct(x.getField("doc_id").as("doc_a"), x.getField("n").as("na"),
+            y.getField("doc_id").as("doc_b"), y.getField("n").as("nb")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.na").as("na"), col("p.nb").as("nb"))
       .agg(count(lit(1)).as("ix"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+    pairs
       .withColumn("jaccard",
         col("ix").cast("double") / (col("na") + col("nb") - col("ix")).cast("double"))
       .filter(col("jaccard") >= threshold)
