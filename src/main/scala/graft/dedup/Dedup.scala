@@ -29,9 +29,10 @@ import org.apache.spark.sql.functions._
   *    self-join on (band, signature) — never an all-pairs product. A
   *    bucket-size cap bounds the per-bucket quadratic blowup on
   *    degenerate buckets (e.g. boilerplate-heavy corpora).
-  *  - n-gram Jaccard: inverted-index join on shingles with a document-
-  *    frequency cap (standard prefix-filtering practice: ultra-common
-  *    shingles carry no dedup signal but create quadratic join fanout).
+  *  - n-gram Jaccard: inverted shingle index with a document-frequency
+  *    cap (standard prefix-filtering practice: ultra-common shingles
+  *    carry no dedup signal but create quadratic pair fanout); a linear
+  *    join-free chain — sizes ride along with the postings.
   *  - SimHash pairs: 16-bit chunk banding (pigeonhole: hamming ≤ 3 over
   *    64 bits guarantees ≥1 of 4 chunks equal), then exact hamming via
   *    higher-order functions — again joins + aggs only.
@@ -279,7 +280,7 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard over the df-capped shingle sets, via the
-    * inverted-index join (never all-pairs).
+    * inverted shingle index (never all-pairs).
     */
   def ngramJaccard(d: DataFrame,
       threshold: Double = JaccardThreshold,
