@@ -38,6 +38,66 @@ object StreamingCounts {
     hourlyCounts(events.withWatermark("ts", watermark))
 }
 
+/** Exact dedup-on-arrival: the streaming twin of the batch
+  * `dedup_apply` query ([[graft.dedup.Dedup]]). A document is emitted
+  * iff its normalized-text hash has never been seen; later copies are
+  * dropped as they arrive. This is how a training-data INGEST pipeline
+  * actually runs dedup — continuously, against everything already
+  * admitted — rather than as a periodic full-corpus batch.
+  *
+  * Keeper semantics: the batch twin keeps min(doc_id) per hash; the
+  * stream keeps the FIRST ARRIVAL (ties within a micro-batch broken by
+  * doc_id, so a single-batch replay of a static corpus emits exactly
+  * the batch twin's keeper set — the spec pins this equivalence).
+  * Across batches, first-arrival is the only keeper a stream can
+  * implement without reordering history; the hash set itself (and so
+  * WHICH texts are deduplicated) is identical either way.
+  *
+  * Scale notes: state is one ~64-byte entry per DISTINCT text, keyed by
+  * the 256-bit hash — the same cryptographic-width identity as batch
+  * exact dedup (64-bit keys make birthday collisions an expected event
+  * at 10^10 docs, and a collision here silently DROPS a distinct
+  * document). State lives in the state store (RocksDB-backed on a real
+  * cluster), partitioned by hash — the stream shuffles each micro-batch
+  * once, exactly like the batch groupBy. No timeout: exact dedup state
+  * is permanent by definition; a deployment that cannot afford
+  * unbounded state chooses a retention window (timeout) and accepts
+  * re-admitted duplicates past it.
+  */
+object StreamingDedup {
+
+  case class Doc(doc_id: Long, text: String)
+  case class Kept(doc_id: Long, text_hash: String)
+
+  def dedup(docs: Dataset[Doc]): Dataset[Kept] = {
+    import docs.sparkSession.implicits._
+    docs
+      .filter(d => d.text != null && d.text.nonEmpty)
+      .map(d => (graft.streaming.StreamingDedup.hashOf(d.text), d.doc_id))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, Kept](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (hash: String, batch: Iterator[(String, Long)], state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty // hash already admitted
+          else {
+            // min doc_id within the micro-batch: deterministic, and
+            // equal to the batch twin's keeper when all copies share a
+            // batch
+            val keeper = batch.map(_._2).min
+            state.update(keeper)
+            Iterator.single(Kept(keeper, hash))
+          }
+      }
+  }
+
+  /** Same normalization + hash as the batch twin (sha2(lower(text))). */
+  def hashOf(text: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(text.toLowerCase(java.util.Locale.ROOT).getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+  }
+}
+
 /** Gap-based sessionization as explicit streaming state: the stateful
   * twin of the batch lag→flag→running-sum query (events_sessionize).
   * One open session per user lives in [[GroupState]]; a session closes
