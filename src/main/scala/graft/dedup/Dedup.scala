@@ -195,8 +195,16 @@ object Dedup {
     simhashChunksFromToks(toksOf(d))
 
   private def simhashChunksFromToks(toks: DataFrame): DataFrame = {
-    val tokCounts = toks.select(col("doc_id"), explode(col("toks")).as("t"))
-      .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+    // Per-OCCURRENCE bit contributions, ONE shuffle: sum(±1) over raw
+    // token occurrences ≡ sum(±1 · cnt) over per-(doc, term) counts
+    // (integer sums are order-independent), so the (doc_id, t) count
+    // exchange the textbook formulation starts with is pure overhead —
+    // the per-doc partial sums collapse map-side before the single
+    // doc_id exchange either way. Cost shift: md5 runs once per token
+    // occurrence instead of once per distinct (doc, term) (~1.3× more
+    // hashes for one fewer full shuffle — the same trade the minhash
+    // path makes, measured a win both times).
+    val occ = toks.select(col("doc_id"), explode(col("toks")).as("t"))
     // 64 hash bits per term. Oracle mode: first 16 hex chars of
     // md5(term), digit p value 0–15 (DuckDB-reproducible). Production
     // mode: the xxhash64 long's bits directly — no hex round-trip, one
@@ -204,12 +212,12 @@ object Dedup {
     // the plan shape is identical.
     val (hashed, bit) =
       if (graft.functions.PortableHash.enabled(toks))
-        (tokCounts.withColumn("h64", xxhash64(col("t"))),
+        (occ.withColumn("h64", xxhash64(col("t"))),
           (b: Int) => shiftrightunsigned(col("h64"), 63 - b)
             .bitwiseAND(lit(1L)))
       else {
         val withDigits = (1 to 16).foldLeft(
-          tokCounts.withColumn("h", substring(md5(col("t")), 1, 16))) {
+          occ.withColumn("h", substring(md5(col("t")), 1, 16))) {
           case (df, p) =>
             df.withColumn(s"dv$p",
               instr(lit("0123456789abcdef"), substring(col("h"), p, 1)) - 1)
@@ -219,7 +227,7 @@ object Dedup {
             .bitwiseAND(lit(1)))
       }
     val bitSums = (0 until SimHashBits).map { b =>
-      sum((bit(b) * 2 - 1) * col("cnt")).as(s"s$b")
+      sum(bit(b) * 2 - 1).as(s"s$b")
     }
     val sums = hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
     val bitChars = (0 until SimHashBits).map(b =>
