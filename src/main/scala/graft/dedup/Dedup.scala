@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * Cross-engine determinism: in the default (oracle) mode every hash
   * bottoms out in md5 (identical lowercase-hex output in Spark and
   * DuckDB). MinHash derives ONE 28-bit base integer per shingle from
-  * the md5 prefix (Spark: conv(); DuckDB oracle: positional digit
-  * arithmetic — same value) and expands it through k affine transforms
+  * the md5 prefix (Spark: the codegen'd [[graft.functions.Md5Prefix64]]
+  * bit slice; DuckDB oracle: positional digit arithmetic — same value)
+  * and expands it through k affine transforms
   * mod a 31-bit prime, the classic universal-hash family — one md5 per
-  * shingle instead of k. SimHash bit extraction uses strpos/shift
-  * arithmetic that evaluates identically in both engines. Setting
+  * shingle instead of k. SimHash bits are shift/mask slices of the same
+  * md5-prefix long (the oracle's strpos digit arithmetic evaluates to
+  * identical values). Setting
   * [[graft.functions.PortableHash.ConfKey]] swaps the candidate hashes
   * for codegen'd xxhash64 (production mode — see PortableHash for the
   * scope rationale); ProductionHashSpec pins that plan shapes are
@@ -205,27 +207,19 @@ object Dedup {
     // hashes for one fewer full shuffle — the same trade the minhash
     // path makes, measured a win both times).
     val occ = toks.select(col("doc_id"), explode(col("toks")).as("t"))
-    // 64 hash bits per term. Oracle mode: first 16 hex chars of
-    // md5(term), digit p value 0–15 (DuckDB-reproducible). Production
-    // mode: the xxhash64 long's bits directly — no hex round-trip, one
-    // codegen'd call; Catalyst collapses both into a single Project so
-    // the plan shape is identical.
-    val (hashed, bit) =
-      if (graft.functions.PortableHash.enabled(toks))
-        (occ.withColumn("h64", xxhash64(col("t"))),
-          (b: Int) => shiftrightunsigned(col("h64"), 63 - b)
-            .bitwiseAND(lit(1L)))
-      else {
-        val withDigits = (1 to 16).foldLeft(
-          occ.withColumn("h", substring(md5(col("t")), 1, 16))) {
-          case (df, p) =>
-            df.withColumn(s"dv$p",
-              instr(lit("0123456789abcdef"), substring(col("h"), p, 1)) - 1)
-        }
-        (withDigits,
-          (b: Int) => shiftright(col(s"dv${b / 4 + 1}"), 3 - b % 4)
-            .bitwiseAND(lit(1)))
-      }
+    // 64 hash bits per term, extracted by the same shift/mask in both
+    // modes — only the hash long differs. Oracle mode: the first 16 hex
+    // digits of md5(term) ARE the bits of graft_md5_bits(term)
+    // (Md5Prefix64 — one codegen'd digest; the old formulation built a
+    // hex string and 16 instr()-derived digit columns per token).
+    // Production mode: xxhash64's bits directly. DuckDB keeps computing
+    // its positional digit arithmetic — bit-identical by construction.
+    val h64 =
+      if (graft.functions.PortableHash.enabled(toks)) xxhash64(col("t"))
+      else graft.functions.GraftFunctions.graftMd5Bits(col("t"))
+    val hashed = occ.withColumn("h64", h64)
+    val bit = (b: Int) =>
+      shiftrightunsigned(col("h64"), 63 - b).bitwiseAND(lit(1L))
     val bitSums = (0 until SimHashBits).map { b =>
       sum(bit(b) * 2 - 1).as(s"s$b")
     }

@@ -90,6 +90,10 @@ object GraftFunctions {
     */
   def graftDot(a: Column, b: Column): Column =
     call_function("graft_dot", a, b)
+
+  /** Column-API form of [[Md5Prefix64]]. */
+  def graftMd5Bits(c: Column): Column =
+    call_function("graft_md5_bits", c)
 }
 
 /** Function injection: add `.withExtensions(new GraftExtensions)` to the
@@ -105,5 +109,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("graft_byte_stride"),
         new ExpressionInfo(classOf[ByteStride].getName, "graft_byte_stride"),
         (children: Seq[Expression]) => ByteStride(children(0), children(1))))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_md5_bits"),
+        new ExpressionInfo(classOf[Md5Prefix64].getName, "graft_md5_bits"),
+        (children: Seq[Expression]) => Md5Prefix64(children.head)))
   }
 }

@@ -39,16 +39,23 @@ object PortableHash {
     * is load-bearing for MinHash's affine transforms: a·base + b with
     * a,b < 2^31 stays under 2^59 — no int64 overflow (DuckDB errors on
     * overflow rather than wrapping, and Spark would silently wrap).
+    *
+    * Oracle mode: the top 28 bits of [[Md5Prefix64]] — bit-identical to
+    * the `conv(substring(md5(c), 1, 7), 16, 10)` hex-digit formulation
+    * the DuckDB oracle computes (7 hex digits ARE the top 28 bits), but
+    * one codegen'd digest + shift instead of a hex-string round trip
+    * (Md5Prefix64Spec pins the equivalence).
     */
   def base28(c: Column, production: Boolean): Column =
     if (production) pmod(xxhash64(c), lit(1L << 28))
-    else conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+    else shiftrightunsigned(GraftFunctions.graftMd5Bits(c), 36)
 
   /** Wide join/bucket key of a string column: 60 bits in oracle mode
-    * (15 hex digits — the widest md5 prefix that converts exactly),
-    * the full signed 64 bits in production mode.
+    * (15 hex digits — the widest md5 prefix that converts exactly —
+    * ≡ the top 60 bits of [[Md5Prefix64]]), the full signed 64 bits in
+    * production mode.
     */
   def key64(c: Column, production: Boolean): Column =
     if (production) xxhash64(c)
-    else conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    else shiftrightunsigned(GraftFunctions.graftMd5Bits(c), 4)
 }
