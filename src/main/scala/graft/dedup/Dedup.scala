@@ -133,8 +133,8 @@ object Dedup {
         graft.functions.PortableHash.enabled(sh)).as("hbase")))
 
   /** Signature from an already-hashed (doc_id, hbase) table — the seam
-    * that lets [[bucketStats]] hash each shingle ONCE and feed both its
-    * minhash and jaccard branches from the same persisted longs.
+    * [[bucketStats]] and [[minhashCandidates]] use to feed the min
+    * aggregation straight from the raw shingle explode.
     */
   private def minhashFromBase(withBase: DataFrame): DataFrame = {
     val aggs = minHashCoeffs.zipWithIndex.map { case ((a, b), i) =>
