@@ -74,17 +74,13 @@ class ProductionHashSpec extends graft.SparkSpec {
   }
 
   test("plan shape is identical in both modes (hash expression aside)") {
-    // Node-class sequence of the deterministic pre-AQE physical plan,
-    // with ProjectExec dropped: a Project is a narrow per-row map, and
-    // the two modes legitimately differ in how their hash helper
-    // columns fold into one (md5 digit columns are each reused 4×, so
-    // Catalyst keeps them materialized in an extra Project; the single
-    // xxhash64 column collapses). Everything scale-relevant — joins,
-    // aggregates, generates, sorts — must line up exactly.
+    // Node-class sequence of the deterministic pre-AQE physical plan.
+    // Both modes hash through one codegen'd call (graft_md5_bits /
+    // xxhash64) sliced by shifts, so the sequences must match exactly —
+    // Projects included.
     def shape(df: DataFrame): Seq[String] =
       df.queryExecution.sparkPlan
         .collect { case p => p.getClass.getSimpleName }
-        .filterNot(_ == "ProjectExec")
     hashQueries.filterNot(_ == "dedup_bucket_stats").foreach { name =>
       // (bucket_stats collects eagerly at build and returns a 3-row
       // local frame — its interesting plans run inside the build, so a
