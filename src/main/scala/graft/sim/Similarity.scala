@@ -36,6 +36,11 @@ object Similarity {
   val NumQueries = 10
   val TopK = 5
   val NearDupThreshold = 0.3
+  /** Near-dup buckets larger than this skip pair expansion (a bucket of
+    * b members expands b·(b−1)/2 cosine evaluations). Sized not to bind
+    * on the fixtures; tune against measured bucket sizes in production.
+    */
+  val MaxNearDupBucket = 200
   /** IVF: number of coarse cells and probed cells per query. */
   val NumCells = 16
   val NProbe = 2
@@ -340,11 +345,23 @@ object Similarity {
         .orderBy("variant", "query_id")
     }),
     // Corpus-level near-dup pairs: per-bucket self-join + exact rescore.
+    // Oversized buckets (degenerate embedding clusters — zero vectors,
+    // templated content) are dropped BEFORE the quadratic self-join,
+    // the same cap discipline as the dedup candidate generators; the
+    // size pass counts only (never collects vectors), and the kept-
+    // bucket list is ≤2^NumPlanes rows → always broadcastable. At real
+    // scale the primary lever is NumPlanes itself (keep avg bucket size
+    // |corpus|/2^planes bounded); the cap is the hard stop under skew.
+    // MaxNearDupBucket does not bind on the fixtures, so results are
+    // unchanged — the oracle applies the identical HAVING cap.
     "sim_embedding_neardup" -> ((s, dir) => {
       val c = prepared(s, dir, withBucket = true)
-      val a = c.select(col("bucket"), col("vec_id").as("vec_a"),
+      val small = c.groupBy("bucket").agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= MaxNearDupBucket).select("bucket")
+      val kept = c.join(broadcast(small), Seq("bucket"))
+      val a = kept.select(col("bucket"), col("vec_id").as("vec_a"),
         col("v").as("va"), col("nrm").as("na"))
-      val b = c.select(col("bucket"), col("vec_id").as("vec_b"),
+      val b = kept.select(col("bucket"), col("vec_id").as("vec_b"),
         col("v").as("vb"), col("nrm").as("nb"))
       a.join(b, Seq("bucket"))
         .filter(col("vec_a") < col("vec_b"))
@@ -522,10 +539,14 @@ object Similarity {
          |  GROUP BY 1, 2
          |) ORDER BY variant, query_id""".stripMargin,
     "sim_embedding_neardup" ->
-      s"""$bCte
+      s"""$bCte, small AS (
+         |  SELECT bucket FROM b GROUP BY bucket HAVING count(*) <= $MaxNearDupBucket
+         |), bk AS (
+         |  SELECT b.* FROM b JOIN small USING (bucket)
+         |)
          |SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
          |       ${dotSql("a.v", "b2.v")} / (sqrt(a.nrm) * sqrt(b2.nrm)) AS cos
-         |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         |FROM bk a JOIN bk b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
          |WHERE ${dotSql("a.v", "b2.v")} / (sqrt(a.nrm) * sqrt(b2.nrm)) >= $NearDupThreshold
          |ORDER BY vec_a, vec_b""".stripMargin
   )
