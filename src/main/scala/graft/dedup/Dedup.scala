@@ -36,8 +36,9 @@ import org.apache.spark.sql.functions._
   *    carry no dedup signal but create quadratic pair fanout); a linear
   *    join-free chain — sizes ride along with the postings.
   *  - SimHash pairs: 16-bit chunk banding (pigeonhole: hamming ≤ 3 over
-  *    64 bits guarantees ≥1 of 4 chunks equal), then exact hamming via
-  *    higher-order functions — again joins + aggs only.
+  *    64 bits guarantees ≥1 of 4 chunks equal), then exact hamming as
+  *    XOR + bit_count on the chunk ints — aggs + in-bucket expansion
+  *    only, no self-join.
   */
 object Dedup {
 
