@@ -342,6 +342,42 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Min-label propagation rounds for [[nearDupClusters]]. Converges
+    * exactly for components of diameter ≤ ClusterRounds; near-dup
+    * clusters are shallow in practice (dup families share most
+    * shingles, so their pair graphs are near-cliques), and a FIXED
+    * round count keeps the plan static, explainable, and mirrorable in
+    * the oracle (the same chained-CTE discipline as the IVF Lloyd
+    * steps — no recursive/iterative runtime dependence).
+    */
+  val ClusterRounds = 4
+
+  /** Connected components over an undirected pair list by
+    * [[ClusterRounds]] rounds of min-label propagation: every node
+    * starts labeled with itself; each round it takes the min of its own
+    * and its neighbors' labels. Output (node, lbl): lbl = min doc_id of
+    * the node's component (for diameters ≤ ClusterRounds).
+    *
+    * Scale notes: each round is one equi-join + one aggregate over the
+    * PAIR stream — which the candidate caps keep bounded — never over
+    * the corpus. Pass a materialized pair table at scale: the rounds
+    * consume `pairs` repeatedly, and re-deriving a full candidate chain
+    * per round would multiply the corpus work by 2·ClusterRounds (the
+    * registered query collects its cap-bounded pairs once and re-enters
+    * them as a local frame for exactly this reason).
+    */
+  def nearDupClusters(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val edges = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val init = edges.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    (1 to ClusterRounds).foldLeft(init) { (lab, _) =>
+      val nbr = edges.join(lab.withColumnRenamed("node", "v"), "v")
+        .select(col("u").as("node"), col("lbl"))
+      lab.unionByName(nbr).groupBy("node").agg(min("lbl").as("lbl"))
+    }
+  }
+
   /** Cap observability (the caps must never truncate SILENTLY): one row
     * per candidate-generation method with how many buckets exceed its
     * cap and how many postings (doc memberships) those buckets carry —
@@ -434,6 +470,26 @@ object Dedup {
       simhashPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       ngramJaccard(docs(s, dir)).orderBy("doc_a", "doc_b")),
+    // The end-to-end NEAR-dedup apply a pipeline actually runs:
+    // candidates → Jaccard-verified pairs → connected components →
+    // keep min doc_id per cluster, drop the rest. The verified pair
+    // stream (cap-bounded) is collected once and re-entered as a local
+    // frame so the ClusterRounds propagation rounds iterate over local
+    // edges instead of re-deriving the candidate chain per round — the
+    // registry's fourth documented eager-at-build entry (RegistrySpec;
+    // docs/PLANS.md). At web scale, materialize the pair table first
+    // and call nearDupClusters on it directly.
+    "dedup_near_apply" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pr = ngramJaccard(d).select("doc_a", "doc_b")
+      val local = s.createDataFrame(
+        java.util.Arrays.asList(pr.collect(): _*), pr.schema)
+      val lab = nearDupClusters(local).withColumnRenamed("node", "doc_id")
+      d.join(lab, Seq("doc_id"), "left")
+        .filter(col("lbl").isNull || col("lbl") === col("doc_id"))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
     "dedup_bucket_stats" -> ((s, dir) => bucketStats(docs(s, dir)))
   )
 
@@ -549,6 +605,52 @@ object Dedup {
        |$dBody
        |)$simhashSigCtes""".stripMargin
 
+  /** The ngram-Jaccard verified-pair chain as CTEs ending in
+    * jp(doc_a, doc_b) — shared by the `dedup_near_apply` oracle.
+    */
+  private val jaccardPairCtes: String =
+    s"""$shCte, shh AS (
+       |  SELECT doc_id, $jaccardHashSql AS s
+       |  FROM (SELECT doc_id, substr(md5(s), 1, 15) AS hx FROM sh)
+       |), rare AS (
+       |  SELECT s FROM shh GROUP BY s HAVING count(*) <= $MaxShingleDf
+       |), shf AS (
+       |  SELECT shh.* FROM shh JOIN rare USING (s)
+       |), jsizes AS (
+       |  SELECT doc_id, count(*) AS n FROM shf GROUP BY 1
+       |), jinter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ix
+       |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), jp AS (
+       |  SELECT doc_a, doc_b
+       |  FROM jinter
+       |  JOIN jsizes na ON na.doc_id = doc_a
+       |  JOIN jsizes nb ON nb.doc_id = doc_b
+       |  WHERE CAST(ix AS DOUBLE) / CAST(na.n + nb.n - ix AS DOUBLE) >= $JaccardThreshold
+       |)""".stripMargin
+
+  /** [[ClusterRounds]] min-label-propagation rounds as chained CTEs
+    * (l0 … l{k}), appended after [[jaccardPairCtes]].
+    */
+  private val labelCtes: String = {
+    val rounds = (1 to ClusterRounds).map { i =>
+      s""", l$i AS (
+         |  SELECT node, min(lbl) AS lbl FROM (
+         |    SELECT node, lbl FROM l${i - 1}
+         |    UNION ALL
+         |    SELECT e0.u AS node, p.lbl AS lbl FROM e0 JOIN l${i - 1} p ON p.node = e0.v
+         |  ) GROUP BY node
+         |)""".stripMargin
+    }.mkString
+    s""", e0 AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM jp
+       |  UNION ALL SELECT doc_b AS u, doc_a AS v FROM jp
+       |), l0 AS (
+       |  SELECT DISTINCT u AS node, u AS lbl FROM e0
+       |)$rounds""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT sha256(lower(text)) AS text_hash,
@@ -628,6 +730,16 @@ object Dedup {
          |JOIN sizes nb ON nb.doc_id = doc_b
          |WHERE CAST(ix AS DOUBLE) / CAST(na.n + nb.n - ix AS DOUBLE) >= $JaccardThreshold
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // keep = admitted docs that are either unpaired or their cluster's
+    // min doc_id (lbl converges to the component min within
+    // ClusterRounds for the shallow near-clique dup components)
+    "dedup_near_apply" ->
+      s"""$jaccardPairCtes$labelCtes
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d LEFT JOIN l$ClusterRounds l ON l.node = d.doc_id
+         |WHERE d.text IS NOT NULL AND length(d.text) > 0
+         |  AND (l.node IS NULL OR l.lbl = d.doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // One WITH composes all three candidate-generation chains (the CTE
     // bodies above exist exactly for this — duplicate CTE names are
     // illegal). The empty-filter agg emits one row of (0, NULL→0), so

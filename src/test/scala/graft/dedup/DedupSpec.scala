@@ -20,6 +20,18 @@ class DedupSpec extends SparkSpec {
   private def physicalPlan(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("min-label propagation clusters a chain and picks one keeper") {
+    val s = spark; import s.implicits._
+    // path graph 10-11-12-13 (diameter 3 <= ClusterRounds) + island 20-21
+    val pairs = Seq((10L, 11L), (11L, 12L), (12L, 13L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val lab = Dedup.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(10L, 11L, 12L, 13L).forall(lab(_) == 10L),
+      "every chain member must converge to the component min")
+    assert(lab(20L) == 20L && lab(21L) == 20L)
+  }
+
   test("exact duplicates are MinHash candidates; unrelated docs are not") {
     val pairs = Dedup.minhashCandidates(corpus)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
