@@ -378,6 +378,30 @@ object Dedup {
     }
   }
 
+  /** [[nearDupClusters]] on the driver, mirroring the Spark rounds (and
+    * the oracle's CTE rounds) operation-for-operation:
+    * l_i(n) = min(l_{i-1}(n), min of neighbors' l_{i-1}). Used by the
+    * registered query, whose pair list is ALREADY collected — running
+    * [[ClusterRounds]] bounded rounds over it on the driver costs
+    * nothing, where the DataFrame form would schedule 2·rounds Spark
+    * jobs over a tiny local frame (measured 4.6 s vs ~3 s at sf0.1).
+    * Same lloydDriver discipline: a bounded side computation, never a
+    * corpus-sized one.
+    */
+  private[dedup] def propagateDriver(
+      pairs: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val nbrs = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    var lbl: Map[Long, Long] = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to ClusterRounds) {
+      val prev = lbl
+      lbl = prev.map { case (n, l) =>
+        n -> (nbrs(n).map(prev) :+ l).min
+      }
+    }
+    lbl.toSeq.sortBy(_._1)
+  }
+
   /** Cap observability (the caps must never truncate SILENTLY): one row
     * per candidate-generation method with how many buckets exceed its
     * cap and how many postings (doc memberships) those buckets carry —
@@ -473,19 +497,20 @@ object Dedup {
     // The end-to-end NEAR-dedup apply a pipeline actually runs:
     // candidates → Jaccard-verified pairs → connected components →
     // keep min doc_id per cluster, drop the rest. The verified pair
-    // stream (cap-bounded) is collected once and re-entered as a local
-    // frame so the ClusterRounds propagation rounds iterate over local
-    // edges instead of re-deriving the candidate chain per round — the
-    // registry's fourth documented eager-at-build entry (RegistrySpec;
-    // docs/PLANS.md). At web scale, materialize the pair table first
-    // and call nearDupClusters on it directly.
+    // stream (cap-bounded) is collected once and the ClusterRounds
+    // propagation runs on the DRIVER over those local edges
+    // ([[propagateDriver]] — parity with nearDupClusters spec-pinned);
+    // the resulting labels broadcast into one corpus left-join. This is
+    // the registry's fourth documented eager-at-build entry
+    // (RegistrySpec; docs/PLANS.md). At web scale, materialize the pair
+    // table first and call nearDupClusters on it directly.
     "dedup_near_apply" -> ((s, dir) => {
+      import s.implicits._
       val d = docs(s, dir)
       val pr = ngramJaccard(d).select("doc_a", "doc_b")
-      val local = s.createDataFrame(
-        java.util.Arrays.asList(pr.collect(): _*), pr.schema)
-      val lab = nearDupClusters(local).withColumnRenamed("node", "doc_id")
-      d.join(lab, Seq("doc_id"), "left")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val lab = propagateDriver(pr).toDF("doc_id", "lbl")
+      d.join(broadcast(lab), Seq("doc_id"), "left")
         .filter(col("lbl").isNull || col("lbl") === col("doc_id"))
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")

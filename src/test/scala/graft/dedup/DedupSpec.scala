@@ -30,6 +30,11 @@ class DedupSpec extends SparkSpec {
     assert(Seq(10L, 11L, 12L, 13L).forall(lab(_) == 10L),
       "every chain member must converge to the component min")
     assert(lab(20L) == 20L && lab(21L) == 20L)
+    // the driver propagation the registered query uses must match the
+    // DataFrame rounds exactly
+    val driver = Dedup.propagateDriver(
+      Seq((10L, 11L), (11L, 12L), (12L, 13L), (20L, 21L))).toMap
+    assert(driver == lab, "driver propagation diverged from Spark rounds")
   }
 
   test("exact duplicates are MinHash candidates; unrelated docs are not") {
