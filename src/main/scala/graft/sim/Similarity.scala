@@ -259,9 +259,10 @@ object Similarity {
     * sample ([[lloydDriver]]; parity with the Spark chain pinned by
     * IvfPlanSpec), so building the query costs one tiny
     * pushdown-filtered collect instead of three scheduled jobs. This
-    * collect is the registry's one deliberate eager step: it runs at
-    * query-BUILD time (even for a bare `explain`), which is the price
-    * of a literal-embedded quantizer.
+    * collect is one of the registry's documented eager-at-build steps
+    * (docs/PLANS.md table; RegistrySpec pin): it runs at query-BUILD
+    * time (even for a bare `explain`), which is the price of a
+    * literal-embedded quantizer.
     */
   private def centroidLiterals(c: DataFrame): Seq[(Long, Seq[Double], Double)] =
     lloydDriver(collectSample(c))

@@ -68,8 +68,8 @@ class RegistrySpec extends SparkSpec {
 
   test("building a query schedules no job, except the documented eager entries") {
     // The registry contract is lazy-at-build: constructing the DataFrame
-    // (what `explain` does) must schedule zero Spark jobs. Exactly three
-    // entries are documented exceptions (eagerAtBuild above) — each runs
+    // (what `explain` does) must schedule zero Spark jobs. Only the
+    // entries in eagerAtBuild above are documented exceptions — each runs
     // a bounded collect at build time by design. This pins BOTH sides:
     // a lazy query growing a hidden build-time job fails, and an eager
     // entry silently losing its (intentional) collect fails too.
