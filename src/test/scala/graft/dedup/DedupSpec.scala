@@ -37,6 +37,17 @@ class DedupSpec extends SparkSpec {
     assert(driver == lab, "driver propagation diverged from Spark rounds")
   }
 
+  test("near-dup apply keeps one doc per verified cluster") {
+    // verified pairs at 0.8: 0/1 identical (jaccard 1.0) and doc 2's
+    // one-word change shares 9/11 trigrams = 0.818 — all three verify
+    val pairs = Dedup.ngramJaccard(corpus).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(pairs == Seq((0L, 1L), (0L, 2L), (1L, 2L)))
+    val lab = Dedup.propagateDriver(pairs).toMap
+    assert(lab == Map(0L -> 0L, 1L -> 0L, 2L -> 0L),
+      "the verified cluster converges to min doc_id; doc 3 stays unlabeled")
+  }
+
   test("exact duplicates are MinHash candidates; unrelated docs are not") {
     val pairs = Dedup.minhashCandidates(corpus)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
