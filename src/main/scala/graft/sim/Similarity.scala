@@ -319,6 +319,18 @@ object Similarity {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Cap observability for [[MaxNearDupBucket]] (caps must never
+    // truncate silently — same audit contract as `dedup_bucket_stats`):
+    // always exactly one row, zeros when nothing is oversized. One
+    // narrow corpus pass computing bucket sizes only (never vectors).
+    "sim_bucket_stats" -> ((s, dir) =>
+      prepared(s, dir, withBucket = true)
+        .groupBy("bucket").agg(count(lit(1)).as("sz"))
+        .filter(col("sz") > MaxNearDupBucket)
+        .agg(count(lit(1)).as("dropped_buckets"),
+          coalesce(sum(col("sz")), lit(0L)).as("dropped_postings"))
+        .select(lit("embedding_lsh").as("method"),
+          col("dropped_buckets"), col("dropped_postings"))),
     "sim_cosine_topk" -> (exactTopK _),
     "sim_cosine_ann_lsh" -> (lshTopK _),
     "sim_cosine_ann_ivf" -> (ivfTopK _),
@@ -466,6 +478,13 @@ object Similarity {
        |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "sim_bucket_stats" ->
+      s"""$bCte
+         |SELECT 'embedding_lsh' AS method,
+         |       count(*) AS dropped_buckets,
+         |       CAST(coalesce(sum(sz), 0) AS BIGINT) AS dropped_postings
+         |FROM (SELECT bucket, count(*) AS sz FROM b GROUP BY 1)
+         |WHERE sz > $MaxNearDupBucket""".stripMargin,
     "sim_cosine_topk" ->
       s"""$eCte, p AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
