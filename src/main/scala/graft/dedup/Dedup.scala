@@ -27,8 +27,9 @@ import org.apache.spark.sql.functions._
   *  - exact dedup: one shuffle keyed on the text hash; map-side partial
   *    aggregation collapses duplicates before the exchange.
   *  - MinHash: signatures are ONE groupBy(doc_id) with k min-aggregates
-  *    (partial aggs collapse map-side); candidate pairs come from a
-  *    self-join on (band, signature) — never an all-pairs product. A
+  *    straight off the raw shingle explode (partial aggs collapse
+  *    map-side); candidate pairs expand inside each (band, signature)
+  *    bucket row — never an all-pairs product, never a self-join. A
   *    bucket-size cap bounds the per-bucket quadratic blowup on
   *    degenerate buckets (e.g. boilerplate-heavy corpora).
   *  - n-gram Jaccard: inverted shingle index with a document-frequency
