@@ -390,17 +390,25 @@ object Dedup {
     * corpus-sized one.
     */
   private[dedup] def propagateDriver(
-      pairs: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+      pairs: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    propagateDriverChecked(pairs)._1
+
+  /** [[propagateDriver]] plus a convergence flag: one probe round after
+    * the budgeted [[ClusterRounds]]; if any label would still move, the
+    * component graph is wider than the round budget and the k-round
+    * labels split it into per-fragment keepers. The RESULT is still the
+    * exact k-round labels (oracle parity) — but non-convergence must be
+    * OBSERVABLE, not silent, same rule as the candidate caps.
+    */
+  private[dedup] def propagateDriverChecked(
+      pairs: Seq[(Long, Long)]): (Seq[(Long, Long)], Boolean) = {
     val nbrs = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
       .groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    def round(prev: Map[Long, Long]): Map[Long, Long] =
+      prev.map { case (n, l) => n -> (nbrs(n).map(prev) :+ l).min }
     var lbl: Map[Long, Long] = nbrs.keys.map(n => n -> n).toMap
-    for (_ <- 1 to ClusterRounds) {
-      val prev = lbl
-      lbl = prev.map { case (n, l) =>
-        n -> (nbrs(n).map(prev) :+ l).min
-      }
-    }
-    lbl.toSeq.sortBy(_._1)
+    for (_ <- 1 to ClusterRounds) lbl = round(lbl)
+    (lbl.toSeq.sortBy(_._1), round(lbl) == lbl)
   }
 
   /** Cap observability (the caps must never truncate SILENTLY): one row
@@ -510,7 +518,13 @@ object Dedup {
       val d = docs(s, dir)
       val pr = ngramJaccard(d).select("doc_a", "doc_b")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-      val lab = propagateDriver(pr).toDF("doc_id", "lbl")
+      val (labels, converged) = propagateDriverChecked(pr)
+      if (!converged)
+        org.slf4j.LoggerFactory.getLogger("graft.dedup")
+          .warn(s"near-dup label propagation not converged after " +
+            s"$ClusterRounds rounds: a component is wider than the round " +
+            s"budget and will keep one doc PER FRAGMENT, not per component")
+      val lab = labels.toDF("doc_id", "lbl")
       d.join(broadcast(lab), Seq("doc_id"), "left")
         .filter(col("lbl").isNull || col("lbl") === col("doc_id"))
         .select("doc_id", "lang", "source", "n_chars")

@@ -31,10 +31,17 @@ class DedupSpec extends SparkSpec {
       "every chain member must converge to the component min")
     assert(lab(20L) == 20L && lab(21L) == 20L)
     // the driver propagation the registered query uses must match the
-    // DataFrame rounds exactly
-    val driver = Dedup.propagateDriver(
-      Seq((10L, 11L), (11L, 12L), (12L, 13L), (20L, 21L))).toMap
-    assert(driver == lab, "driver propagation diverged from Spark rounds")
+    // DataFrame rounds exactly, and this in-budget graph must converge
+    val (driver, converged) = Dedup.propagateDriverChecked(
+      Seq((10L, 11L), (11L, 12L), (12L, 13L), (20L, 21L)))
+    assert(driver.toMap == lab, "driver propagation diverged from Spark rounds")
+    assert(converged)
+    // a path wider than the round budget is flagged, labels still the
+    // exact k-round result
+    val longPath = (0L until 6L).sliding(2).map(w => (w(0), w(1))).toSeq
+    val (_, deepConverged) = Dedup.propagateDriverChecked(longPath)
+    assert(!deepConverged,
+      "diameter-5 path must be reported as not converged in 4 rounds")
   }
 
   test("near-dup apply keeps one doc per verified cluster") {
