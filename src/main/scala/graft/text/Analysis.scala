@@ -106,6 +106,28 @@ object Analysis {
           lit(0.3) * col("type_token_ratio"))
   }
 
+  /** Admission bar for [[qualityFilter]]: composite score floor and a
+    * hard minimum token count (ultra-short docs score high on
+    * type-token ratio but carry no training signal). The score floor
+    * BINDS on the fixtures (sf0.01 scores span 0.51–0.78, so both sides
+    * of the bar are exercised); the token floor does not (fixture
+    * minimum is 10) — it is the guard against degenerate short docs a
+    * real corpus contains.
+    */
+  val QualityThreshold = 0.6
+  val MinTokens = 5
+
+  /** The apply step on quality scores: the admitted corpus slice a
+    * training pipeline actually feeds downstream. One corpus scan
+    * (quality features are narrow per-row arithmetic); the filter is a
+    * plain predicate, so at scale it pipelines inside the scan stage.
+    */
+  def qualityFilter(d: DataFrame): DataFrame =
+    quality(d)
+      .filter(col("quality_score") >= QualityThreshold &&
+        col("n_tokens") >= MinTokens)
+      .select("doc_id", "n_tokens", "quality_score")
+
   // ---- token stats ------------------------------------------------------
 
   /** Whitespace vs regex ("BPE-ish" word/digit/symbol classes) token
@@ -153,6 +175,8 @@ object Analysis {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> ((s, dir) => langId(docs(s, dir)).orderBy("doc_id")),
     "text_quality" -> ((s, dir) => quality(docs(s, dir)).orderBy("doc_id")),
+    "text_quality_filter" -> ((s, dir) =>
+      qualityFilter(docs(s, dir)).orderBy("doc_id")),
     "text_token_stats" -> ((s, dir) => tokenStats(docs(s, dir)).orderBy("doc_id")),
     "text_fingerprint" -> ((s, dir) => fingerprints(docs(s, dir)).orderBy("doc_id"))
   )
@@ -217,6 +241,26 @@ object Analysis {
          |         + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - stopword_ratio)
          |         + CAST(0.3 AS DOUBLE) * type_token_ratio AS quality_score
          |FROM feat ORDER BY doc_id""".stripMargin,
+    "text_quality_filter" ->
+      s"""$dCte, base AS (
+         |  SELECT doc_id,
+         |         CAST(len(toks) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         |         CAST(len(list_filter(toks, t -> t IN $stopList)) AS BIGINT) AS n_stopwords
+         |  FROM d
+         |), feat AS (
+         |  SELECT doc_id, n_tokens,
+         |         CAST(0.4 AS DOUBLE) * least(CAST(1.0 AS DOUBLE),
+         |             CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE))
+         |           + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+         |               - CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+         |           + CAST(0.3 AS DOUBLE)
+         |               * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS quality_score
+         |  FROM base
+         |)
+         |SELECT doc_id, n_tokens, quality_score FROM feat
+         |WHERE quality_score >= CAST($QualityThreshold AS DOUBLE) AND n_tokens >= $MinTokens
+         |ORDER BY doc_id""".stripMargin,
     "text_token_stats" ->
       s"""$dCte
          |SELECT doc_id,
