@@ -283,8 +283,9 @@ object Dedup {
         col("hamming"))
   }
 
-  /** Exact n-gram Jaccard over the df-capped shingle sets, via the
-    * inverted shingle index (never all-pairs).
+  /** Exact n-gram Jaccard over the df-capped HASHED-shingle sets (60-bit
+    * keys; set semantics applied after hashing, identically in the
+    * oracle), via the inverted shingle index (never all-pairs).
     */
   def ngramJaccard(d: DataFrame,
       threshold: Double = JaccardThreshold,
@@ -296,51 +297,73 @@ object Dedup {
     //
     // LINEAR single-consumer chain — one corpus scan, zero joins,
     // structurally (NgramPlanSpec pins 1 scan / 0 joins in the AQE
-    // final plan). The previous formulation (index feeding an `inter`
+    // final plan). An earlier formulation (index feeding an `inter`
     // branch plus two `sizes` joins) planned the scan+distinct+index
     // subtree three times and leaned on AQE's runtime exchange reuse to
-    // collapse it back to one scan — which it did (measured: final plan
-    // 1 scan + 2 ReusedExchange), but (a) reuse dedups the EXCHANGE
-    // only: the post-shuffle index aggregation still ran once per
-    // consumer, (b) it hangs off plan canonicalization, which is
-    // notoriously brittle around higher-order-function lambdas — one
-    // innocent refactor away from a silent 3× corpus-scan regression,
-    // and (c) the two sizes joins are broadcast only while |docs| is
-    // broadcastable; at 100 TB they degrade to shuffle joins. Here
-    // per-doc kept-set sizes attach to each posting via ONE window over
-    // the fixed-width posting stream, pair expansion carries (na, nb)
-    // through, and jaccard is computed at the end with no join back —
-    // single materialization by construction, not by optimizer grace.
+    // collapse it back to one scan — canonicalization-fragile around
+    // HOF lambdas, and its joins are broadcast only while |docs| is
+    // broadcastable. Here everything a pair needs (sizes AND the sets
+    // themselves) rides the chain: per-doc kept-sets are built once,
+    // only their PPJoin prefixes are re-indexed, and verification
+    // happens inside the pair expansion — no join back, no corpus-sized
+    // candidate stream, single materialization by construction.
     val production = graft.functions.PortableHash.enabled(d)
-    // distinct BEFORE hashing: exact set semantics mirrored by the
-    // oracle, including (shared) collision behavior
-    val posts = shingles(d).select(col("doc_id"),
-      graft.functions.PortableHash.key64(col("s"), production).as("shk"))
-    val idx = posts.groupBy("shk").agg(collect_list(col("doc_id")).as("docs"))
+    // Set semantics ON THE HASHES: the posting index aggregates straight
+    // off the raw shingle multiset with collect_set(doc_id), so the
+    // (doc_id, shingle-string) distinct exchange — the widest shuffle of
+    // the previous chain (~20-char strings per shingle OCCURRENCE) —
+    // vanishes; map-side partial sets collapse repeats before the one
+    // fixed-width (shk → doc set) shuffle. The oracle dedups after
+    // hashing too (SELECT DISTINCT doc_id, hash), so both engines share
+    // exact set semantics INCLUDING collision behavior: a doc whose two
+    // distinct shingles collide (~|shingles|²/2⁶⁰) counts that key once
+    // on both sides.
+    val posts = rawShingles(toksOf(d)).select(
+      graft.functions.PortableHash.key64(col("s"), production).as("shk"),
+      col("doc_id"))
+    val idx = posts.groupBy("shk").agg(collect_set(col("doc_id")).as("docs"))
       .filter(size(col("docs")) <= maxShingleDf)
-    // n = |kept shingle set| per doc, windowed over the re-exploded
-    // postings (singleton keys still count toward n — only the pair
-    // expansion below requires ≥2 members)
-    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    val sized = idx.select(col("shk"), explode(col("docs")).as("doc_id"))
-      .withColumn("n", count(lit(1)).over(byDoc))
-    // rebuild each posting list with n attached; structs sort by
-    // doc_id first, so expanded pairs keep doc_a < doc_b
-    val pairs = sized.groupBy("shk")
-      .agg(array_sort(collect_list(struct(col("doc_id"), col("n")))).as("arr"))
+    // Per-doc kept hash SET, ascending — one groupBy replaces the old
+    // window-then-regroup (same doc_id exchange, 1 row/doc out), and the
+    // sorted array doubles as the PPJoin global token order.
+    val docsets = idx.select(col("shk"), explode(col("docs")).as("doc_id"))
+      .groupBy("doc_id").agg(array_sort(collect_set(col("shk"))).as("ks"))
+      .select(col("doc_id"), col("ks"), size(col("ks")).as("n"))
+    // PPJoin prefix filtering (Xiao/Wang/Lin/Yu, WWW'08): under ANY
+    // global element order, jaccard(A,B) ≥ t forces the first
+    // |X| − ⌈t·|X|⌉ + 1 elements of A and of B to share a key — so only
+    // each doc's prefix (~(1−t)·n keys) enters the index, cutting the
+    // candidate stream ~(1/(1−t))² (measured 1.27M → ~50k pair rows at
+    // sf0.1) while staying LOSSLESS: the unfiltered oracle hash-matches.
+    // floor instead of the textbook ⌈·⌉ keeps the prefix ≥ required
+    // under float rounding of t·n (at most one element longer — never
+    // shorter, which would silently drop true pairs).
+    val plen = size(col("ks")) - floor(size(col("ks")) * lit(threshold)).cast("int") + 1
+    val prefix = docsets.select(col("doc_id"), col("n"), col("ks"),
+      explode(slice(col("ks"), lit(1), plen)).as("shk"))
+    // members sorted by doc_id (struct's first field) → doc_a < doc_b by
+    // construction; prefix buckets are subsets of df-capped postings, so
+    // the maxShingleDf cap already bounds the per-bucket expansion
+    val buckets = prefix.groupBy("shk")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("n"), col("ks")))).as("arr"))
       .filter(size(col("arr")) >= 2)
+    // verify INSIDE the expansion: ix = |A∩B| via array_intersect on the
+    // two sorted hash sets, arrays dropped before anything shuffles —
+    // duplicate candidates (pairs sharing several prefix keys) collapse
+    // in the scalar distinct below, after the threshold filter has
+    // already discarded nearly everything
+    val jac = col("ix").cast("double") / (col("na") + col("nb") - col("ix")).cast("double")
+    buckets
       .select(explode(flatten(transform(col("arr"), (x, i) =>
         transform(slice(col("arr"), i + lit(2), size(col("arr"))),
           y => struct(x.getField("doc_id").as("doc_a"), x.getField("n").as("na"),
-            y.getField("doc_id").as("doc_b"), y.getField("n").as("nb")))))).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        col("p.na").as("na"), col("p.nb").as("nb"))
-      .agg(count(lit(1)).as("ix"))
-    pairs
-      .withColumn("jaccard",
-        col("ix").cast("double") / (col("na") + col("nb") - col("ix")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+            y.getField("doc_id").as("doc_b"), y.getField("n").as("nb"),
+            size(array_intersect(x.getField("ks"), y.getField("ks"))).as("ix")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.na").as("na"), col("p.nb").as("nb"), col("p.ix").as("ix"))
+      .filter(jac >= threshold)
+      .distinct()
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
   }
 
   /** Min-label propagation rounds for [[nearDupClusters]]. Converges
@@ -438,9 +461,9 @@ object Dedup {
     //    so signatures come straight off the raw explode (map-side
     //    partial mins collapse duplicates before the tiny per-doc
     //    shuffle);
-    //  - jaccard: count(DISTINCT doc_id, s) per hashed key ≡ the
-    //    distinct-pair inverted-index posting sizes (shkey is a
-    //    function of s), fusing dedup + count into one aggregation;
+    //  - jaccard: count(DISTINCT doc_id) per hashed key ≡ the
+    //    inverted-index posting-set sizes [[ngramJaccard]] caps on,
+    //    fusing dedup + count into one fixed-width aggregation;
     //  - simhash: token-level chain, unchanged.
     // 100 TB posture: three column-pruned corpus scans, fully
     // pipelined, zero cached state — re-tokenizing per branch beats
@@ -456,12 +479,13 @@ object Dedup {
       .select(explode(array(chunkStructs: _*)).as("cs"))
       .groupBy(col("cs.chunk_id"), col("cs.chunk"))
       .agg(count(lit(1)).as("sz"))
-    // same hashed shingle key ngramJaccard's inverted index caps on
+    // same hashed shingle key and doc-set size ngramJaccard's inverted
+    // index caps on
     val jacSizes = raw
       .select(graft.functions.PortableHash.key64(col("s"), production)
-        .as("shkey"), col("doc_id"), col("s"))
+        .as("shkey"), col("doc_id"))
       .groupBy("shkey")
-      .agg(count_distinct(col("doc_id"), col("s")).as("sz"))
+      .agg(count_distinct(col("doc_id")).as("sz"))
     val stats = dropped(jacSizes, maxShingleDf, "jaccard_shingle")
       .unionByName(dropped(mhSizes, maxBucketSize, "minhash_lsh"))
       .unionByName(dropped(simSizes, maxBucketSize, "simhash_chunk"))
@@ -650,7 +674,7 @@ object Dedup {
     */
   private val jaccardPairCtes: String =
     s"""$shCte, shh AS (
-       |  SELECT doc_id, $jaccardHashSql AS s
+       |  SELECT DISTINCT doc_id, $jaccardHashSql AS s
        |  FROM (SELECT doc_id, substr(md5(s), 1, 15) AS hx FROM sh)
        |), rare AS (
        |  SELECT s FROM shh GROUP BY s HAVING count(*) <= $MaxShingleDf
@@ -750,7 +774,7 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""$shCte, shh AS (
-         |  SELECT doc_id, $jaccardHashSql AS s
+         |  SELECT DISTINCT doc_id, $jaccardHashSql AS s
          |  FROM (SELECT doc_id, substr(md5(s), 1, 15) AS hx FROM sh)
          |), rare AS (
          |  SELECT s FROM shh GROUP BY s HAVING count(*) <= $MaxShingleDf
@@ -802,7 +826,7 @@ object Dedup {
          |$shhBody
          |), jac_drop AS (
          |  SELECT count(*) AS db, CAST(coalesce(sum(sz), 0) AS BIGINT) AS dp
-         |  FROM (SELECT s, count(*) AS sz FROM shh GROUP BY 1)
+         |  FROM (SELECT s, count(DISTINCT doc_id) AS sz FROM shh GROUP BY 1)
          |  WHERE sz > $MaxShingleDf
          |), mh_drop AS (
          |  SELECT count(*) AS db, CAST(coalesce(sum(sz), 0) AS BIGINT) AS dp
