@@ -80,16 +80,18 @@ object Dedup {
   private def toksCol: Column =
     filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
 
-  /** Word `ShingleSize`-grams from a BOUND token-array attribute.
+  /** Word n-grams from a BOUND token-array attribute.
     * The argument must be a materialized column reference, never the
     * tokenizing expression itself: a computed array captured inside the
     * per-index lambda would re-tokenize the text for every shingle —
     * O(len²) per document.
     */
-  private def shingleOf(toks: Column): Column =
-    when(size(toks) < ShingleSize, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - (ShingleSize - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(ShingleSize)))))
+  private def shingleOfN(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  private def shingleOf(toks: Column): Column = shingleOfN(toks, ShingleSize)
 
   /** (doc_id, toks): the bound token-array projection — the ONE
     * corpus-scanning step every dedup method shares.
@@ -501,6 +503,47 @@ object Dedup {
       java.util.Arrays.asList(rows: _*), stats.schema).orderBy("method")
   }
 
+  /** n-gram length for benchmark decontamination. Deliberately LONGER
+    * than the dedup shingle (3): decontamination flags near-VERBATIM
+    * leakage of an evaluation set into training data, so the n-gram must
+    * be long enough that chance vocabulary collisions vanish (on this
+    * fixture n=3 flags ~100 % of the corpus as "contaminated", n=5 flags
+    * exactly the true cross-source near-copies). Web-scale pipelines
+    * conventionally use ~13-grams; 5 fits the fixture's ~50-token docs.
+    */
+  val DecontamShingle = 5
+  /** The fixture source treated as the held-out evaluation set. */
+  val DecontamEvalSource = "src0"
+
+  /** Benchmark decontamination: drop every corpus doc sharing at least
+    * one [[DecontamShingle]]-gram (60-bit hashed, both engines) with the
+    * evaluation set — the standard guard against test-set leakage into
+    * training data.
+    *
+    * Scale notes (100 TB posture): the eval side is a BENCHMARK — tiny
+    * by construction — so its distinct shingle keys broadcast and the
+    * corpus-side membership test is a map-side broadcast semi-join: the
+    * corpus never shuffles. The contaminated-id set (a small fraction of
+    * the corpus when decontamination is doing its job) feeds a second
+    * join that AQE plans as broadcast when it fits; both joins degrade
+    * gracefully to shuffle joins if an adversarial eval set explodes
+    * either side.
+    */
+  def decontaminate(corpus: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val production = graft.functions.PortableHash.enabled(corpus)
+    def keyed(d: DataFrame): DataFrame =
+      toksOf(d).select(col("doc_id"),
+          explode(shingleOfN(col("toks"), DecontamShingle)).as("s"))
+        .select(col("doc_id"),
+          graft.functions.PortableHash.key64(col("s"), production).as("shk"))
+    val evalKeys = keyed(evalDocs).select("shk").distinct()
+    val contaminated = keyed(corpus)
+      .join(broadcast(evalKeys), Seq("shk"), "left_semi")
+      .select("doc_id").distinct()
+    corpus.join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: one row per distinct normalized text, keeper = min id.
     "dedup_exact" -> ((s, dir) =>
@@ -554,7 +597,17 @@ object Dedup {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     }),
-    "dedup_bucket_stats" -> ((s, dir) => bucketStats(docs(s, dir)))
+    "dedup_bucket_stats" -> ((s, dir) => bucketStats(docs(s, dir))),
+    // Decontaminate the training corpus (every source but src0) against
+    // the pseudo-benchmark (src0): emit the admitted corpus docs with no
+    // 5-gram overlap into the eval set.
+    "dedup_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      decontaminate(
+        d.filter(col("source") =!= lit(DecontamEvalSource)),
+        d.filter(col("source") === lit(DecontamEvalSource)))
+        .orderBy("doc_id")
+    })
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -804,6 +857,33 @@ object Dedup {
          |WHERE d.text IS NOT NULL AND length(d.text) > 0
          |  AND (l.node IS NULL OR l.lbl = d.doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // Decontamination mirrors the Spark semi/anti chain on the same
+    // 60-bit hashed 5-grams (collision behavior shared — a chance key
+    // collision with the eval set drops the doc on both engines).
+    "dedup_decontaminate" ->
+      s"""WITH dd AS (
+         |  SELECT doc_id, lang, source, n_chars,
+         |         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |                     t -> length(t) > 0) AS toks
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND length(text) > 0
+         |), shd AS (
+         |  SELECT DISTINCT doc_id, source,
+         |         array_to_string(list_slice(toks, i, i + ${DecontamShingle - 1}), ' ') AS s
+         |  FROM dd, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - ${DecontamShingle - 1}, 0))) AS i)
+         |), keyed AS (
+         |  SELECT doc_id, source, $jaccardHashSql AS shk
+         |  FROM (SELECT doc_id, source, substr(md5(s), 1, 15) AS hx FROM shd)
+         |), ev AS (
+         |  SELECT DISTINCT shk FROM keyed WHERE source = '$DecontamEvalSource'
+         |), hits AS (
+         |  SELECT DISTINCT keyed.doc_id FROM keyed JOIN ev USING (shk)
+         |  WHERE source <> '$DecontamEvalSource'
+         |)
+         |SELECT dd.doc_id, dd.lang, dd.source, dd.n_chars
+         |FROM dd LEFT JOIN hits ON hits.doc_id = dd.doc_id
+         |WHERE dd.source <> '$DecontamEvalSource' AND hits.doc_id IS NULL
+         |ORDER BY dd.doc_id""".stripMargin,
     // One WITH composes all three candidate-generation chains (the CTE
     // bodies above exist exactly for this — duplicate CTE names are
     // illegal). The empty-filter agg emits one row of (0, NULL→0), so

@@ -75,6 +75,34 @@ object Events {
           min(col("ts")).as("session_start"),
           max(col("ts")).as("session_end"))
         .orderBy("user_id", "session_seq")
+    }),
+    // Strict-order conversion funnel view → click → purchase: each stage
+    // timestamp is the user's first matching event AFTER the previous
+    // stage's timestamp (a click before ever viewing doesn't convert).
+    // Three chained conditional window-mins over ONE user_id exchange —
+    // same partitioning, so Catalyst stacks the Window operators on a
+    // single shuffle; the final stage histogram is a bounded (≤4-row)
+    // aggregate. Timestamps only — no float arithmetic to mirror.
+    "events_funnel" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+      val staged = ev(s, dir)
+        .withColumn("t_view",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t_click",
+          min(when(col("event_type") === "click" && col("ts") > col("t_view"),
+            col("ts"))).over(w))
+        .withColumn("t_purchase",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t_click"),
+            col("ts"))).over(w))
+      staged
+        .select(col("user_id"),
+          when(col("t_purchase").isNotNull, 3)
+            .when(col("t_click").isNotNull, 2)
+            .when(col("t_view").isNotNull, 1)
+            .otherwise(0).as("stage"))
+        .distinct()
+        .groupBy("stage").agg(count(lit(1)).as("n_users"))
+        .orderBy("stage")
     })
   )
 
@@ -115,6 +143,30 @@ object Events {
          |  min(ts) AS session_start, max(ts) AS session_end
          |FROM sessions
          |GROUP BY 1, 2
-         |ORDER BY 1, 2""".stripMargin
+         |ORDER BY 1, 2""".stripMargin,
+    "events_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t_view
+        |  FROM events
+        |), s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t_click
+        |  FROM s1
+        |), s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t_purchase
+        |  FROM s2
+        |), staged AS (
+        |  SELECT DISTINCT user_id,
+        |    CASE WHEN t_purchase IS NOT NULL THEN 3
+        |         WHEN t_click IS NOT NULL THEN 2
+        |         WHEN t_view IS NOT NULL THEN 1
+        |         ELSE 0 END AS stage
+        |  FROM s3
+        |)
+        |SELECT stage, count(*) AS n_users FROM staged
+        |GROUP BY stage ORDER BY stage""".stripMargin
   )
 }

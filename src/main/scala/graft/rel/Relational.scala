@@ -141,6 +141,28 @@ object Relational {
       c.join(oKeys, col("c_custkey") === col("o_custkey"), "left")
         .select(col("c_custkey"), col("o_custkey").isNotNull.as("has_orders"))
         .orderBy("c_custkey")
+    }),
+    // Running/frame windows over the order history: cumulative spend and
+    // a trailing-3-order spend per customer. ONE shuffle on o_custkey,
+    // then both frames are linear in-partition passes sharing that
+    // exchange (same partitioning+ordering → one Window operator chain).
+    // Sums stay DECIMAL inside the frame (running double addition would
+    // accumulate in engine-dependent order), cast back per row.
+    "rel_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val spend = col("o_totalprice").cast("decimal(28,10)")
+      t(s, dir, "orders")
+        .withColumn("order_seq",
+          row_number().over(w))
+        .withColumn("running_spend",
+          sum(spend).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .withColumn("trailing3_spend",
+          sum(spend).over(w.rowsBetween(-2, Window.currentRow)).cast("double"))
+        .select("o_custkey", "o_orderkey", "order_seq",
+          "running_spend", "trailing3_spend")
+        .orderBy("o_custkey", "order_seq")
     })
   )
 
@@ -224,6 +246,18 @@ object Relational {
       """SELECT c_custkey,
         |  EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_orders
         |FROM customer
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    // Frame sums accumulate as DECIMAL (exact in both engines regardless
+    // of the engine's frame evaluation order), then VARCHAR-hop to double.
+    "rel_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER w AS INT) AS order_seq,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(28,10))) OVER
+        |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_spend,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(28,10))) OVER
+        |    (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS trailing3_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, order_seq""".stripMargin
   )
 }

@@ -99,6 +99,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("decontamination drops exactly the docs with 5-gram eval overlap") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      // eval doc (the pseudo-benchmark)
+      (0L, "alpha beta gamma delta epsilon zeta eta theta", "en", "src0"),
+      // leaked: embeds a verbatim 5-gram of the eval doc → dropped
+      (1L, "prefix words alpha beta gamma delta epsilon more trailing text", "en", "srcA"),
+      // shares only a 4-gram run (delta..theta broken by 'x') → kept
+      (2L, "beta gamma delta epsilon x zeta eta theta iota", "en", "srcA"),
+      // unrelated → kept
+      (3L, "completely different vocabulary with no overlap whatsoever", "en", "srcB")
+    ).toDF("doc_id", "text", "lang", "source")
+      .selectExpr("doc_id", "text", "lang", "source", "length(text) AS n_chars")
+    import org.apache.spark.sql.functions.col
+    val kept = Dedup.decontaminate(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L))
+  }
+
   test("oversized LSH buckets are dropped before pair expansion") {
     // 300 identical docs → every bucket has 300 > MaxBucketSize members;
     // without the cap this would expand to ~45k pairs per band.

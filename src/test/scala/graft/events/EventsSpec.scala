@@ -35,6 +35,28 @@ class EventsSpec extends SparkSpec {
     assert(idxPartial >= 0, p.take(1500))
   }
 
+  test("funnel stages match a hand-built trace (strict event order)") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      // user 1: full ordered funnel → stage 3
+      (1L, 0L, 1L, "view"), (2L, 10L, 1L, "click"), (3L, 20L, 1L, "purchase"),
+      // user 2: click BEFORE the first view → conversion denied, stage 1
+      (4L, 0L, 2L, "click"), (5L, 10L, 2L, "view"),
+      // user 3: purchase without an intervening click → stage 1
+      (6L, 0L, 3L, "view"), (7L, 5L, 3L, "purchase"),
+      // user 4: never viewed → stage 0
+      (8L, 0L, 4L, "error")
+    ).toDF("event_id", "min_off", "uid", "event_type")
+      .select(col("event_id"), timestamp_seconds(col("min_off") * 60).as("ts"),
+        col("uid").as("user_id"), col("event_type"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fn")
+    df.write.mode("overwrite").parquet(tmp.resolve("events.parquet").toString)
+    val got = Events.queries("events_funnel")(spark, tmp.toString)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got === Set((0, 1L), (1, 2L), (3, 1L)))
+  }
+
   test("sessionization matches a hand-built trace") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.functions._

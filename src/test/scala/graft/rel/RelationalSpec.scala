@@ -43,6 +43,37 @@ class RelationalSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
 
+  test("running windows match a hand-built order history") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val orders = Seq(
+      (1L, 101L, 0L, 10.5), (1L, 102L, 1L, 20.25), (1L, 103L, 2L, 30.0),
+      (1L, 104L, 3L, 1.0), (2L, 201L, 0L, 5.5)
+    ).toDF("cust", "okey", "day", "price")
+      .select(col("cust").as("o_custkey"), col("okey").as("o_orderkey"),
+        timestamp_seconds(col("day") * 86400).as("o_orderdate"),
+        col("price").as("o_totalprice"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rw")
+    orders.write.mode("overwrite").parquet(tmp.resolve("orders.parquet").toString)
+    val got = Relational.queries("rel_window_running")(spark, tmp.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      (1L, 101L, 1, 10.5, 10.5),
+      (1L, 102L, 2, 30.75, 30.75),
+      (1L, 103L, 3, 60.75, 60.75),
+      (1L, 104L, 4, 61.75, 51.25), // trailing3 window slides off the first order
+      (2L, 201L, 1, 5.5, 5.5)))
+  }
+
+  test("rel_window_running shuffles once on o_custkey for both frames") {
+    val p = plan("rel_window_running")
+    val custShuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(o_custkey"))
+    assert(custShuffles === 1,
+      s"both frames must share one o_custkey exchange, saw $custShuffles:\n${p.take(2500)}")
+  }
+
   test("rel_customer_orders plans exactly one scan of orders") {
     val p = plan("rel_customer_orders")
     val ordersScans = p.linesIterator.count(l =>
