@@ -25,6 +25,11 @@ object Temporal {
   /** Range-join window width (and as-of anchor gap), seconds. */
   val RangeWindowSec = 300L
 
+  /** Attribution lookback horizon, seconds: a purchase is attributed to
+    * every view by the same user at-or-before it within this window.
+    */
+  val AttributionHorizonSec = 3600L
+
   private def ev(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
@@ -80,6 +85,33 @@ object Temporal {
           (col("us_b") - col("us_a")).as("dt_us"))
         .distinct()
         .orderBy("user_id", "event_a", "event_b")
+    }),
+    // Multi-touch attribution: every (purchase, view) pair per user with
+    // the view at-or-before the purchase inside the 1 h horizon. Banded
+    // like rel_range_join, with the roles split across two event types:
+    // views carry their single horizon bucket, purchases probe (bucket,
+    // bucket−1) — each qualifying pair matches in exactly one bucket, so
+    // no post-join distinct is needed. The streaming twin
+    // ([[graft.streaming.StreamingAttribution]]) expresses the SAME
+    // predicate as a watermarked stream-stream interval join; its spec
+    // pins replay equivalence against this query.
+    "events_attribution" -> ((s, dir) => {
+      val hUs = AttributionHorizonSec * 1000000L
+      val base = ev(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      val views = base.filter(col("event_type") === "view")
+        .select(col("user_id"), floor(col("us") / hUs).as("bucket"),
+          col("event_id").as("view_id"), col("us").as("v_us"))
+      val purchases = base.filter(col("event_type") === "purchase")
+        .withColumn("boff", explode(array(lit(0L), lit(1L))))
+        .select(col("user_id"),
+          (floor(col("us") / hUs) - col("boff")).as("bucket"),
+          col("event_id").as("purchase_id"), col("us").as("p_us"))
+      purchases.join(views, Seq("user_id", "bucket"))
+        .filter(col("v_us") <= col("p_us") && col("v_us") >= col("p_us") - hUs)
+        .select(col("user_id"), col("purchase_id"), col("view_id"),
+          (col("p_us") - col("v_us")).as("dt_us"))
+        .orderBy("user_id", "purchase_id", "view_id")
     })
   )
 
@@ -100,6 +132,15 @@ object Temporal {
          | AND (epoch_us(a.ts) < epoch_us(b.ts)
          |      OR (epoch_us(a.ts) = epoch_us(b.ts) AND a.event_id < b.event_id))
          | AND epoch_us(b.ts) - epoch_us(a.ts) <= ${RangeWindowSec * 1000000L}
-         |ORDER BY a.user_id, event_a, event_b""".stripMargin
+         |ORDER BY a.user_id, event_a, event_b""".stripMargin,
+    "events_attribution" ->
+      s"""SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+         |       epoch_us(p.ts) - epoch_us(v.ts) AS dt_us
+         |FROM events p JOIN events v
+         |  ON p.user_id = v.user_id
+         | AND p.event_type = 'purchase' AND v.event_type = 'view'
+         | AND epoch_us(v.ts) <= epoch_us(p.ts)
+         | AND epoch_us(v.ts) >= epoch_us(p.ts) - ${AttributionHorizonSec * 1000000L}
+         |ORDER BY p.user_id, purchase_id, view_id""".stripMargin
   )
 }

@@ -166,3 +166,49 @@ object StreamingSessionize {
       }
   }
 }
+
+/** Watermarked stream-stream interval join: attribute every purchase to
+  * the same user's views inside the lookback horizon, continuously.
+  * The batch twin is `events_attribution` ([[graft.rel.Temporal]]) —
+  * same predicate (user match, view at-or-before purchase, within
+  * [[graft.rel.Temporal.AttributionHorizonSec]]), expressed there as a
+  * banded equi-join and here as the raw interval condition Structured
+  * Streaming needs to derive its state bounds. The spec pins one-batch
+  * replay equivalence between the two.
+  *
+  * Scale notes: the time-range condition plus the two watermarks is
+  * what makes the join's state FINITE — Spark evicts buffered views
+  * once the purchase-side watermark passes view_ts + horizon, and
+  * buffered purchases once the view side passes purchase_ts. Without
+  * the interval bound a stream-stream join buffers both streams
+  * forever. State is partitioned by user_id (the equi-key), so the
+  * per-micro-batch shuffle mirrors the batch join's partitioning.
+  */
+object StreamingAttribution {
+
+  /** Views are evicted once no future purchase can reach them; the
+    * margin above the horizon absorbs purchase-side lateness.
+    */
+  val DefaultViewRetention = "2 hours"
+  val DefaultPurchaseLateness = "10 minutes"
+
+  def attributed(views: DataFrame, purchases: DataFrame,
+      viewRetention: String = DefaultViewRetention,
+      purchaseLateness: String = DefaultPurchaseLateness): DataFrame = {
+    val horizonSec = graft.rel.Temporal.AttributionHorizonSec
+    val v = views
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", viewRetention)
+    val p = purchases
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", purchaseLateness)
+    v.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("view_ts") <= col("purchase_ts") &&
+          col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizonSec SECONDS"))
+      .select(col("user_id"), col("purchase_id"), col("view_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts"))).as("dt_us"))
+  }
+}

@@ -170,6 +170,32 @@ object Analysis {
         concat_ws("", slice(array_sort(transform(col("shingles"), s => md5(s))),
           1, WinnowK)).as("winnow_fp"))
 
+  // ---- n-gram language-model counts --------------------------------------
+
+  /** Top bigrams per corpus language — the count table an n-gram LM (or a
+    * corpus-drift monitor) is built from. Ties break alphabetically so
+    * top-k is deterministic in both engines.
+    *
+    * Scale notes: ONE shuffle on (lang, bigram) with map-side partial
+    * counts collapsing repeats; the per-lang top-k rides Spark's
+    * WindowGroupLimit rewrite, so only ~k rows per lang reach the final
+    * rank filter rather than the whole count table.
+    */
+  val TopBigramsK = 5
+
+  def topBigrams(d: DataFrame, k: Int = TopBigramsK): DataFrame = {
+    val bi = d.select(col("lang"), toksCol.as("toks"))
+      .select(col("lang"), explode(
+        when(size(col("toks")) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ", slice(col("toks"), i, lit(2)))))).as("bigram"))
+    val counts = bi.groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(col("n").desc, col("bigram").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   // ---- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -178,7 +204,9 @@ object Analysis {
     "text_quality_filter" -> ((s, dir) =>
       qualityFilter(docs(s, dir)).orderBy("doc_id")),
     "text_token_stats" -> ((s, dir) => tokenStats(docs(s, dir)).orderBy("doc_id")),
-    "text_fingerprint" -> ((s, dir) => fingerprints(docs(s, dir)).orderBy("doc_id"))
+    "text_fingerprint" -> ((s, dir) => fingerprints(docs(s, dir)).orderBy("doc_id")),
+    "text_top_bigrams" -> ((s, dir) =>
+      topBigrams(docs(s, dir)).orderBy("lang", "rank"))
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -281,6 +309,26 @@ object Analysis {
          |SELECT doc_id,
          |       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS bow_fp,
          |       array_to_string(list_slice(list_sort(list_transform(shingles, s -> md5(s))), 1, $WinnowK), '') AS winnow_fp
-         |FROM sh ORDER BY doc_id""".stripMargin
+         |FROM sh ORDER BY doc_id""".stripMargin,
+    "text_top_bigrams" ->
+      s"""WITH dl AS (
+         |  SELECT lang,
+         |         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |                     t -> length(t) > 0) AS toks
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND length(text) > 0
+         |), bi AS (
+         |  SELECT lang, array_to_string(list_slice(toks, i, i + 1), ' ') AS bigram
+         |  FROM dl, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i)
+         |), counts AS (
+         |  SELECT lang, bigram, count(*) AS n FROM bi GROUP BY 1, 2
+         |)
+         |SELECT lang, bigram, n, rank FROM (
+         |  SELECT lang, bigram, n,
+         |         CAST(row_number() OVER (PARTITION BY lang
+         |           ORDER BY n DESC, bigram ASC) AS INT) AS rank
+         |  FROM counts)
+         |WHERE rank <= $TopBigramsK
+         |ORDER BY lang, rank""".stripMargin
   )
 }

@@ -67,4 +67,26 @@ class AnalysisSpec extends SparkSpec {
     val blocks = (s: String) => s.grouped(32).toSet
     assert((blocks(fp(0L)._2) intersect blocks(fp(2L)._2)).nonEmpty)
   }
+
+  test("top bigrams rank per lang with deterministic ties") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (0L, "a b a b c d", "en"),   // bigrams: "a b"×2, "b a", "b c", "c d"
+      (1L, "a b x y", "en"),       // +"a b", "b x", "x y"
+      (2L, "p q p q", "de")        // "p q"×2, "q p"
+    ).toDF("doc_id", "text", "lang")
+    val got = Analysis.topBigrams(docs, k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    // en: "a b" n=3 rank 1; tie at n=1 broken alphabetically → "b a" rank 2
+    assert(got === Set(
+      ("en", "a b", 3L, 1), ("en", "b a", 1L, 2),
+      ("de", "p q", 2L, 1), ("de", "q p", 1L, 2)))
+  }
+
+  test("top bigrams plan uses the WindowGroupLimit rewrite") {
+    val df = Analysis.queries("text_top_bigrams")(spark, "/root/testdata/sf0.001")
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      df.queryExecution.executedPlan.toString.take(1500))
+  }
 }
