@@ -196,6 +196,44 @@ object Analysis {
       .filter(col("rank") <= k)
   }
 
+  // ---- document chunking -------------------------------------------------
+
+  /** Sliding-window token chunking — the context-window splitter a RAG
+    * index or a pretraining tokenizer feeds on: fixed [[ChunkTokens]]
+    * windows advancing by [[ChunkStride]] (overlap = tokens − stride),
+    * last window clipped to the doc end, short docs emitting exactly one
+    * chunk. Start count is 1 + ⌈max(0, len − C) / S⌉ in INTEGER
+    * arithmetic — identical in both engines, no float rounding — so no
+    * degenerate fully-contained tail chunk is emitted.
+    *
+    * Scale notes: map-only — tokenize, compute starts, explode; no
+    * shuffle at all (the registered query's orderBy is presentation
+    * only). Chunk text re-materializes from the bound token array; the
+    * token array is bound ONCE per row (a computed array captured in the
+    * per-chunk lambda would re-tokenize per chunk).
+    */
+  val ChunkTokens = 32
+  val ChunkStride = 24
+
+  def chunk(d: DataFrame): DataFrame = {
+    val toks = col("toks")
+    val extra = greatest(lit(0), size(toks) - ChunkTokens)
+    // integer ceil-division; the double division is exact (values ≪ 2⁵³)
+    val nExtra = floor((extra + lit(ChunkStride - 1)) / lit(ChunkStride)).cast("int")
+    d.select(col("doc_id"), toksCol.as("toks"))
+      .select(col("doc_id"), toks,
+        posexplode(transform(sequence(lit(0), nExtra),
+          k => k * ChunkStride + 1)))
+      .select(
+        col("doc_id"),
+        col("pos").cast("int").as("chunk_id"),
+        col("col").cast("int").as("start_tok"),
+        least(lit(ChunkTokens), size(toks) - col("col") + 1)
+          .cast("long").as("n_tokens"),
+        concat_ws(" ", slice(toks, col("col"), lit(ChunkTokens)))
+          .as("chunk_text"))
+  }
+
   // ---- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -206,7 +244,9 @@ object Analysis {
     "text_token_stats" -> ((s, dir) => tokenStats(docs(s, dir)).orderBy("doc_id")),
     "text_fingerprint" -> ((s, dir) => fingerprints(docs(s, dir)).orderBy("doc_id")),
     "text_top_bigrams" -> ((s, dir) =>
-      topBigrams(docs(s, dir)).orderBy("lang", "rank"))
+      topBigrams(docs(s, dir)).orderBy("lang", "rank")),
+    "text_chunk" -> ((s, dir) =>
+      chunk(docs(s, dir)).orderBy("doc_id", "chunk_id"))
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -329,6 +369,24 @@ object Analysis {
          |           ORDER BY n DESC, bigram ASC) AS INT) AS rank
          |  FROM counts)
          |WHERE rank <= $TopBigramsK
-         |ORDER BY lang, rank""".stripMargin
+         |ORDER BY lang, rank""".stripMargin,
+    // Same integer start arithmetic: starts k·S+1 for k in 0..⌈max(0,
+    // len−C)/S⌉ (// is DuckDB integer division — no float rounding).
+    "text_chunk" ->
+      s"""$dCte, starts AS (
+         |  SELECT doc_id, toks,
+         |         unnest(generate_series(0,
+         |           greatest(0, len(toks) - $ChunkTokens) // $ChunkStride +
+         |           CASE WHEN greatest(0, len(toks) - $ChunkTokens) % $ChunkStride > 0 THEN 1 ELSE 0 END)) AS k
+         |  FROM d
+         |)
+         |SELECT doc_id,
+         |       CAST(k AS INT) AS chunk_id,
+         |       CAST(k * $ChunkStride + 1 AS INT) AS start_tok,
+         |       CAST(least($ChunkTokens, len(toks) - (k * $ChunkStride + 1) + 1) AS BIGINT) AS n_tokens,
+         |       array_to_string(list_slice(toks, k * $ChunkStride + 1,
+         |         k * $ChunkStride + $ChunkTokens), ' ') AS chunk_text
+         |FROM starts
+         |ORDER BY doc_id, chunk_id""".stripMargin
   )
 }

@@ -84,6 +84,31 @@ class AnalysisSpec extends SparkSpec {
       ("de", "p q", 2L, 1), ("de", "q p", 1L, 2)))
   }
 
+  test("chunking: sliding windows cover the doc, short docs emit one chunk") {
+    val s = spark; import s.implicits._
+    val fifty = (1 to 50).map(i => s"w$i").mkString(" ")
+    val docs = Seq((0L, fifty), (1L, "a b c")).toDF("doc_id", "text")
+    val got = Analysis.chunk(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getString(4))).sortBy(t => (t._1, t._2))
+    // 50 tokens, C=32, S=24 → starts 1 and 25; second chunk clipped to 26
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSeq ===
+      Seq((0L, 0, 1, 32L), (0L, 1, 25, 26L), (1L, 0, 1, 3L)))
+    assert(got(0)._5 === (1 to 32).map(i => s"w$i").mkString(" "))
+    assert(got(1)._5 === (25 to 50).map(i => s"w$i").mkString(" "))
+    assert(got(2)._5 === "a b c")
+    // consecutive chunks overlap by C − S tokens
+    assert(got(0)._5.split(" ").drop(24).toSeq ===
+      got(1)._5.split(" ").take(8).toSeq)
+  }
+
+  test("chunking plans no shuffle: map-side explode only") {
+    val df = Analysis.chunk(spark.read.parquet(
+      "/root/testdata/sf0.001/documents.parquet"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(1500))
+  }
+
   test("top bigrams plan uses the WindowGroupLimit rewrite") {
     val df = Analysis.queries("text_top_bigrams")(spark, "/root/testdata/sf0.001")
     assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
