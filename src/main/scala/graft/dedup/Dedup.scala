@@ -529,19 +529,36 @@ object Dedup {
     * gracefully to shuffle joins if an adversarial eval set explodes
     * either side.
     */
+  /** (doc_id, shk) hashed [[DecontamShingle]]-gram postings of `d`. */
+  private def decontamKeys(d: DataFrame, production: Boolean): DataFrame =
+    toksOf(d).select(col("doc_id"),
+        explode(shingleOfN(col("toks"), DecontamShingle)).as("s"))
+      .select(col("doc_id"),
+        graft.functions.PortableHash.key64(col("s"), production).as("shk"))
+
   def decontaminate(corpus: DataFrame, evalDocs: DataFrame): DataFrame = {
     val production = graft.functions.PortableHash.enabled(corpus)
-    def keyed(d: DataFrame): DataFrame =
-      toksOf(d).select(col("doc_id"),
-          explode(shingleOfN(col("toks"), DecontamShingle)).as("s"))
-        .select(col("doc_id"),
-          graft.functions.PortableHash.key64(col("s"), production).as("shk"))
-    val evalKeys = keyed(evalDocs).select("shk").distinct()
-    val contaminated = keyed(corpus)
+    val evalKeys = decontamKeys(evalDocs, production).select("shk").distinct()
+    val contaminated = decontamKeys(corpus, production)
       .join(broadcast(evalKeys), Seq("shk"), "left_semi")
       .select("doc_id").distinct()
     corpus.join(contaminated, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source", "n_chars")
+  }
+
+  /** The audit twin of [[decontaminate]] — drops must never be silent:
+    * one row per CONTAMINATED corpus doc with how many distinct eval
+    * n-gram keys it shares (the evidence the drop decision rests on).
+    * Same broadcast semi-join chain; a per-doc aggregate replaces the
+    * distinct+anti tail.
+    */
+  def decontaminationReport(corpus: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val production = graft.functions.PortableHash.enabled(corpus)
+    val evalKeys = decontamKeys(evalDocs, production).select("shk").distinct()
+    decontamKeys(corpus, production)
+      .join(broadcast(evalKeys), Seq("shk"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count_distinct(col("shk")).as("n_shared_keys"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -604,6 +621,13 @@ object Dedup {
     "dedup_decontaminate" -> ((s, dir) => {
       val d = docs(s, dir)
       decontaminate(
+        d.filter(col("source") =!= lit(DecontamEvalSource)),
+        d.filter(col("source") === lit(DecontamEvalSource)))
+        .orderBy("doc_id")
+    }),
+    "dedup_decontaminate_report" -> ((s, dir) => {
+      val d = docs(s, dir)
+      decontaminationReport(
         d.filter(col("source") =!= lit(DecontamEvalSource)),
         d.filter(col("source") === lit(DecontamEvalSource)))
         .orderBy("doc_id")
@@ -884,6 +908,28 @@ object Dedup {
          |FROM dd LEFT JOIN hits ON hits.doc_id = dd.doc_id
          |WHERE dd.source <> '$DecontamEvalSource' AND hits.doc_id IS NULL
          |ORDER BY dd.doc_id""".stripMargin,
+    "dedup_decontaminate_report" ->
+      s"""WITH dd AS (
+         |  SELECT doc_id, source,
+         |         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |                     t -> length(t) > 0) AS toks
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND length(text) > 0
+         |), shd AS (
+         |  SELECT DISTINCT doc_id, source,
+         |         array_to_string(list_slice(toks, i, i + ${DecontamShingle - 1}), ' ') AS s
+         |  FROM dd, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - ${DecontamShingle - 1}, 0))) AS i)
+         |), keyed AS (
+         |  SELECT doc_id, source, $jaccardHashSql AS shk
+         |  FROM (SELECT doc_id, source, substr(md5(s), 1, 15) AS hx FROM shd)
+         |), ev AS (
+         |  SELECT DISTINCT shk FROM keyed WHERE source = '$DecontamEvalSource'
+         |)
+         |SELECT doc_id, count(DISTINCT keyed.shk) AS n_shared_keys
+         |FROM keyed JOIN ev ON keyed.shk = ev.shk
+         |WHERE source <> '$DecontamEvalSource'
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
     // One WITH composes all three candidate-generation chains (the CTE
     // bodies above exist exactly for this — duplicate CTE names are
     // illegal). The empty-filter agg emits one row of (0, NULL→0), so

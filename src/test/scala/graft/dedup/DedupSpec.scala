@@ -118,6 +118,13 @@ class DedupSpec extends SparkSpec {
         docs.filter(col("source") === "src0"))
       .collect().map(_.getLong(0)).toSet
     assert(kept === Set(2L, 3L))
+    // the audit twin names the dropped doc and counts its evidence:
+    // doc 1 embeds exactly one eval 5-gram
+    val report = Dedup.decontaminationReport(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(report === Map(1L -> 1L))
   }
 
   test("oversized LSH buckets are dropped before pair expansion") {

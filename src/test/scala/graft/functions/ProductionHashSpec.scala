@@ -32,7 +32,7 @@ class ProductionHashSpec extends graft.SparkSpec {
   private val hashQueries = Seq(
     "dedup_minhash_candidates", "dedup_simhash", "dedup_simhash_pairs",
     "dedup_ngram_jaccard", "dedup_bucket_stats", "dedup_decontaminate",
-    "sample_split_assign", "sample_split_stats")
+    "dedup_decontaminate_report", "sample_split_assign", "sample_split_stats")
 
   private def run(name: String): DataFrame =
     graft.SparkEntry.queries(name)(spark, dir)
@@ -78,6 +78,9 @@ class ProductionHashSpec extends graft.SparkSpec {
       assert(dc.length > 0)
       assert(dc.forall(_.getString(2) != graft.dedup.Dedup.DecontamEvalSource),
         "eval-source docs must never appear in the decontaminated corpus")
+      val rep = run("dedup_decontaminate_report").collect()
+      assert(rep.forall(_.getLong(1) > 0),
+        "every reported contamination must carry positive evidence")
     }
   }
 
@@ -94,14 +97,16 @@ class ProductionHashSpec extends graft.SparkSpec {
       // local frame — its interesting plans run inside the build, so a
       // shape diff there is covered by the queries it composes.)
       //
-      // dedup_decontaminate is the one query that JOINS on the hash key,
-      // and the two hash expressions differ in declared nullability
+      // the decontaminate pair are the queries that JOIN on the hash
+      // key, and the two hash expressions differ in declared nullability
       // (md5-derived slice: nullable; xxhash64: never null) — so Catalyst
       // infers an isnotnull(join key) FilterExec in oracle mode only.
       // That filter IS part of "the hash expression aside": normalize it
-      // away for this query, keep the strict node-sequence pin elsewhere.
+      // away for these queries, keep the strict node-sequence pin
+      // elsewhere.
       def norm(s: Seq[String]): Seq[String] =
-        if (name == "dedup_decontaminate") s.filterNot(_ == "FilterExec") else s
+        if (name.startsWith("dedup_decontaminate")) s.filterNot(_ == "FilterExec")
+        else s
       val oracleShape = norm(shape(run(name)))
       val prodShape = inProductionMode(norm(shape(run(name))))
       assert(oracleShape == prodShape,
