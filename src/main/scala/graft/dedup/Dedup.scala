@@ -32,10 +32,14 @@ import org.apache.spark.sql.functions._
   *    bucket row — never an all-pairs product, never a self-join. A
   *    bucket-size cap bounds the per-bucket quadratic blowup on
   *    degenerate buckets (e.g. boilerplate-heavy corpora).
-  *  - n-gram Jaccard: inverted shingle index with a document-frequency
-  *    cap (standard prefix-filtering practice: ultra-common shingles
-  *    carry no dedup signal but create quadratic pair fanout); a linear
-  *    join-free chain — sizes ride along with the postings.
+  *  - n-gram Jaccard: df-capped inverted index over hashed shingles,
+  *    then PPJoin prefix filtering — only each doc's first
+  *    n−⌊t·n⌋+1 sorted hash keys enter the candidate index, and
+  *    verification runs inside the pair expansion via array_intersect
+  *    on the carried per-doc sets; a linear join-free chain with no
+  *    corpus-sized candidate stream.
+  *  - decontamination: the tiny eval set's keys BROADCAST into a
+  *    semi-join — the corpus never shuffles for the membership test.
   *  - SimHash pairs: 16-bit chunk banding (pigeonhole: hamming ≤ 3 over
   *    64 bits guarantees ≥1 of 4 chunks equal), then exact hamming as
   *    XOR + bit_count on the chunk ints — aggs + in-bucket expansion

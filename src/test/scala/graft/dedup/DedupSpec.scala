@@ -127,6 +127,20 @@ class DedupSpec extends SparkSpec {
     assert(report === Map(1L -> 1L))
   }
 
+  test("decontamination plans broadcast joins only — the corpus never shuffles to be tested") {
+    val dir = "/root/testdata/sf0.001"
+    for (name <- Seq("dedup_decontaminate", "dedup_decontaminate_report")) {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val full = df.queryExecution.executedPlan.toString
+      val fin = full.split("== Initial Plan ==")(0)
+      assert("BroadcastHashJoin".r.findAllIn(fin).nonEmpty, s"$name:\n${fin.take(2000)}")
+      assert(!fin.contains("SortMergeJoin"),
+        s"$name: membership tests must broadcast, not sort-merge:\n${fin.take(2000)}")
+      assert(!fin.contains("CartesianProduct"), fin.take(2000))
+    }
+  }
+
   test("oversized LSH buckets are dropped before pair expansion") {
     // 300 identical docs → every bucket has 300 > MaxBucketSize members;
     // without the cap this would expand to ~45k pairs per band.

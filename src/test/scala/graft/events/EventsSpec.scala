@@ -35,6 +35,15 @@ class EventsSpec extends SparkSpec {
     assert(idxPartial >= 0, p.take(1500))
   }
 
+  test("funnel: all three stage windows share one user_id exchange") {
+    val p = plan("events_funnel")
+    val userShuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id"))
+    assert(userShuffles === 1,
+      s"chained conditional window-mins must reuse one user_id shuffle, " +
+        s"saw $userShuffles:\n${p.take(2500)}")
+  }
+
   test("funnel stages match a hand-built trace (strict event order)") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.functions._

@@ -56,4 +56,29 @@ class TemporalSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
   }
+
+  test("attribution matches purchases to in-horizon views incl. cross-bucket") {
+    val h = Temporal.AttributionHorizonSec // 3600
+    val dir = eventsDir(Seq(
+      (1L, 100L, "view"),
+      (2L, 200L, "view"),
+      (3L, 300L, "purchase"),      // → views 1, 2 (same bucket)
+      (4L, 100L + h, "purchase"),  // dt(1→4)=3600 inclusive, CROSS-bucket
+      (5L, 200L + h, "purchase"),  // view 1 out (dt 3700); view 2 exactly h
+      (6L, 50L, "purchase")        // before any view → unattributed
+    ))
+    val got = Temporal.queries("events_attribution")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (3L, 1L), (3L, 2L),
+      (4L, 1L), (4L, 2L),
+      (5L, 2L)))
+  }
+
+  test("attribution plans an equi-join, not a nested-loop theta join") {
+    val plan = Temporal.queries("events_attribution")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
 }
