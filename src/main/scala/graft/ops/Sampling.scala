@@ -41,6 +41,31 @@ object Sampling {
           .when(col("bucket") < TrainPct + ValPct, "val")
           .otherwise("test"))
 
+  /** Data-mixing rates: per-language keep percentage for the
+    * deterministic downsampling pass a pipeline uses to reweight an
+    * over-represented language/source before training. Languages not
+    * listed keep everything. Same hash-threshold mechanism as the
+    * train/val/test split, so mixing membership is equally stable under
+    * re-runs, backfills, and repartitioning — and a doc's mix fate is
+    * INDEPENDENT of its split fate only if the two use different key
+    * derivations; they share the doc_id bucket here deliberately, so
+    * mixing removes proportionally from every split.
+    */
+  val MixPct: Seq[(String, Int)] = Seq("en" -> 40, "es" -> 80)
+  val DefaultMixPct = 100
+
+  private def mixRate: org.apache.spark.sql.Column =
+    MixPct.foldRight(lit(DefaultMixPct): org.apache.spark.sql.Column) {
+      case ((l, p), els) => when(col("lang") === lit(l), lit(p)).otherwise(els)
+    }
+
+  /** (input row) + bucket, rate, kept — the mixing decision per doc. */
+  def mixAssign(d: DataFrame, keyCol: String): DataFrame =
+    d.withColumn("bucket",
+        hashBucket(col(keyCol), graft.functions.PortableHash.enabled(d)))
+      .withColumn("rate", mixRate.cast("long"))
+      .withColumn("kept", col("bucket") < col("rate"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-doc assignment: the full reproducible-split contract
     "sample_split_assign" -> ((s, dir) =>
@@ -51,7 +76,22 @@ object Sampling {
     "sample_split_stats" -> ((s, dir) =>
       split(s.read.parquet(s"$dir/documents.parquet"), "doc_id")
         .groupBy("lang", "split").agg(count(lit(1)).as("n"))
-        .orderBy("lang", "split"))
+        .orderBy("lang", "split")),
+    // the corpus after language reweighting (the apply step)
+    "sample_mix_apply" -> ((s, dir) =>
+      mixAssign(s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+        .filter(col("kept"))
+        .select("doc_id", "lang", "bucket")
+        .orderBy("doc_id")),
+    // the mixing audit: per language, incoming vs kept vs configured
+    // rate — downsampling must never be silent
+    "sample_mix_stats" -> ((s, dir) =>
+      mixAssign(s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_in"),
+          sum(col("kept").cast("long")).as("n_kept"),
+          max(col("rate")).as("rate_pct"))
+        .orderBy("lang"))
   )
 
   private val bucketSql: String = {
@@ -74,6 +114,21 @@ object Sampling {
        |  FROM b
        |)""".stripMargin
 
+  private val rateSql: String =
+    MixPct.foldRight(DefaultMixPct.toString) {
+      case ((l, p), els) => s"CASE WHEN lang = '$l' THEN $p ELSE $els END"
+    }
+
+  private val mixCte: String =
+    s"""WITH hx AS (
+       |  SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS hx
+       |  FROM documents
+       |), m AS (
+       |  SELECT *, CAST($bucketSql AS BIGINT) AS bucket,
+       |         CAST($rateSql AS BIGINT) AS rate
+       |  FROM hx
+       |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "sample_split_assign" ->
       s"""$splitCte
@@ -81,6 +136,16 @@ object Sampling {
     "sample_split_stats" ->
       s"""$splitCte
          |SELECT lang, split, count(*) AS n FROM s
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sample_mix_apply" ->
+      s"""$mixCte
+         |SELECT doc_id, lang, bucket FROM m WHERE bucket < rate
+         |ORDER BY doc_id""".stripMargin,
+    "sample_mix_stats" ->
+      s"""$mixCte
+         |SELECT lang, count(*) AS n_in,
+         |  CAST(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  max(rate) AS rate_pct
+         |FROM m GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

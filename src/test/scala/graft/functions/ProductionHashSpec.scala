@@ -32,7 +32,8 @@ class ProductionHashSpec extends graft.SparkSpec {
   private val hashQueries = Seq(
     "dedup_minhash_candidates", "dedup_simhash", "dedup_simhash_pairs",
     "dedup_ngram_jaccard", "dedup_bucket_stats", "dedup_decontaminate",
-    "dedup_decontaminate_report", "sample_split_assign", "sample_split_stats")
+    "dedup_decontaminate_report", "sample_split_assign", "sample_split_stats",
+    "sample_mix_apply", "sample_mix_stats")
 
   private def run(name: String): DataFrame =
     graft.SparkEntry.queries(name)(spark, dir)
@@ -81,6 +82,12 @@ class ProductionHashSpec extends graft.SparkSpec {
       val rep = run("dedup_decontaminate_report").collect()
       assert(rep.forall(_.getLong(1) > 0),
         "every reported contamination must carry positive evidence")
+
+      // mixing: kept-iff-bucket<rate must hold under either hash
+      val mix = run("sample_mix_stats").collect()
+      assert(mix.length > 0)
+      assert(mix.forall(r => r.getLong(2) <= r.getLong(1)),
+        "kept count can never exceed incoming count")
     }
   }
 

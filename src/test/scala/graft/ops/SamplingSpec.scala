@@ -18,6 +18,25 @@ class SamplingSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("mixing keeps exactly the sub-rate buckets, stable under repartition") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val rates = Sampling.MixPct.toMap
+    val rows = Sampling.mixAssign(d, "doc_id")
+      .select("doc_id", "lang", "bucket", "rate", "kept").collect()
+    assert(rows.forall { r =>
+      r.getLong(3) == rates.getOrElse(r.getString(1), Sampling.DefaultMixPct).toLong
+    }, "rate column must follow the configured per-lang table")
+    assert(rows.forall(r => r.getBoolean(4) == (r.getLong(2) < r.getLong(3))),
+      "kept iff bucket < rate — no other criterion")
+    val again = Sampling.mixAssign(d.repartition(7), "doc_id")
+      .filter(col("kept")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === rows.filter(_.getBoolean(4)).map(_.getLong(0)).toSet,
+      "mix membership must be partitioning-independent")
+    // unlisted langs keep everything
+    val unlisted = rows.filter(r => !rates.contains(r.getString(1)))
+    assert(unlisted.nonEmpty && unlisted.forall(_.getBoolean(4)))
+  }
+
   test("split proportions are near 90/5/5 and partition the corpus") {
     val d = spark.read.parquet(s"$dir/documents.parquet")
     val n = d.count().toDouble
