@@ -45,14 +45,17 @@ object Sampling {
     * deterministic downsampling pass a pipeline uses to reweight an
     * over-represented language/source before training. Languages not
     * listed keep everything. Same hash-threshold mechanism as the
-    * train/val/test split, so mixing membership is equally stable under
-    * re-runs, backfills, and repartitioning — and a doc's mix fate is
-    * INDEPENDENT of its split fate only if the two use different key
-    * derivations; they share the doc_id bucket here deliberately, so
-    * mixing removes proportionally from every split.
+    * train/val/test split — equally stable under re-runs, backfills,
+    * and repartitioning — but over a SALTED key ("mix|" + id): reusing
+    * the split bucket would make the mix-kept set a strict subset of
+    * `train` (bucket < rate ⊆ bucket < 90) and empty out val/test for
+    * every downsampled language. The salt makes a doc's mix fate
+    * independent of its split fate, so mixing removes (statistically)
+    * proportionally from every split.
     */
   val MixPct: Seq[(String, Int)] = Seq("en" -> 40, "es" -> 80)
   val DefaultMixPct = 100
+  val MixSalt = "mix|"
 
   private def mixRate: org.apache.spark.sql.Column =
     MixPct.foldRight(lit(DefaultMixPct): org.apache.spark.sql.Column) {
@@ -62,7 +65,8 @@ object Sampling {
   /** (input row) + bucket, rate, kept — the mixing decision per doc. */
   def mixAssign(d: DataFrame, keyCol: String): DataFrame =
     d.withColumn("bucket",
-        hashBucket(col(keyCol), graft.functions.PortableHash.enabled(d)))
+        hashBucket(concat(lit(MixSalt), col(keyCol).cast("string")),
+          graft.functions.PortableHash.enabled(d)))
       .withColumn("rate", mixRate.cast("long"))
       .withColumn("kept", col("bucket") < col("rate"))
 
@@ -121,7 +125,7 @@ object Sampling {
 
   private val mixCte: String =
     s"""WITH hx AS (
-       |  SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS hx
+       |  SELECT *, substr(md5('$MixSalt' || CAST(doc_id AS VARCHAR)), 1, 7) AS hx
        |  FROM documents
        |), m AS (
        |  SELECT *, CAST($bucketSql AS BIGINT) AS bucket,

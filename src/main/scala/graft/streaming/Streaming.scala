@@ -186,20 +186,27 @@ object StreamingSessionize {
   */
 object StreamingAttribution {
 
-  /** Views are evicted once no future purchase can reach them; the
-    * margin above the horizon absorbs purchase-side lateness.
+  /** Watermark DELAYS — i.e. how late each stream's events may arrive
+    * (relative to that stream's max event time) before being dropped as
+    * late. Neither is a direct state-retention knob: Spark derives the
+    * eviction bounds from the join's time condition — buffered views
+    * evict once the purchase-side watermark passes view_ts + horizon
+    * (no future purchase can reach them), and buffered purchases once
+    * the view side passes purchase_ts. Raising the view delay therefore
+    * tolerates later views AND holds purchase state longer; it does not
+    * change how long views are buffered.
     */
-  val DefaultViewRetention = "2 hours"
+  val DefaultViewLateness = "2 hours"
   val DefaultPurchaseLateness = "10 minutes"
 
   def attributed(views: DataFrame, purchases: DataFrame,
-      viewRetention: String = DefaultViewRetention,
+      viewLateness: String = DefaultViewLateness,
       purchaseLateness: String = DefaultPurchaseLateness): DataFrame = {
     val horizonSec = graft.rel.Temporal.AttributionHorizonSec
     val v = views
       .select(col("user_id"), col("event_id").as("view_id"),
         col("ts").as("view_ts"))
-      .withWatermark("view_ts", viewRetention)
+      .withWatermark("view_ts", viewLateness)
     val p = purchases
       .select(col("user_id").as("p_user_id"),
         col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))

@@ -146,13 +146,15 @@ object Analysis {
 
   // ---- fingerprints -----------------------------------------------------
 
-  /** Shingles from a BOUND token-array attribute (a computed array
+  /** Word n-grams from a BOUND token-array attribute (a computed array
     * captured in the per-index lambda would re-tokenize per shingle).
     */
-  private def shingleOf(toks: Column): Column =
-    when(size(toks) < FpShingleSize, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - (FpShingleSize - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(FpShingleSize)))))
+  private def shingleOfN(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  private def shingleOf(toks: Column): Column = shingleOfN(toks, FpShingleSize)
 
   /** Two fingerprints per doc:
     *  - `bow_fp`: md5 of the sorted distinct token bag — an
@@ -185,10 +187,7 @@ object Analysis {
 
   def topBigrams(d: DataFrame, k: Int = TopBigramsK): DataFrame = {
     val bi = d.select(col("lang"), toksCol.as("toks"))
-      .select(col("lang"), explode(
-        when(size(col("toks")) < 2, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(1), size(col("toks")) - 1),
-            i => concat_ws(" ", slice(col("toks"), i, lit(2)))))).as("bigram"))
+      .select(col("lang"), explode(shingleOfN(col("toks"), 2)).as("bigram"))
     val counts = bi.groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
       .orderBy(col("n").desc, col("bigram").asc)

@@ -111,14 +111,25 @@ class ProductionHashSpec extends graft.SparkSpec {
       // That filter IS part of "the hash expression aside": normalize it
       // away for these queries, keep the strict node-sequence pin
       // elsewhere.
-      def norm(s: Seq[String]): Seq[String] =
-        if (name.startsWith("dedup_decontaminate")) s.filterNot(_ == "FilterExec")
-        else s
-      val oracleShape = norm(shape(run(name)))
-      val prodShape = inProductionMode(norm(shape(run(name))))
-      assert(oracleShape == prodShape,
-        s"$name plan shape diverged between hash modes:\n" +
-          s"oracle: $oracleShape\nprod:   $prodShape")
+      val oracleShape = shape(run(name))
+      val prodShape = inProductionMode(shape(run(name)))
+      if (name.startsWith("dedup_decontaminate")) {
+        // compare modulo FilterExec, but keep the pin one-sided: the
+        // nullable md5 key can only ADD isnotnull filters, so the
+        // production plan must never carry MORE filters than oracle —
+        // a real filter lost from the oracle side still fails
+        def noF(s: Seq[String]) = s.filterNot(_ == "FilterExec")
+        assert(noF(oracleShape) == noF(prodShape),
+          s"$name plan shape diverged beyond null filters:\n" +
+            s"oracle: $oracleShape\nprod:   $prodShape")
+        val of = oracleShape.count(_ == "FilterExec")
+        val pf = prodShape.count(_ == "FilterExec")
+        assert(pf <= of,
+          s"$name: production mode grew filters oracle mode lacks ($pf > $of)")
+      } else
+        assert(oracleShape == prodShape,
+          s"$name plan shape diverged between hash modes:\n" +
+            s"oracle: $oracleShape\nprod:   $prodShape")
     }
   }
 }

@@ -37,6 +37,24 @@ class SamplingSpec extends SparkSpec {
     assert(unlisted.nonEmpty && unlisted.forall(_.getBoolean(4)))
   }
 
+  test("mix fate is independent of split fate (salted key)") {
+    // an unsalted mix bucket would make kept (bucket < rate) a strict
+    // subset of train (bucket < 90), emptying val/test for downsampled
+    // langs; with the salt, ~10 % of the ~160 kept en/es docs at sf0.01
+    // land outside train (P[none] ≈ 0.9^160 ≈ 5e-8 — not flaky)
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val mixed = Sampling.MixPct.map(_._1)
+    val kept = Sampling.mixAssign(d, "doc_id")
+      .filter(col("kept") && col("lang").isin(mixed: _*))
+      .select("doc_id")
+    val splits = Sampling.split(d, "doc_id")
+      .select(col("doc_id"), col("split"))
+    val outsideTrain = kept.join(splits, "doc_id")
+      .filter(col("split") =!= "train").count()
+    assert(outsideTrain > 0,
+      "downsampling must not silently empty the val/test splits")
+  }
+
   test("split proportions are near 90/5/5 and partition the corpus") {
     val d = spark.read.parquet(s"$dir/documents.parquet")
     val n = d.count().toDouble
