@@ -103,6 +103,22 @@ object Events {
         .distinct()
         .groupBy("stage").agg(count(lit(1)).as("n_users"))
         .orderBy("stage")
+    }),
+    // Cohort retention: users grouped by first-seen day, activity
+    // counted per day offset — the engagement matrix behind every
+    // retention curve. The cohort day attaches via a window over ONE
+    // user_id exchange (no self-join back to a first-seen aggregate);
+    // the (cohort, offset) matrix is a bounded-cardinality second
+    // aggregate (days², independent of event volume).
+    "events_retention" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+      ev(s, dir)
+        .withColumn("cohort_day", to_date(min(col("ts")).over(w)))
+        .select(col("user_id"), col("cohort_day"),
+          datediff(to_date(col("ts")), col("cohort_day")).as("day_offset"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
     })
   )
 
@@ -167,6 +183,18 @@ object Events {
         |  FROM s3
         |)
         |SELECT stage, count(*) AS n_users FROM staged
-        |GROUP BY stage ORDER BY stage""".stripMargin
+        |GROUP BY stage ORDER BY stage""".stripMargin,
+    "events_retention" ->
+      """WITH c AS (
+        |  SELECT user_id, ts,
+        |    CAST(min(ts) OVER (PARTITION BY user_id) AS DATE) AS cohort_day
+        |  FROM events
+        |)
+        |SELECT cohort_day,
+        |  CAST(date_diff('day', cohort_day, CAST(ts AS DATE)) AS INT) AS day_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM c
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin
   )
 }

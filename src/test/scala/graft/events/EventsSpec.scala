@@ -66,6 +66,27 @@ class EventsSpec extends SparkSpec {
     assert(got === Set((0, 1L), (1, 2L), (3, 1L)))
   }
 
+  test("retention matrix matches a hand-built trace") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    // user 1 first seen day 0, active days 0 and 2; user 2 first seen
+    // day 2, active day 2 twice (counted once) and day 3
+    val day = 86400L
+    val df = Seq(
+      (1L, 0L, 1L), (2L, 2 * day, 1L),
+      (3L, 2 * day + 100, 2L), (4L, 2 * day + 200, 2L), (5L, 3 * day, 2L)
+    ).toDF("event_id", "sec", "uid")
+      .select(col("event_id"), timestamp_seconds(col("sec")).as("ts"),
+        col("uid").as("user_id"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rt")
+    df.write.mode("overwrite").parquet(tmp.resolve("events.parquet").toString)
+    val got = Events.queries("events_retention")(spark, tmp.toString)
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2))).toSet
+    assert(got === Set(
+      ("1970-01-01", 0, 1L), ("1970-01-01", 2, 1L),
+      ("1970-01-03", 0, 1L), ("1970-01-03", 1, 1L)))
+  }
+
   test("sessionization matches a hand-built trace") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.functions._
