@@ -102,6 +102,34 @@ class AnalysisSpec extends SparkSpec {
       got(1)._5.split(" ").take(8).toSeq)
   }
 
+  test("chunking invariants hold for every doc length 1..40") {
+    val s = spark; import s.implicits._
+    // one doc per token count; tokens are their own 1-based index
+    val docs = (1 to 40).map(len =>
+      (len.toLong, (1 to len).map(_.toString).mkString(" "))).toDF("doc_id", "text")
+    val chunks = Analysis.chunk(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getString(4)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    for (len <- 1 to 40) {
+      val cs = chunks(len.toLong)
+      // starts advance by exactly the stride from 1
+      assert(cs.map(_._3).toSeq ==
+        cs.indices.map(_ * Analysis.ChunkStride + 1), s"len=$len")
+      // full coverage: every token index appears in some chunk
+      val covered = cs.flatMap(c => c._3 until (c._3 + c._4.toInt)).toSet
+      assert(covered == (1 to len).toSet, s"len=$len coverage hole")
+      // no degenerate tail: every chunk contributes ≥1 NEW token
+      val lastEnds = cs.map(c => c._3 + c._4.toInt - 1)
+      assert(lastEnds.toSeq == lastEnds.toSeq.sorted.distinct, s"len=$len")
+      // chunk text re-materializes exactly its token range
+      cs.foreach { c =>
+        assert(c._5 == (c._3 until (c._3 + c._4.toInt)).mkString(" "),
+          s"len=$len chunk ${c._2}")
+      }
+    }
+  }
+
   test("chunking plans no shuffle: map-side explode only") {
     val df = Analysis.chunk(spark.read.parquet(
       "/root/testdata/sf0.001/documents.parquet"))
