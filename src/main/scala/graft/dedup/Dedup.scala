@@ -37,7 +37,8 @@ import org.apache.spark.sql.functions._
   *    n−⌊t·n⌋+1 sorted hash keys enter the candidate index, and
   *    verification runs inside the pair expansion via array_intersect
   *    on the carried per-doc sets; a linear join-free chain with no
-  *    corpus-sized candidate stream.
+  *    exhaustive posting-pair stream (carried-set trade disclosed at
+  *    the operator).
   *  - decontamination: the tiny eval set's keys BROADCAST into a
   *    semi-join — the corpus never shuffles for the membership test.
   *  - SimHash pairs: 16-bit chunk banding (pigeonhole: hamming ≤ 3 over
@@ -84,16 +85,8 @@ object Dedup {
   private def toksCol: Column =
     filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
 
-  /** Word n-grams from a BOUND token-array attribute.
-    * The argument must be a materialized column reference, never the
-    * tokenizing expression itself: a computed array captured inside the
-    * per-index lambda would re-tokenize the text for every shingle —
-    * O(len²) per document.
-    */
   private def shingleOfN(toks: Column, n: Int): Column =
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    graft.functions.Ngrams.shingleOfN(toks, n)
 
   private def shingleOf(toks: Column): Column = shingleOfN(toks, ShingleSize)
 
@@ -311,8 +304,15 @@ object Dedup {
     // broadcastable. Here everything a pair needs (sizes AND the sets
     // themselves) rides the chain: per-doc kept-sets are built once,
     // only their PPJoin prefixes are re-indexed, and verification
-    // happens inside the pair expansion — no join back, no corpus-sized
-    // candidate stream, single materialization by construction.
+    // happens inside the pair expansion — no join back, no exhaustive
+    // posting-pair stream, single materialization by construction.
+    // TRADE disclosed: carrying each doc's set into its ~(1−t)·n prefix
+    // postings makes the prefix-index shuffle O((1−t)·n²) per doc. At
+    // this fixture's n≈50 that is noise; for corpora with very large
+    // per-doc n, the classic alternative — index (doc_id, n, shk) only
+    // and join surviving candidate pairs back to the docsets table for
+    // verification — bounds the shuffle at the cost of reintroducing a
+    // (co-partitioned, candidate-sized) join.
     val production = graft.functions.PortableHash.enabled(d)
     // Set semantics ON THE HASHES: the posting index aggregates straight
     // off the raw shingle multiset with collect_set(doc_id), so the
@@ -354,10 +354,11 @@ object Dedup {
       .agg(array_sort(collect_list(struct(col("doc_id"), col("n"), col("ks")))).as("arr"))
       .filter(size(col("arr")) >= 2)
     // verify INSIDE the expansion: ix = |A∩B| via array_intersect on the
-    // two sorted hash sets, arrays dropped before anything shuffles —
-    // duplicate candidates (pairs sharing several prefix keys) collapse
-    // in the scalar distinct below, after the threshold filter has
-    // already discarded nearly everything
+    // two sorted hash sets; the PAIR stream that leaves this stage is
+    // scalar-only (the carried arrays end here) — duplicate candidates
+    // (pairs sharing several prefix keys) collapse in the scalar
+    // distinct below, after the threshold filter has already discarded
+    // nearly everything
     val jac = col("ix").cast("double") / (col("na") + col("nb") - col("ix")).cast("double")
     buckets
       .select(explode(flatten(transform(col("arr"), (x, i) =>
@@ -519,6 +520,24 @@ object Dedup {
   /** The fixture source treated as the held-out evaluation set. */
   val DecontamEvalSource = "src0"
 
+  /** (doc_id, shk) hashed [[DecontamShingle]]-gram postings of `d`. */
+  private def decontamKeys(d: DataFrame, production: Boolean): DataFrame =
+    toksOf(d).select(col("doc_id"),
+        explode(shingleOfN(col("toks"), DecontamShingle)).as("s"))
+      .select(col("doc_id"),
+        graft.functions.PortableHash.key64(col("s"), production).as("shk"))
+
+  /** Corpus postings whose key appears in the eval set — the ONE
+    * broadcast semi-join chain both decontamination surfaces share.
+    */
+  private def contaminatedPostings(corpus: DataFrame,
+      evalDocs: DataFrame): DataFrame = {
+    val production = graft.functions.PortableHash.enabled(corpus)
+    val evalKeys = decontamKeys(evalDocs, production).select("shk").distinct()
+    decontamKeys(corpus, production)
+      .join(broadcast(evalKeys), Seq("shk"), "left_semi")
+  }
+
   /** Benchmark decontamination: drop every corpus doc sharing at least
     * one [[DecontamShingle]]-gram (60-bit hashed, both engines) with the
     * evaluation set — the standard guard against test-set leakage into
@@ -533,18 +552,8 @@ object Dedup {
     * gracefully to shuffle joins if an adversarial eval set explodes
     * either side.
     */
-  /** (doc_id, shk) hashed [[DecontamShingle]]-gram postings of `d`. */
-  private def decontamKeys(d: DataFrame, production: Boolean): DataFrame =
-    toksOf(d).select(col("doc_id"),
-        explode(shingleOfN(col("toks"), DecontamShingle)).as("s"))
-      .select(col("doc_id"),
-        graft.functions.PortableHash.key64(col("s"), production).as("shk"))
-
   def decontaminate(corpus: DataFrame, evalDocs: DataFrame): DataFrame = {
-    val production = graft.functions.PortableHash.enabled(corpus)
-    val evalKeys = decontamKeys(evalDocs, production).select("shk").distinct()
-    val contaminated = decontamKeys(corpus, production)
-      .join(broadcast(evalKeys), Seq("shk"), "left_semi")
+    val contaminated = contaminatedPostings(corpus, evalDocs)
       .select("doc_id").distinct()
     corpus.join(contaminated, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source", "n_chars")
@@ -556,14 +565,10 @@ object Dedup {
     * Same broadcast semi-join chain; a per-doc aggregate replaces the
     * distinct+anti tail.
     */
-  def decontaminationReport(corpus: DataFrame, evalDocs: DataFrame): DataFrame = {
-    val production = graft.functions.PortableHash.enabled(corpus)
-    val evalKeys = decontamKeys(evalDocs, production).select("shk").distinct()
-    decontamKeys(corpus, production)
-      .join(broadcast(evalKeys), Seq("shk"), "left_semi")
+  def decontaminationReport(corpus: DataFrame, evalDocs: DataFrame): DataFrame =
+    contaminatedPostings(corpus, evalDocs)
       .groupBy("doc_id")
       .agg(count_distinct(col("shk")).as("n_shared_keys"))
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: one row per distinct normalized text, keeper = min id.
@@ -796,6 +801,27 @@ object Dedup {
        |)$rounds""".stripMargin
   }
 
+  /** Shared decontamination CTE chain ending in keyed(doc_id, source,
+    * shk) and ev(shk) — the SQL mirror of [[contaminatedPostings]].
+    */
+  private val decontamCtes: String =
+    s"""WITH dd AS (
+       |  SELECT doc_id, lang, source, n_chars,
+       |         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |                     t -> length(t) > 0) AS toks
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND length(text) > 0
+       |), shd AS (
+       |  SELECT DISTINCT doc_id, source,
+       |         array_to_string(list_slice(toks, i, i + ${DecontamShingle - 1}), ' ') AS s
+       |  FROM dd, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - ${DecontamShingle - 1}, 0))) AS i)
+       |), keyed AS (
+       |  SELECT doc_id, source, $jaccardHashSql AS shk
+       |  FROM (SELECT doc_id, source, substr(md5(s), 1, 15) AS hx FROM shd)
+       |), ev AS (
+       |  SELECT DISTINCT shk FROM keyed WHERE source = '$DecontamEvalSource'
+       |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT sha256(lower(text)) AS text_hash,
@@ -887,24 +913,11 @@ object Dedup {
          |ORDER BY doc_id""".stripMargin,
     // Decontamination mirrors the Spark semi/anti chain on the same
     // 60-bit hashed 5-grams (collision behavior shared — a chance key
-    // collision with the eval set drops the doc on both engines).
+    // collision with the eval set drops the doc on both engines). Both
+    // decontamination oracles graft onto [[decontamCtes]], the mirror of
+    // the shared contaminatedPostings chain.
     "dedup_decontaminate" ->
-      s"""WITH dd AS (
-         |  SELECT doc_id, lang, source, n_chars,
-         |         list_filter(regexp_split_to_array(lower(text), '\\s+'),
-         |                     t -> length(t) > 0) AS toks
-         |  FROM documents
-         |  WHERE text IS NOT NULL AND length(text) > 0
-         |), shd AS (
-         |  SELECT DISTINCT doc_id, source,
-         |         array_to_string(list_slice(toks, i, i + ${DecontamShingle - 1}), ' ') AS s
-         |  FROM dd, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - ${DecontamShingle - 1}, 0))) AS i)
-         |), keyed AS (
-         |  SELECT doc_id, source, $jaccardHashSql AS shk
-         |  FROM (SELECT doc_id, source, substr(md5(s), 1, 15) AS hx FROM shd)
-         |), ev AS (
-         |  SELECT DISTINCT shk FROM keyed WHERE source = '$DecontamEvalSource'
-         |), hits AS (
+      s"""$decontamCtes, hits AS (
          |  SELECT DISTINCT keyed.doc_id FROM keyed JOIN ev USING (shk)
          |  WHERE source <> '$DecontamEvalSource'
          |)
@@ -913,22 +926,7 @@ object Dedup {
          |WHERE dd.source <> '$DecontamEvalSource' AND hits.doc_id IS NULL
          |ORDER BY dd.doc_id""".stripMargin,
     "dedup_decontaminate_report" ->
-      s"""WITH dd AS (
-         |  SELECT doc_id, source,
-         |         list_filter(regexp_split_to_array(lower(text), '\\s+'),
-         |                     t -> length(t) > 0) AS toks
-         |  FROM documents
-         |  WHERE text IS NOT NULL AND length(text) > 0
-         |), shd AS (
-         |  SELECT DISTINCT doc_id, source,
-         |         array_to_string(list_slice(toks, i, i + ${DecontamShingle - 1}), ' ') AS s
-         |  FROM dd, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - ${DecontamShingle - 1}, 0))) AS i)
-         |), keyed AS (
-         |  SELECT doc_id, source, $jaccardHashSql AS shk
-         |  FROM (SELECT doc_id, source, substr(md5(s), 1, 15) AS hx FROM shd)
-         |), ev AS (
-         |  SELECT DISTINCT shk FROM keyed WHERE source = '$DecontamEvalSource'
-         |)
+      s"""$decontamCtes
          |SELECT doc_id, count(DISTINCT keyed.shk) AS n_shared_keys
          |FROM keyed JOIN ev ON keyed.shk = ev.shk
          |WHERE source <> '$DecontamEvalSource'

@@ -188,13 +188,14 @@ object StreamingAttribution {
 
   /** Watermark DELAYS — i.e. how late each stream's events may arrive
     * (relative to that stream's max event time) before being dropped as
-    * late. Neither is a direct state-retention knob: Spark derives the
-    * eviction bounds from the join's time condition — buffered views
-    * evict once the purchase-side watermark passes view_ts + horizon
-    * (no future purchase can reach them), and buffered purchases once
-    * the view side passes purchase_ts. Raising the view delay therefore
-    * tolerates later views AND holds purchase state longer; it does not
-    * change how long views are buffered.
+    * late. Neither is a direct state-retention knob: under the default
+    * `multipleWatermarkPolicy=min` Spark tracks ONE global watermark
+    * (the min across both inputs) and derives eviction from it plus the
+    * join's time condition — buffered views evict once the global
+    * watermark passes view_ts + horizon (no future purchase can reach
+    * them), buffered purchases once it passes purchase_ts. Raising
+    * EITHER delay drags the global watermark back, so it tolerates
+    * later events on that stream AND holds state on BOTH sides longer.
     */
   val DefaultViewLateness = "2 hours"
   val DefaultPurchaseLateness = "10 minutes"

@@ -146,13 +146,8 @@ object Analysis {
 
   // ---- fingerprints -----------------------------------------------------
 
-  /** Word n-grams from a BOUND token-array attribute (a computed array
-    * captured in the per-index lambda would re-tokenize per shingle).
-    */
   private def shingleOfN(toks: Column, n: Int): Column =
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    graft.functions.Ngrams.shingleOfN(toks, n)
 
   private def shingleOf(toks: Column): Column = shingleOfN(toks, FpShingleSize)
 
