@@ -33,13 +33,28 @@ object Sampling {
     pmod(graft.functions.PortableHash.base28(key.cast("string"), production),
       lit(100L))
 
-  def split(d: DataFrame, keyCol: String): DataFrame =
-    d.withColumn("bucket",
-      hashBucket(col(keyCol), graft.functions.PortableHash.enabled(d)))
-      .withColumn("split",
-        when(col("bucket") < TrainPct, "train")
-          .when(col("bucket") < TrainPct + ValPct, "val")
-          .otherwise("test"))
+  /** Columns every assignment API appends; inputs must not already
+    * define them — `withColumn` would silently overwrite a caller's
+    * same-named column, so clashes fail fast instead.
+    */
+  private val Reserved = Seq("bucket", "rate", "kept", "split")
+
+  private def requireFresh(d: DataFrame, used: Seq[String]): Unit = {
+    val clash = d.columns.toSeq.intersect(used)
+    require(clash.isEmpty,
+      s"input already defines reserved output column(s) ${clash.mkString(", ")} " +
+        s"(reserved: ${Reserved.mkString(", ")}); rename them before assignment")
+  }
+
+  /** (input row) + `bucket`, `split` — reserved output columns. */
+  def split(d: DataFrame, keyCol: String): DataFrame = {
+    requireFresh(d, Seq("bucket", "split"))
+    val bucket = hashBucket(col(keyCol), graft.functions.PortableHash.enabled(d))
+    d.select(col("*"), bucket.as("bucket"),
+      when(bucket < TrainPct, "train")
+        .when(bucket < TrainPct + ValPct, "val")
+        .otherwise("test").as("split"))
+  }
 
   /** Data-mixing rates: per-language keep percentage for the
     * deterministic downsampling pass a pipeline uses to reweight an
@@ -62,13 +77,17 @@ object Sampling {
       case ((l, p), els) => when(col("lang") === lit(l), lit(p)).otherwise(els)
     }
 
-  /** (input row) + bucket, rate, kept — the mixing decision per doc. */
-  def mixAssign(d: DataFrame, keyCol: String): DataFrame =
-    d.withColumn("bucket",
-        hashBucket(concat(lit(MixSalt), col(keyCol).cast("string")),
-          graft.functions.PortableHash.enabled(d)))
-      .withColumn("rate", mixRate.cast("long"))
-      .withColumn("kept", col("bucket") < col("rate"))
+  /** (input row) + `bucket`, `rate`, `kept` (reserved output columns) —
+    * the mixing decision per doc.
+    */
+  def mixAssign(d: DataFrame, keyCol: String): DataFrame = {
+    requireFresh(d, Seq("bucket", "rate", "kept"))
+    val bucket = hashBucket(concat(lit(MixSalt), col(keyCol).cast("string")),
+      graft.functions.PortableHash.enabled(d))
+    val rate = mixRate.cast("long")
+    d.select(col("*"), bucket.as("bucket"), rate.as("rate"),
+      (bucket < rate).as("kept"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-doc assignment: the full reproducible-split contract

@@ -65,6 +65,10 @@ object Temporal {
     // Range self-join: ordered pairs of same-user events ≤ 5 min apart.
     // Banded: left rows emit (bucket, bucket+1) keys; the right row's
     // single bucket makes each candidate pair match exactly once.
+    // Integer `div` (not floor over double division) keeps the banding
+    // exact by construction for any epoch-microsecond magnitude — the
+    // double path is exact only while us/width stays inside the
+    // half-ulp-below-1µs window (fine for centuries, but why rely on it).
     "rel_range_join" -> ((s, dir) => {
       val base = ev(s, dir)
         .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
@@ -72,10 +76,10 @@ object Temporal {
       val left = base
         .withColumn("boff", explode(array(lit(0L), lit(1L))))
         .select(col("user_id"),
-          (floor(col("us") / winUs) + col("boff")).as("bucket"),
+          (expr(s"us div ${winUs}L") + col("boff")).as("bucket"),
           col("event_id").as("event_a"), col("us").as("us_a"))
       val right = base
-        .select(col("user_id"), floor(col("us") / winUs).as("bucket"),
+        .select(col("user_id"), expr(s"us div ${winUs}L").as("bucket"),
           col("event_id").as("event_b"), col("us").as("us_b"))
       left.join(right, Seq("user_id", "bucket"))
         .filter((col("us_a") < col("us_b") ||
@@ -100,12 +104,12 @@ object Temporal {
       val base = ev(s, dir).select(col("user_id"), col("event_id"),
         col("event_type"), unix_micros(col("ts")).as("us"))
       val views = base.filter(col("event_type") === "view")
-        .select(col("user_id"), floor(col("us") / hUs).as("bucket"),
+        .select(col("user_id"), expr(s"us div ${hUs}L").as("bucket"),
           col("event_id").as("view_id"), col("us").as("v_us"))
       val purchases = base.filter(col("event_type") === "purchase")
         .withColumn("boff", explode(array(lit(0L), lit(1L))))
         .select(col("user_id"),
-          (floor(col("us") / hUs) - col("boff")).as("bucket"),
+          (expr(s"us div ${hUs}L") - col("boff")).as("bucket"),
           col("event_id").as("purchase_id"), col("us").as("p_us"))
       purchases.join(views, Seq("user_id", "bucket"))
         .filter(col("v_us") <= col("p_us") && col("v_us") >= col("p_us") - hUs)
