@@ -289,6 +289,22 @@ object Dedup {
   def ngramJaccard(d: DataFrame,
       threshold: Double = JaccardThreshold,
       maxShingleDf: Int = MaxShingleDf): DataFrame = {
+    val jac = col("ix").cast("double") / (col("na") + col("nb") - col("ix")).cast("double")
+    ngramJaccardPairsRaw(d, threshold, maxShingleDf)
+      .distinct()
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+  }
+
+  /** The verified pair stream BEFORE the scalar distinct: a pair
+    * sharing several prefix keys appears once per shared key. Consumers
+    * that are duplicate-insensitive (the near-dup label propagation —
+    * repeated edges don't move a min) collect this directly and skip
+    * the distinct exchange; [[ngramJaccard]] adds the distinct for its
+    * one-row-per-pair contract.
+    */
+  private def ngramJaccardPairsRaw(d: DataFrame,
+      threshold: Double = JaccardThreshold,
+      maxShingleDf: Int = MaxShingleDf): DataFrame = {
     // 60-bit hash of each shingle: the inverted index aggregates on
     // fixed-width longs instead of ~20-char strings (smaller shuffle,
     // cheaper compares). Collisions (~|shingles|²/2⁶⁰) are shared by
@@ -356,9 +372,9 @@ object Dedup {
     // verify INSIDE the expansion: ix = |A∩B| via array_intersect on the
     // two sorted hash sets; the PAIR stream that leaves this stage is
     // scalar-only (the carried arrays end here) — duplicate candidates
-    // (pairs sharing several prefix keys) collapse in the scalar
-    // distinct below, after the threshold filter has already discarded
-    // nearly everything
+    // (pairs sharing several prefix keys) survive here and collapse in
+    // the caller's scalar distinct, after the threshold filter has
+    // already discarded nearly everything
     val jac = col("ix").cast("double") / (col("na") + col("nb") - col("ix")).cast("double")
     buckets
       .select(explode(flatten(transform(col("arr"), (x, i) =>
@@ -369,8 +385,6 @@ object Dedup {
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         col("p.na").as("na"), col("p.nb").as("nb"), col("p.ix").as("ix"))
       .filter(jac >= threshold)
-      .distinct()
-      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
   }
 
   /** Min-label propagation rounds for [[nearDupClusters]]. Converges
@@ -609,7 +623,10 @@ object Dedup {
     "dedup_near_apply" -> ((s, dir) => {
       import s.implicits._
       val d = docs(s, dir)
-      val pr = ngramJaccard(d).select("doc_a", "doc_b")
+      // raw (pre-distinct) pair stream: label propagation is
+      // duplicate-insensitive, so the distinct exchange is skipped and
+      // the (cap-bounded, threshold-filtered) duplicates ride along
+      val pr = ngramJaccardPairsRaw(d).select("doc_a", "doc_b")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       val (labels, converged) = propagateDriverChecked(pr)
       if (!converged)

@@ -42,6 +42,30 @@ object Events {
 
   val SessionGapMinutes = 30
 
+  /** Global top-k sessions reported by [[events_top_sessions]]. */
+  val TopSessionsK = 10
+
+  /** The gap-based session table behind `events_sessionize` and
+    * `events_top_sessions`: lag → gap flag → running-sum session id
+    * (two stacked window passes over ONE user_id exchange), then one
+    * aggregate per (user, session).
+    */
+  private def sessions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > SessionGapMinutes * 60L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 1-hour windows: count + exact sum per (hour, type).
     // Delegates to the shared batch/streaming transform so the oracle
@@ -60,22 +84,19 @@ object Events {
         .orderBy("event_type")),
     // Gap-based sessionization (30-min inactivity closes a session):
     // classic lag → gap flag → running-sum session id, all window ops.
-    "events_sessionize" -> ((s, dir) => {
-      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      ev(s, dir)
-        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-        .withColumn("new_session",
-          when(col("prev_ts").isNull ||
-            col("ts").cast("long") - col("prev_ts").cast("long") > SessionGapMinutes * 60L, 1L)
-            .otherwise(0L))
-        .withColumn("session_seq", sum(col("new_session")).over(
-          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("user_id", "session_seq")
-        .agg(count(lit(1)).as("n_events"),
-          min(col("ts")).as("session_start"),
-          max(col("ts")).as("session_end"))
-        .orderBy("user_id", "session_seq")
-    }),
+    "events_sessionize" -> ((s, dir) =>
+      sessions(s, dir).orderBy("user_id", "session_seq")),
+    // Global top-k sessions by event count (ties: longest, then user,
+    // then seq — a unique total order, so LIMIT is deterministic).
+    // orderBy+limit plans as TakeOrderedAndProject: per-partition heaps,
+    // k rows to the driver — no global sort even at 100 TB.
+    "events_top_sessions" -> ((s, dir) =>
+      sessions(s, dir)
+        .withColumn("duration_us",
+          unix_micros(col("session_end")) - unix_micros(col("session_start")))
+        .orderBy(col("n_events").desc, col("duration_us").desc,
+          col("user_id").asc, col("session_seq").asc)
+        .limit(TopSessionsK)),
     // Strict-order conversion funnel view → click → purchase: each stage
     // timestamp is the user's first matching event AFTER the previous
     // stage's timestamp (a click before ever viewing doesn't convert).
@@ -160,6 +181,30 @@ object Events {
          |FROM sessions
          |GROUP BY 1, 2
          |ORDER BY 1, 2""".stripMargin,
+    "events_top_sessions" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, ts, event_id,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(lag(ts) OVER w) AS BIGINT) > ${SessionGapMinutes * 60} THEN 1 ELSE 0 END AS new_session
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), sessions AS (
+         |  SELECT user_id, ts,
+         |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+         |  FROM flagged
+         |), agg AS (
+         |  SELECT user_id, session_seq, count(*) AS n_events,
+         |    min(ts) AS session_start, max(ts) AS session_end,
+         |    epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+         |  FROM sessions
+         |  GROUP BY 1, 2
+         |)
+         |SELECT user_id, session_seq, n_events, session_start, session_end,
+         |       duration_us
+         |FROM agg
+         |ORDER BY n_events DESC, duration_us DESC, user_id ASC, session_seq ASC
+         |LIMIT $TopSessionsK""".stripMargin,
     "events_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, event_type, ts,

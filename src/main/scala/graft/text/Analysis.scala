@@ -228,6 +228,85 @@ object Analysis {
           .as("chunk_text"))
   }
 
+  // ---- TF-IDF ------------------------------------------------------------
+
+  /** Top terms per document by tf·idf. The idf is the LINEAR ratio
+    * N/df, not ln(N/df): `tf·N` is an exact integer product (≪ 2⁵³) and
+    * the single division is correctly rounded, so the score is
+    * bit-identical in any IEEE-754 engine — whereas libm `ln` differs
+    * by 1 ulp between the JVM and DuckDB on ~0.1 % of N/df inputs
+    * (measured over all df ∈ 1..60000). ln is monotone in the ratio, so
+    * for a fixed tf the term ordering is unchanged; rankings that mix
+    * tf levels weight rare terms more strongly than the log form — a
+    * documented scoring choice, not an approximation.
+    *
+    * Scale notes: tf is one (doc_id, term) shuffle off the exploded
+    * token stream (map-side partial counts collapse repeats); df
+    * derives from tf by a second, strictly smaller aggregate (one row
+    * per distinct (doc,term)); N rides a 1-row broadcast (the chi2 G4
+    * pattern). The tf ⋈ df join keys on term — AQE picks broadcast
+    * while the vocabulary fits, shuffle-hash beyond. Top-k per doc is a
+    * row_number window bounded by WindowGroupLimit, same as chi2's
+    * top-75.
+    */
+  val TfIdfK = 5
+
+  def tfidf(d: DataFrame, k: Int = TfIdfK): DataFrame = {
+    val tok = d.select(col("doc_id"), explode(toksCol).as("t"))
+    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val nDf = d.agg(count(lit(1)).as("n_docs"))
+    val score = (col("tf") * col("n_docs")).cast("double") / col("df").cast("double")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(score.desc, col("t").asc)
+    tf.join(dfx, "t")
+      .crossJoin(broadcast(nDf))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("t").as("term"), col("tf"), col("df"),
+        score.as("score"), col("rank"))
+  }
+
+  // ---- corpus audits -----------------------------------------------------
+
+  /** Doc-length histogram per source: fixed-width `n_chars` buckets —
+    * the distribution audit that catches truncated scrapes and
+    * boilerplate floods before training. Integer bucket arithmetic
+    * (`div`), bounded output (sources × buckets), one shuffle.
+    */
+  val LengthBucketWidth = 100L
+
+  def lengthHist(d: DataFrame): DataFrame =
+    d.groupBy(col("source"),
+        expr(s"n_chars div $LengthBucketWidth").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+
+  /** Per-language vocabulary: exact distinct-token count next to the
+    * HyperLogLog++ estimate (`approx_count_distinct`, rsd
+    * [[VocabSketchRsd]]) and the relative error between them. At 100 TB
+    * the exact branch is the expensive one (a (lang, token) distinct
+    * shuffle); the sketch is the production path — mergeable, one pass,
+    * fixed memory — and this query IS the calibration audit that says
+    * what the estimate costs in accuracy. No DuckDB oracle: HLL++
+    * register layouts are engine-specific, so the gate records the
+    * weaker rows-only check (documented here and in docs/PLANS.md);
+    * the exact column inside the query is the real cross-check.
+    */
+  val VocabSketchRsd = 0.02
+
+  def vocabSketch(d: DataFrame): DataFrame = {
+    val tok = d.select(col("lang"), explode(toksCol).as("t"))
+    tok.groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        count_distinct(col("t")).as("vocab_exact"),
+        approx_count_distinct(col("t"), VocabSketchRsd).as("vocab_approx"))
+      .withColumn("rel_err",
+        abs(col("vocab_approx") - col("vocab_exact")).cast("double") /
+          col("vocab_exact").cast("double"))
+  }
+
   // ---- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -240,7 +319,13 @@ object Analysis {
     "text_top_bigrams" -> ((s, dir) =>
       topBigrams(docs(s, dir)).orderBy("lang", "rank")),
     "text_chunk" -> ((s, dir) =>
-      chunk(docs(s, dir)).orderBy("doc_id", "chunk_id"))
+      chunk(docs(s, dir)).orderBy("doc_id", "chunk_id")),
+    "text_tfidf" -> ((s, dir) =>
+      tfidf(docs(s, dir)).orderBy("doc_id", "rank")),
+    "text_length_hist" -> ((s, dir) =>
+      lengthHist(docs(s, dir)).orderBy("source", "bucket")),
+    "text_vocab_sketch" -> ((s, dir) =>
+      vocabSketch(docs(s, dir)).orderBy("lang"))
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -381,6 +466,32 @@ object Analysis {
          |       array_to_string(list_slice(toks, k * $ChunkStride + 1,
          |         k * $ChunkStride + $ChunkTokens), ' ') AS chunk_text
          |FROM starts
-         |ORDER BY doc_id, chunk_id""".stripMargin
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+    // Linear idf (tf·N/df): exact integer product, ONE double division —
+    // bit-identical across engines, unlike libm ln (see tfidf scaladoc).
+    "text_tfidf" ->
+      s"""$dCte, tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
+         |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfx AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM d)
+         |SELECT doc_id, term, tf, df, score, rank FROM (
+         |  SELECT tf.doc_id AS doc_id, tf.t AS term, tf.tf AS tf, dfx.df AS df,
+         |         CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(dfx.df AS DOUBLE) AS score,
+         |         CAST(row_number() OVER (PARTITION BY tf.doc_id
+         |           ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(dfx.df AS DOUBLE) DESC,
+         |                    tf.t ASC) AS INT) AS rank
+         |  FROM tf JOIN dfx USING (t), n)
+         |WHERE rank <= $TfIdfK
+         |ORDER BY doc_id, rank""".stripMargin,
+    "text_length_hist" ->
+      s"""SELECT source, n_chars // $LengthBucketWidth AS bucket,
+         |       count(*) AS n_docs,
+         |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         |FROM documents
+         |WHERE text IS NOT NULL AND length(text) > 0
+         |GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
+    // text_vocab_sketch: deliberately NO oracle — HLL++ estimates are
+    // engine-specific; the driver records its rows-only check and the
+    // query carries its own exact-vs-approx cross-check column.
   )
 }

@@ -105,4 +105,32 @@ class EventsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === Set((100L, 1L, 2L), (100L, 2L, 1L), (100L, 3L, 1L), (200L, 1L, 1L)))
   }
+
+  test("top sessions: deterministic order, limit, and durations") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    // user 100: a 3-event session (0,10,20 min) then a 1-event one;
+    // user 200: a 2-event session. Top order: 3-ev, 2-ev, then the two
+    // 1-ev sessions by (duration desc → tie) user asc.
+    val df = Seq(
+      (1L, 0L, 100L), (2L, 10L, 100L), (3L, 20L, 100L), (4L, 100L, 100L),
+      (5L, 0L, 200L), (6L, 15L, 200L)
+    ).toDF("event_id", "min_off", "uid")
+      .select(col("event_id"),
+        timestamp_seconds(col("min_off") * 60).as("ts"),
+        col("uid").as("user_id"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ev")
+    df.write.mode("overwrite").parquet(tmp.resolve("events.parquet").toString)
+    val got = Events.queries("events_top_sessions")(spark, tmp.toString)
+      .select("user_id", "session_seq", "n_events", "duration_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (100L, 1L, 3L, 20L * 60 * 1000000),
+      (200L, 1L, 2L, 15L * 60 * 1000000),
+      (100L, 2L, 1L, 0L)))
+    // plans as a TakeOrderedAndProject, not a global sort
+    val p = Events.queries("events_top_sessions")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
 }

@@ -142,4 +142,62 @@ class AnalysisSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
       df.queryExecution.executedPlan.toString.take(1500))
   }
+
+  test("tfidf: scores and ranks match hand computation (linear idf)") {
+    val s = spark; import s.implicits._
+    // 4 docs; "cat" in 1, "dog" in 2, "the" in all 4
+    val d = Seq(
+      (0L, "the cat cat dog"),
+      (1L, "the dog"),
+      (2L, "the bird"),
+      (3L, "the fish")
+    ).toDF("doc_id", "text")
+    val got = Analysis.tfidf(d, k = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[String]("term"), r.getAs[Long]("tf"), r.getAs[Long]("df"),
+          r.getAs[Double]("score"))).toMap
+    // doc 0: cat tf=2 df=1 → 2*4/1=8 ; dog tf=1 df=2 → 2 ; the tf=1 df=4 → 1
+    assert(got((0L, 1)) === (("cat", 2L, 1L, 8.0)))
+    assert(got((0L, 2)) === (("dog", 1L, 2L, 2.0)))
+    // doc 2: bird (4.0) beats the (1.0)
+    assert(got((2L, 1))._1 === "bird")
+    assert(got((2L, 1))._4 === 4.0)
+    // every doc emits ≤ k rows, ranks contiguous from 1
+    assert(got.keys.groupBy(_._1).values.forall(ks =>
+      ks.map(_._2).toSeq.sorted === (1 to ks.size)))
+  }
+
+  test("tfidf plan: WindowGroupLimit bounds the top-k; N is broadcast") {
+    val df = Analysis.queries("text_tfidf")(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500)) // 1-row N
+  }
+
+  test("length histogram buckets by integer division and counts exactly") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (0L, "x", "a", 99L), (1L, "x", "a", 100L), (2L, "x", "a", 199L),
+      (3L, "x", "b", 5L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val got = Analysis.lengthHist(d).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(("a", 0L)) === ((1L, 99L, 99L)))
+    assert(got(("a", 1L)) === ((2L, 100L, 199L)))
+    assert(got(("b", 0L)) === ((1L, 5L, 5L)))
+  }
+
+  test("vocab sketch: exact column is exact; estimate within documented rsd") {
+    val s = spark; import s.implicits._
+    val d = (0 until 50).map(i =>
+      (i.toLong, s"tok$i tok${i % 7} shared", "en")).toDF("doc_id", "text", "lang")
+    val r = Analysis.vocabSketch(d).collect().head
+    assert(r.getAs[String]("lang") === "en")
+    assert(r.getAs[Long]("n_tokens") === 150L)
+    assert(r.getAs[Long]("vocab_exact") === 51L) // tok0..tok49 + shared
+    // HLL++ at rsd=0.02 on 51 distinct values: allow a generous 5× band
+    assert(math.abs(r.getAs[Long]("vocab_approx") - 51L) <= 6L)
+    assert(r.getAs[Double]("rel_err") >= 0.0)
+  }
 }
