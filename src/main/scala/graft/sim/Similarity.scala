@@ -318,6 +318,66 @@ object Similarity {
     rankTopK(pairs, TopK)
   }
 
+  // ---- exact label centroids + embedding outliers ------------------------
+
+  /** Top-k farthest vectors per label reported by
+    * `sim_centroid_outliers`. */
+  val OutlierK = 10
+
+  /** Per-(label, dimension) EXACT mean of the embedding corpus.
+    *
+    * Float sums are order-dependent, and Spark gives no ordering
+    * guarantee across partitions — a double `avg` would not reproduce
+    * bit-for-bit even against itself. Instead each float hops through
+    * its shortest decimal string into DECIMAL(38,15) — both engines'
+    * float→string is shortest-roundtrip (same digits; measured), and
+    * scale 15 covers every fractional digit the fixture's value range
+    * can produce (|v| ≥ 1e-6 → ≤14 frac digits), so the parse is exact
+    * and the DECIMAL SUM is exact → order-independent → portable. The
+    * final mean converts sum→double (correctly rounded) and divides by
+    * the exact count: one IEEE division, bit-identical anywhere.
+    *
+    * Scale notes: posexplode fans ×Dim but map-side partial decimal
+    * sums collapse to labels×Dim rows per partition before the ONE
+    * bounded-cardinality shuffle. This is the mergeable-statistics
+    * shape (per-partition partial sums) that survives any cluster size.
+    */
+  def labelCentroids(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos").cast("int").as("dim"),
+        col("col").cast("string").cast("decimal(38,15)").as("dv"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), sum(col("dv")).as("s"))
+      .select(col("label"), col("dim"), col("n"),
+        (col("s").cast("double") / col("n").cast("double")).as("mean"))
+
+  /** Per-label embedding outliers: top-k vectors FARTHEST (euclidean)
+    * from their label's exact centroid — the embedding-space quality
+    * filter that surfaces mislabeled/degenerate documents before
+    * training. Distance is an in-order fold over (v_d − c_d)² (same
+    * fold discipline as [[dot]]); sqrt is IEEE-correctly-rounded, so
+    * the whole score is engine-portable. Centroids (labels×Dim rows)
+    * broadcast into one narrow corpus pass; the per-label top-k is a
+    * WindowGroupLimit-bounded row_number.
+    */
+  def centroidOutliers(e: DataFrame, k: Int = OutlierK): DataFrame = {
+    val cents = labelCentroids(e)
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
+        x => x.getField("mean")).as("c"))
+    val dist = sqrt(aggregate(
+      zip_with(col("v"), col("c"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("dist").desc, col("vec_id").asc)
+    e.select(col("vec_id"), col("label"), vCol(col("embedding")).as("v"))
+      .join(broadcast(cents), "label")
+      .select(col("label"), col("vec_id"), dist.as("dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("label", "vec_id", "dist", "rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Cap observability for [[MaxNearDupBucket]] (caps must never
     // truncate silently — same audit contract as `dedup_bucket_stats`):
@@ -382,7 +442,11 @@ object Similarity {
           cosine(col("va"), col("vb"), col("na"), col("nb")).as("cos"))
         .filter(col("cos") >= NearDupThreshold)
         .orderBy("vec_a", "vec_b")
-    })
+    }),
+    "sim_label_centroids" -> ((s, dir) =>
+      labelCentroids(emb(s, dir)).orderBy("label", "dim")),
+    "sim_centroid_outliers" -> ((s, dir) =>
+      centroidOutliers(emb(s, dir)).orderBy("label", "rank"))
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -477,6 +541,22 @@ object Similarity {
        |  FROM ip
        |)""".stripMargin
 
+  /** Shared CTEs for the exact-centroid queries: per-(label, dim)
+    * decimal-exact mean (see [[labelCentroids]] for the portability
+    * argument).
+    */
+  private val centroidCtes: String =
+    s"""WITH el AS (
+       |  SELECT label, i - 1 AS dim,
+       |         CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(38,15)) AS dv
+       |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, $Dim)) AS i)
+       |), cent AS (
+       |  SELECT label, CAST(dim AS INT) AS dim, count(*) AS n,
+       |         CAST(CAST(sum(dv) AS VARCHAR) AS DOUBLE)
+       |           / CAST(count(*) AS DOUBLE) AS mean
+       |  FROM el GROUP BY 1, 2
+       |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "sim_bucket_stats" ->
       s"""$bCte
@@ -568,6 +648,33 @@ object Similarity {
          |       ${dotSql("a.v", "b2.v")} / (sqrt(a.nrm) * sqrt(b2.nrm)) AS cos
          |FROM bk a JOIN bk b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
          |WHERE ${dotSql("a.v", "b2.v")} / (sqrt(a.nrm) * sqrt(b2.nrm)) >= $NearDupThreshold
-         |ORDER BY vec_a, vec_b""".stripMargin
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    // Exact portable mean: float → shortest string → DECIMAL(38,15)
+    // (exact parse, exact order-independent sum; Spark mirrors with
+    // cast(cast(x as string) as decimal(38,15))), then sum → double via
+    // the VARCHAR hop (correctly rounded, = BigDecimal.doubleValue).
+    "sim_label_centroids" ->
+      s"""$centroidCtes
+         |SELECT label, dim, n, mean FROM cent ORDER BY label, dim""".stripMargin,
+    "sim_centroid_outliers" ->
+      s"""$centroidCtes, carr AS (
+         |  SELECT label, list(mean ORDER BY dim) AS c FROM cent GROUP BY label
+         |), ev AS (
+         |  SELECT vec_id, label,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), dist AS (
+         |  SELECT ev.label, ev.vec_id,
+         |         sqrt(list_reduce(list_transform(range(1, ${Dim + 1}),
+         |           i -> (v[i] - c[i]) * (v[i] - c[i])), (acc, x) -> acc + x)) AS dist
+         |  FROM ev JOIN carr USING (label)
+         |), r AS (
+         |  SELECT label, vec_id, dist,
+         |         CAST(row_number() OVER (PARTITION BY label
+         |           ORDER BY dist DESC, vec_id ASC) AS INT) AS rank
+         |  FROM dist
+         |)
+         |SELECT label, vec_id, dist, rank FROM r WHERE rank <= $OutlierK
+         |ORDER BY label, rank""".stripMargin
   )
 }

@@ -105,4 +105,44 @@ class SimilaritySpec extends SparkSpec {
     val shared = exact.keySet intersect ann.keySet
     assert(shared.forall(k => exact(k) == ann(k)))
   }
+
+  test("label centroids: exact mean on a hand case; invariant under repartitioning") {
+    val s = spark; import s.implicits._
+    // dim-2 embeddings, label 7: (1.5, 0.25) and (2.5, 0.75) → mean (2.0, 0.5)
+    val e = Seq(
+      (0L, Seq(1.5f, 0.25f), 7),
+      (1L, Seq(2.5f, 0.75f), 7),
+      (2L, Seq(1.0f, 1.0f), 8)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroids(e).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got((7, 0)) === ((2L, 2.0)))
+    assert(got((7, 1)) === ((2L, 0.5)))
+    assert(got((8, 0)) === ((1L, 1.0)))
+    // the decimal sum is order-independent: any partitioning, same bits
+    val dir = "/root/testdata/sf0.001"
+    val base = Similarity.queries("sim_label_centroids")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    val reparted = Similarity.labelCentroids(
+        spark.read.parquet(s"$dir/embeddings.parquet").repartition(7))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    assert(base === reparted)
+  }
+
+  test("centroid outliers: farthest vector wins; ranks contiguous; plan bounded") {
+    val s = spark; import s.implicits._
+    // label 7 centroid = (2.0, 0.0); vec 2 at (8,0) is farthest (d=6)
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f), 7),
+      (1L, Seq(-3.0f, 0.0f), 7),
+      (2L, Seq(8.0f, 0.0f), 7)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidOutliers(e, k = 2).collect()
+      .map(r => r.getInt(3) -> (r.getLong(1), r.getDouble(2)))
+    assert(got.toMap === Map(1 -> ((2L, 6.0)), 2 -> ((1L, 5.0))))
+    val df = Similarity.queries("sim_centroid_outliers")(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500)) // centroids broadcast
+  }
 }
