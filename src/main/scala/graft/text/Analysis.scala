@@ -283,6 +283,27 @@ object Analysis {
         min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"))
 
+  /** Per-source doc-length quantiles (p50/p90/p99, linear
+    * interpolation) plus exact mean — the size-distribution audit
+    * behind chunking and packing decisions. Spark's exact `percentile`
+    * and DuckDB's `quantile_cont` share the same rank-interpolation
+    * arithmetic (rank = p·(n−1), lo + f·(hi−lo) over exact-integer
+    * inputs) — verified bit-identical over every fixture group. The
+    * exact aggregate buffers per-group value counts, which is fine for
+    * bounded groups like sources; at 100 TB swap in
+    * `approx_percentile` (mergeable sketch) and use THIS query at a
+    * sampled SF as its calibration, the same exact-beside-estimate
+    * discipline as [[vocabSketch]].
+    */
+  def lengthQuantiles(d: DataFrame): DataFrame =
+    d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("n_chars")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_chars"),
+        percentile(col("n_chars"), lit(0.5)).as("p50"),
+        percentile(col("n_chars"), lit(0.9)).as("p90"),
+        percentile(col("n_chars"), lit(0.99)).as("p99"))
+
   /** Per-language vocabulary: exact distinct-token count next to the
     * HyperLogLog++ estimate (`approx_count_distinct`, rsd
     * [[VocabSketchRsd]]) and the relative error between them. At 100 TB
@@ -324,6 +345,8 @@ object Analysis {
       tfidf(docs(s, dir)).orderBy("doc_id", "rank")),
     "text_length_hist" -> ((s, dir) =>
       lengthHist(docs(s, dir)).orderBy("source", "bucket")),
+    "text_length_quantiles" -> ((s, dir) =>
+      lengthQuantiles(docs(s, dir)).orderBy("source")),
     "text_vocab_sketch" -> ((s, dir) =>
       vocabSketch(docs(s, dir)).orderBy("lang"))
   )
@@ -489,7 +512,18 @@ object Analysis {
          |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
          |FROM documents
          |WHERE text IS NOT NULL AND length(text) > 0
-         |GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
+         |GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin,
+    // quantile_cont shares Spark percentile's exact rank-interpolation
+    // arithmetic (verified bit-identical over every fixture group)
+    "text_length_quantiles" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_chars,
+         |       quantile_cont(n_chars, CAST(0.5 AS DOUBLE)) AS p50,
+         |       quantile_cont(n_chars, CAST(0.9 AS DOUBLE)) AS p90,
+         |       quantile_cont(n_chars, CAST(0.99 AS DOUBLE)) AS p99
+         |FROM documents
+         |WHERE text IS NOT NULL AND length(text) > 0
+         |GROUP BY source ORDER BY source""".stripMargin
     // text_vocab_sketch: deliberately NO oracle — HLL++ estimates are
     // engine-specific; the driver records its rows-only check and the
     // query carries its own exact-vs-approx cross-check column.

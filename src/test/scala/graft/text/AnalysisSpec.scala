@@ -188,6 +188,22 @@ class AnalysisSpec extends SparkSpec {
     assert(got(("b", 0L)) === ((1L, 5L, 5L)))
   }
 
+  test("length quantiles: interpolated percentiles and exact mean on a hand case") {
+    val s = spark; import s.implicits._
+    // n_chars 10,20,30,40: p50 = 20 + 0.5*(30-20) = 25; p90 = 37; mean 25
+    val d = (1L to 4L).map(i => (i, "x", "a", i * 10L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val r = Analysis.lengthQuantiles(d).collect().head
+    assert(r.getAs[Long]("n_docs") === 4L)
+    assert(r.getAs[Double]("mean_chars") === 25.0)
+    assert(r.getAs[Double]("p50") === 25.0)
+    assert(r.getAs[Double]("p90") === 37.0)
+    // 30 + 0.97·10 in double arithmetic (39.699999999999996); the
+    // BIT-parity of the interpolation is the oracle gate's job — this
+    // test pins the semantics, so a tolerance compare is right here
+    assert(math.abs(r.getAs[Double]("p99") - 39.7) < 1e-12)
+  }
+
   test("vocab sketch: exact column is exact; estimate within documented rsd") {
     val s = spark; import s.implicits._
     val d = (0 until 50).map(i =>
