@@ -240,26 +240,30 @@ object Analysis {
     * tf levels weight rare terms more strongly than the log form — a
     * documented scoring choice, not an approximation.
     *
-    * Scale notes: tf is one (doc_id, term) shuffle off the exploded
-    * token stream (map-side partial counts collapse repeats); df
-    * derives from tf by a second, strictly smaller aggregate (one row
-    * per distinct (doc,term)); N rides a 1-row broadcast (the chi2 G4
-    * pattern). The tf ⋈ df join keys on term — AQE picks broadcast
-    * while the vocabulary fits, shuffle-hash beyond. Top-k per doc is a
-    * row_number window bounded by WindowGroupLimit, same as chi2's
-    * top-75.
+    * Scale notes: LINEAR single-consumer chain — one corpus scan. tf is
+    * one (doc_id, term) shuffle off the exploded token stream (map-side
+    * partial counts collapse repeats); df attaches via a COUNT WINDOW
+    * over term on the tf rows (one row per distinct (doc,term)) rather
+    * than a df-aggregate joined back — a tf ⋈ df self-derived join
+    * would plan the scan+tokenize+tf subtree twice (HOF lambdas
+    * upstream defeat exchange-reuse canonicalization, measured on this
+    * very plan); the window form makes single materialization hold by
+    * construction. N rides a 1-row broadcast (the chi2 G4 pattern).
+    * Top-k per doc is a row_number window bounded by WindowGroupLimit,
+    * same as chi2's top-75. The oracle keeps the join formulation — an
+    * independent implementation of the same semantics.
     */
   val TfIdfK = 5
 
   def tfidf(d: DataFrame, k: Int = TfIdfK): DataFrame = {
     val tok = d.select(col("doc_id"), explode(toksCol).as("t"))
     val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-    val dfx = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val byTerm = org.apache.spark.sql.expressions.Window.partitionBy("t")
     val nDf = d.agg(count(lit(1)).as("n_docs"))
     val score = (col("tf") * col("n_docs")).cast("double") / col("df").cast("double")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       .orderBy(score.desc, col("t").asc)
-    tf.join(dfx, "t")
+    tf.withColumn("df", count(lit(1)).over(byTerm))
       .crossJoin(broadcast(nDf))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
