@@ -42,6 +42,12 @@ object Events {
 
   val SessionGapMinutes = 30
 
+  /** |z| floor for [[events_anomaly]] rows. 2.0 binds on the fixtures
+    * (Poisson-ish hourly counts put ~2–5 % of type-hours past it) while
+    * still marking genuinely unusual hours.
+    */
+  val AnomalyZ = 2.0
+
   /** Global top-k sessions reported by [[events_top_sessions]]. */
   val TopSessionsK = 10
 
@@ -124,6 +130,46 @@ object Events {
         .distinct()
         .groupBy("stage").agg(count(lit(1)).as("n_users"))
         .orderBy("stage")
+    }),
+    // Hourly anomaly detection: per-type z-scores over a DENSE hour
+    // grid (missing hours count 0 — a silent outage IS the anomaly the
+    // sparse groupBy would hide). Mean/σ derive from exact integer sums
+    // (Σn, Σn², hours) so every double op is a correctly-rounded IEEE
+    // step mirrored verbatim in the oracle — no Welford-order drift.
+    // Scale notes: the grid is types × hours (bounded, independent of
+    // event volume); the hourly aggregate is ONE shuffle with map-side
+    // partials; per-type stats ride a ≤|types|-row broadcast back onto
+    // the dense frame. sd_n > 0 guards the divide in both engines.
+    "events_anomaly" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val hourly = e.groupBy(date_trunc("hour", col("ts")).as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val span = e.agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      val grid = e.select("event_type").distinct()
+        .crossJoin(broadcast(span))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+            .as("hour"))
+      val dense = grid.join(hourly, Seq("event_type", "hour"), "left")
+        .select(col("event_type"), col("hour"),
+          coalesce(col("n"), lit(0L)).as("n"))
+      val stats = dense.groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"), sum(col("n")).as("s1"),
+          sum(col("n") * col("n")).as("s2"))
+      val meanN = col("s1").cast("double") / col("n_hours").cast("double")
+      val sdN = sqrt((col("s2").cast("double") -
+        col("s1").cast("double") * col("s1").cast("double") /
+          col("n_hours").cast("double")) / col("n_hours").cast("double"))
+      val z = (col("n").cast("double") - col("mean_n")) / col("sd_n")
+      dense.join(broadcast(stats), "event_type")
+        .withColumn("mean_n", meanN)
+        .withColumn("sd_n", sdN)
+        .withColumn("z", z)
+        .filter(col("sd_n") > 0.0 && abs(col("z")) >= AnomalyZ)
+        .select("event_type", "hour", "n", "mean_n", "sd_n", "z")
+        .orderBy("event_type", "hour")
     }),
     // Cohort retention: users grouped by first-seen day, activity
     // counted per day offset — the engagement matrix behind every
@@ -229,6 +275,42 @@ object Events {
         |)
         |SELECT stage, count(*) AS n_users FROM staged
         |GROUP BY stage ORDER BY stage""".stripMargin,
+    // Identical dense grid + exact-integer-sum moments; the z filter
+    // repeats the mean/sd expressions verbatim so both engines execute
+    // the same IEEE op sequence.
+    "events_anomaly" ->
+      s"""WITH e AS (
+         |  SELECT date_trunc('hour', ts) AS hour, event_type FROM events
+         |), span AS (
+         |  SELECT min(hour) AS h0, max(hour) AS h1 FROM e
+         |), grid AS (
+         |  SELECT t.event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+         |  FROM (SELECT DISTINCT event_type FROM e) t, span
+         |), hourly AS (
+         |  SELECT event_type, hour, count(*) AS n FROM e GROUP BY 1, 2
+         |), dense AS (
+         |  SELECT g.event_type, g.hour, CAST(coalesce(h.n, 0) AS BIGINT) AS n
+         |  FROM grid g LEFT JOIN hourly h
+         |    ON g.event_type = h.event_type AND g.hour = h.hour
+         |), stats AS (
+         |  SELECT event_type, count(*) AS n_hours,
+         |         CAST(sum(n) AS BIGINT) AS s1,
+         |         CAST(sum(n * n) AS BIGINT) AS s2
+         |  FROM dense GROUP BY 1
+         |), scored AS (
+         |  SELECT d.event_type, d.hour, d.n,
+         |         CAST(s1 AS DOUBLE) / CAST(n_hours AS DOUBLE) AS mean_n,
+         |         sqrt((CAST(s2 AS DOUBLE)
+         |             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n_hours AS DOUBLE))
+         |           / CAST(n_hours AS DOUBLE)) AS sd_n
+         |  FROM dense d JOIN stats USING (event_type)
+         |)
+         |SELECT event_type, hour, n, mean_n, sd_n,
+         |       (CAST(n AS DOUBLE) - mean_n) / sd_n AS z
+         |FROM scored
+         |WHERE sd_n > CAST(0.0 AS DOUBLE)
+         |  AND abs((CAST(n AS DOUBLE) - mean_n) / sd_n) >= CAST($AnomalyZ AS DOUBLE)
+         |ORDER BY event_type, hour""".stripMargin,
     "events_retention" ->
       """WITH c AS (
         |  SELECT user_id, ts,

@@ -271,6 +271,96 @@ object Analysis {
         score.as("score"), col("rank"))
   }
 
+  // ---- repetition audit --------------------------------------------------
+
+  /** Gopher-style within-document repetition metrics — the filter that
+    * catches boilerplate floods and degenerate generations before
+    * training: per doc, the fraction of bigram positions covered by the
+    * single most frequent bigram (`top_bigram_frac`) and the fraction
+    * of trigram positions whose trigram occurs more than once
+    * (`dup_trigram_frac`). Every admitted document appears in the
+    * output (docs too short for an n-gram report zero counts — no
+    * silent drops).
+    *
+    * Scale notes: ONE corpus scan — both gram sizes ride a single
+    * explode of a concatenated tagged-struct array, so the text is
+    * tokenized once; the (doc, n, gram) count shuffle collapses repeats
+    * map-side, and the two follow-up aggregates key on doc_id (bounded
+    * rows per doc). Fractions are one double division over exact long
+    * counts — bit-identical across engines.
+    */
+  def repetition(d: DataFrame): DataFrame = {
+    val toks = col("toks")
+    val grams = d.select(col("doc_id"), toksCol.as("toks"))
+      .select(col("doc_id"), explode(concat(
+        transform(shingleOfN(toks, 2),
+          g => struct(lit(2).as("n"), g.as("gram"))),
+        transform(shingleOfN(toks, 3),
+          g => struct(lit(3).as("n"), g.as("gram"))))).as("g"))
+      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+    val counts = grams.groupBy("doc_id", "n", "gram")
+      .agg(count(lit(1)).as("c"))
+    val per = counts.groupBy("doc_id", "n").agg(
+      sum(col("c")).as("positions"),
+      max(col("c")).as("top"),
+      sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup"))
+    val wide = per.groupBy("doc_id").agg(
+      max(when(col("n") === 2, col("positions"))).as("b_pos"),
+      max(when(col("n") === 2, col("top"))).as("b_top"),
+      max(when(col("n") === 3, col("positions"))).as("t_pos"),
+      max(when(col("n") === 3, col("dup"))).as("t_dup"))
+    d.select(col("doc_id")).join(wide, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("b_pos"), lit(0L)).as("n_bigrams"),
+        coalesce(col("b_top"), lit(0L)).as("top_bigram_n"),
+        coalesce(col("t_pos"), lit(0L)).as("n_trigrams"),
+        coalesce(col("t_dup"), lit(0L)).as("dup_trigram_n"))
+      .withColumn("top_bigram_frac",
+        when(col("n_bigrams") > 0,
+          col("top_bigram_n").cast("double") / col("n_bigrams").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("dup_trigram_frac",
+        when(col("n_trigrams") > 0,
+          col("dup_trigram_n").cast("double") / col("n_trigrams").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  // ---- sequence packing --------------------------------------------------
+
+  /** Concat-and-split sequence-packing audit — the per-bin fill report
+    * behind a pretraining packer that concatenates documents in a
+    * deterministic shard order and splits the token stream into
+    * fixed-[[PackBudget]] context windows. Per (source, bin): documents
+    * STARTING in the bin, their token mass, and how many straddle the
+    * bin boundary (`n_spill` — the cross-document-attention leak count a
+    * packer either masks or pads away).
+    *
+    * Scale notes: packing is SHARD-LOCAL by contract — the running token
+    * sum is a window partitioned by `source` (the fixture's shard key)
+    * ordered by doc_id, never a global single-partition window; at
+    * 100 TB the shard key is the input split, each a bounded token
+    * stream. ONE exchange on source; all arithmetic is integer
+    * (`div`), so bin ids are exact in any engine.
+    */
+  val PackBudget = 256L
+
+  def pack(d: DataFrame): DataFrame = {
+    val bySource = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    d.select(col("source"), col("doc_id"), size(toksCol).cast("long").as("n_toks"))
+      .withColumn("cum", sum(col("n_toks")).over(
+        bySource.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("bin", expr(s"(cum - n_toks) div $PackBudget"))
+      .withColumn("end_bin", expr(s"(cum - 1) div $PackBudget"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(when(col("end_bin") > col("bin"), 1L).otherwise(0L)).as("n_spill"))
+  }
+
   // ---- corpus audits -----------------------------------------------------
 
   /** Doc-length histogram per source: fixed-width `n_chars` buckets —
@@ -352,7 +442,11 @@ object Analysis {
     "text_length_quantiles" -> ((s, dir) =>
       lengthQuantiles(docs(s, dir)).orderBy("source")),
     "text_vocab_sketch" -> ((s, dir) =>
-      vocabSketch(docs(s, dir)).orderBy("lang"))
+      vocabSketch(docs(s, dir)).orderBy("lang")),
+    "text_repetition" -> ((s, dir) =>
+      repetition(docs(s, dir)).orderBy("doc_id")),
+    "text_pack" -> ((s, dir) =>
+      pack(docs(s, dir)).orderBy("source", "bin"))
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -527,7 +621,73 @@ object Analysis {
          |       quantile_cont(n_chars, CAST(0.99 AS DOUBLE)) AS p99
          |FROM documents
          |WHERE text IS NOT NULL AND length(text) > 0
-         |GROUP BY source ORDER BY source""".stripMargin
+         |GROUP BY source ORDER BY source""".stripMargin,
+    // Same tagged (n, gram) decomposition as the Spark side; fractions
+    // are one double division over exact BIGINT counts in both engines.
+    "text_repetition" ->
+      s"""$dCte, grams AS (
+         |  SELECT doc_id, 2 AS n,
+         |         array_to_string(list_slice(toks, i, i + 1), ' ') AS gram
+         |  FROM d, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i)
+         |  UNION ALL
+         |  SELECT doc_id, 3 AS n,
+         |         array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+         |  FROM d, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i)
+         |), counts AS (
+         |  SELECT doc_id, n, gram, count(*) AS c FROM grams GROUP BY 1, 2, 3
+         |), per AS (
+         |  SELECT doc_id, n,
+         |         CAST(sum(c) AS BIGINT) AS positions,
+         |         CAST(max(c) AS BIGINT) AS top,
+         |         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup
+         |  FROM counts GROUP BY 1, 2
+         |), wide AS (
+         |  SELECT doc_id,
+         |         max(CASE WHEN n = 2 THEN positions END) AS b_pos,
+         |         max(CASE WHEN n = 2 THEN top END) AS b_top,
+         |         max(CASE WHEN n = 3 THEN positions END) AS t_pos,
+         |         max(CASE WHEN n = 3 THEN dup END) AS t_dup
+         |  FROM per GROUP BY doc_id
+         |), joined AS (
+         |  SELECT d.doc_id,
+         |         coalesce(b_pos, 0) AS n_bigrams,
+         |         coalesce(b_top, 0) AS top_bigram_n,
+         |         coalesce(t_pos, 0) AS n_trigrams,
+         |         coalesce(t_dup, 0) AS dup_trigram_n
+         |  FROM d LEFT JOIN wide ON d.doc_id = wide.doc_id
+         |)
+         |SELECT doc_id, n_bigrams, top_bigram_n, n_trigrams, dup_trigram_n,
+         |       CASE WHEN n_bigrams > 0
+         |            THEN CAST(top_bigram_n AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+         |            ELSE CAST(0.0 AS DOUBLE) END AS top_bigram_frac,
+         |       CASE WHEN n_trigrams > 0
+         |            THEN CAST(dup_trigram_n AS DOUBLE) / CAST(n_trigrams AS DOUBLE)
+         |            ELSE CAST(0.0 AS DOUBLE) END AS dup_trigram_frac
+         |FROM joined ORDER BY doc_id""".stripMargin,
+    // Same shard-local running sum; // is DuckDB integer division, the
+    // twin of Spark's `div` — bin arithmetic never touches a float.
+    "text_pack" ->
+      s"""WITH dl AS (
+         |  SELECT source, doc_id,
+         |         CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |                              t -> length(t) > 0)) AS BIGINT) AS n_toks
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND length(text) > 0
+         |), c AS (
+         |  SELECT source, doc_id, n_toks,
+         |         CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM dl
+         |), b AS (
+         |  SELECT source, n_toks,
+         |         (cum - n_toks) // $PackBudget AS bin,
+         |         (cum - 1) // $PackBudget AS end_bin
+         |  FROM c
+         |)
+         |SELECT source, bin, count(*) AS n_docs,
+         |       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |       CAST(sum(CASE WHEN end_bin > bin THEN 1 ELSE 0 END) AS BIGINT) AS n_spill
+         |FROM b GROUP BY 1, 2 ORDER BY source, bin""".stripMargin
     // text_vocab_sketch: deliberately NO oracle — HLL++ estimates are
     // engine-specific; the driver records its rows-only check and the
     // query carries its own exact-vs-approx cross-check column.

@@ -133,4 +133,27 @@ class EventsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
+
+  test("anomaly flags the spike hour over a DENSE grid (empty hours count)") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    // 9 events in hour 0, one in hour 9, nothing between. Over the
+    // 10-hour dense grid: mean = 1, var = (82 − 100/10)/10 = 7.2,
+    // z(9) = 8/√7.2 ≈ 2.98 — the only row past |z| ≥ 2. A sparse
+    // groupBy (8 missing hours dropped) would yield mean 5, sd 4 and
+    // flag NOTHING — the dense grid is the point of the test.
+    val rows = (1 to 9).map(i => (i.toLong, i.toLong, 1L, "click")) :+
+      (10L, 9L * 3600, 1L, "click")
+    val df = rows.toDF("event_id", "sec", "uid", "event_type")
+      .select(col("event_id"), timestamp_seconds(col("sec")).as("ts"),
+        col("uid").as("user_id"), col("event_type"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-an")
+    df.write.mode("overwrite").parquet(tmp.resolve("events.parquet").toString)
+    val got = Events.queries("events_anomaly")(spark, tmp.toString).collect()
+    assert(got.length === 1, got.mkString("; "))
+    val r = got.head
+    assert(r.getAs[Long]("n") === 9L)
+    assert(r.getAs[Double]("mean_n") === 1.0)
+    assert(math.abs(r.getAs[Double]("z") - 8.0 / math.sqrt(7.2)) < 1e-12)
+  }
 }

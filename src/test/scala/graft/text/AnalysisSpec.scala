@@ -216,4 +216,50 @@ class AnalysisSpec extends SparkSpec {
     assert(math.abs(r.getAs[Long]("vocab_approx") - 51L) <= 6L)
     assert(r.getAs[Double]("rel_err") >= 0.0)
   }
+
+  test("repetition matches hand-computed gram counts; short docs report zeros") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (0L, "a b a b a"), // bigrams {a b:2, b a:2}; trigrams {a b a:2, b a b:1}
+      (1L, "p q r"),     // 2 distinct bigrams; 1 trigram, no dups
+      (2L, "x")          // too short for any gram — must still appear
+    ).toDF("doc_id", "text")
+    val got = Analysis.repetition(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r0 = got(0L)
+    assert(r0.getAs[Long]("n_bigrams") === 4L)
+    assert(r0.getAs[Long]("top_bigram_n") === 2L)
+    assert(r0.getAs[Double]("top_bigram_frac") === 0.5)
+    assert(r0.getAs[Long]("n_trigrams") === 3L)
+    assert(r0.getAs[Long]("dup_trigram_n") === 2L)
+    assert(r0.getAs[Double]("dup_trigram_frac") === 2.0 / 3.0)
+    val r1 = got(1L)
+    assert(r1.getAs[Long]("n_bigrams") === 2L)
+    assert(r1.getAs[Long]("top_bigram_n") === 1L)
+    assert(r1.getAs[Double]("top_bigram_frac") === 0.5)
+    assert(r1.getAs[Long]("dup_trigram_n") === 0L)
+    val r2 = got(2L)
+    assert(r2.getAs[Long]("n_bigrams") === 0L)
+    assert(r2.getAs[Double]("top_bigram_frac") === 0.0)
+    assert(r2.getAs[Double]("dup_trigram_frac") === 0.0)
+  }
+
+  test("pack bins shard-locally with exact integer boundary arithmetic") {
+    val s = spark; import s.implicits._
+    def txt(n: Int) = Seq.fill(n)("t").mkString(" ")
+    // s1: cums 100, 300, 400 → doc2 starts in bin 0 and spills past 256;
+    // doc3 starts at offset 300 → bin 1. s2: one 300-token doc spills.
+    val d = Seq(
+      ("s1", 1L, txt(100)), ("s1", 2L, txt(200)), ("s1", 3L, txt(100)),
+      ("s2", 4L, txt(300))
+    ).toDF("source", "doc_id", "text")
+    val got = Analysis.pack(d).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("bin")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_spill")))).toMap
+    assert(got(("s1", 0L)) === ((2L, 300L, 1L)))
+    assert(got(("s1", 1L)) === ((1L, 100L, 0L)))
+    assert(got(("s2", 0L)) === ((1L, 300L, 1L)))
+    assert(got.size === 3)
+  }
 }
