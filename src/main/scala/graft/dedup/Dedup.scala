@@ -168,9 +168,16 @@ object Dedup {
     val buckets = lshBuckets(minhashFromBase(rawShingles(toks)
       .select(col("doc_id"), graft.functions.PortableHash.base28(col("s"),
         graft.functions.PortableHash.enabled(d)).as("hbase"))))
-    // groupBy + in-list pair expansion, not a bucket self-join: a
-    // self-join recomputes the whole signature subtree per branch. The
-    // size filter both caps degenerate buckets and drops singletons.
+    bucketPairs(buckets, maxBucketSize)
+  }
+
+  /** Distinct (doc_a < doc_b) pairs from (doc_id, band, sig) bucket
+    * rows: groupBy + in-list pair expansion, not a bucket self-join — a
+    * self-join recomputes the whole signature subtree per branch. The
+    * size filter both caps degenerate buckets and drops singletons.
+    * Shared by [[minhashCandidates]] and [[minhashCalibration]].
+    */
+  private def bucketPairs(buckets: DataFrame, maxBucketSize: Int): DataFrame =
     buckets.groupBy("band", "sig")
       .agg(collect_list(col("doc_id")).as("members"))
       .filter(size(col("members")).between(2, maxBucketSize))
@@ -180,6 +187,67 @@ object Dedup {
           y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
+
+  /** MinHash calibration audit: for every LSH candidate pair, the
+    * signature-agreement ESTIMATE of Jaccard (matching components / k)
+    * beside the EXACT shingle-set Jaccard and their absolute error —
+    * the measurement that says what [[NumHashes]] hash functions
+    * actually buy in accuracy (the exact-beside-estimate discipline of
+    * `text_vocab_sketch`, applied to the dedup stack). Candidate pairs
+    * are identical to [[minhashCandidates]] by construction (same
+    * banding, same cap; spec-pinned).
+    *
+    * Scale notes: everything is CANDIDATE-BOUNDED — exact Jaccard is
+    * computed only for pairs LSH already surfaced, never all-pairs.
+    * The per-doc feature aggregate carries the shingle set AND the 16
+    * signature minima together off one (doc_id, s)-distinct exchange;
+    * pairs then attach both docs' features via a union-tag join (role
+    * a/b exploded from the tiny pair table) and ONE (doc_a, doc_b)
+    * aggregate. The feature subtree is planned twice — once under the
+    * bucket/pair chain, once under the join (HOF lambdas upstream
+    * defeat exchange-reuse canonicalization, measured on the tfidf
+    * plan) — but the union-tag keeps it at two; an a-side/b-side
+    * self-join would plan it three times. Carried per-doc sets are
+    * bounded by doc length; the oracle keeps the two-sided join
+    * formulation as an independent implementation.
+    */
+  def minhashCalibration(d: DataFrame,
+      maxBucketSize: Int = MaxBucketSize): DataFrame = {
+    val sh = shingles(d)
+    val withBase = sh.select(col("doc_id"), col("s"),
+      graft.functions.PortableHash.base28(col("s"),
+        graft.functions.PortableHash.enabled(d)).as("hbase"))
+    val sigAggs = minHashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("hbase") + lit(b)) % lit(MinHashP)).as(s"h$i")
+    }
+    val feat = withBase.groupBy("doc_id")
+      .agg(collect_set(col("s")).as("sset"), sigAggs: _*)
+      .withColumn("sig", array((0 until NumHashes).map(i => col(s"h$i")): _*))
+    val pairs = bucketPairs(lshBuckets(feat), maxBucketSize)
+    val tagged = pairs.select(col("doc_a"), col("doc_b"),
+      explode(array(
+        struct(lit("a").as("role"), col("doc_a").as("doc_id")),
+        struct(lit("b").as("role"), col("doc_b").as("doc_id")))).as("t"))
+      .select(col("doc_a"), col("doc_b"),
+        col("t.role").as("role"), col("t.doc_id").as("doc_id"))
+    val paired = tagged.join(feat.select("doc_id", "sset", "sig"), "doc_id")
+      .groupBy("doc_a", "doc_b").agg(
+        first(when(col("role") === "a", col("sset")), ignoreNulls = true).as("sa"),
+        first(when(col("role") === "b", col("sset")), ignoreNulls = true).as("sb"),
+        first(when(col("role") === "a", col("sig")), ignoreNulls = true).as("ga"),
+        first(when(col("role") === "b", col("sig")), ignoreNulls = true).as("gb"))
+    paired.select(col("doc_a"), col("doc_b"),
+        size(col("sa")).cast("long").as("n_a"),
+        size(col("sb")).cast("long").as("n_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter_n"),
+        aggregate(zip_with(col("ga"), col("gb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("sig_matches"))
+      .withColumn("est_jaccard",
+        col("sig_matches").cast("double") / lit(NumHashes.toDouble))
+      .withColumn("exact_jaccard", col("inter_n").cast("double") /
+        (col("n_a") + col("n_b") - col("inter_n")).cast("double"))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("exact_jaccard")))
   }
 
   /** (doc_id, simhash): 64-bit SimHash over unigram token frequencies,
@@ -604,6 +672,8 @@ object Dedup {
     }),
     "dedup_minhash_candidates" -> ((s, dir) =>
       minhashCandidates(docs(s, dir)).orderBy("doc_a", "doc_b")),
+    "dedup_minhash_est" -> ((s, dir) =>
+      minhashCalibration(docs(s, dir)).orderBy("doc_a", "doc_b")),
     "dedup_simhash" -> ((s, dir) =>
       simhashSignatures(docs(s, dir)).orderBy("doc_id")),
     "dedup_simhash_pairs" -> ((s, dir) =>
@@ -704,6 +774,11 @@ object Dedup {
     minHashCoeffs.zipWithIndex.map { case ((a, b), i) =>
       s"min(($a * hbase + $b) % $MinHashP) AS h$i"
     }.mkString(",\n         ")
+
+  /** Component-agreement count between two aliased mh rows (a, b). */
+  private val sigMatchSql: String =
+    (0 until NumHashes).map(i =>
+      s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)").mkString(" + ")
 
   private val bandSelects: String =
     (0 until Bands).map { b =>
@@ -873,6 +948,56 @@ object Dedup {
          |FROM kept a JOIN kept b
          |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // Independent two-sided-join formulation of the calibration (the
+    // Spark side uses a union-tag single pass); coalesce(ix, 0) covers
+    // LSH false positives with zero actual overlap.
+    "dedup_minhash_est" ->
+      s"""$shCte, hb AS (
+         |  SELECT doc_id, $baseHashSql AS hbase
+         |  FROM (SELECT doc_id, substr(md5(s), 1, 7) AS hx FROM sh)
+         |), mh AS (
+         |  SELECT doc_id,
+         |         $minhashSelects
+         |  FROM hb GROUP BY doc_id
+         |), bands AS (
+         |  $bandSelects
+         |), small AS (
+         |  SELECT band, sig FROM bands GROUP BY 1, 2 HAVING count(*) <= $MaxBucketSize
+         |), kept AS (
+         |  SELECT bands.* FROM bands JOIN small USING (band, sig)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM kept a JOIN kept b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+         |), inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS ix
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.doc_a
+         |  JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+         |  GROUP BY 1, 2
+         |), est AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         CAST($sigMatchSql AS BIGINT) AS sig_matches
+         |  FROM cand c
+         |  JOIN mh a ON a.doc_id = c.doc_a
+         |  JOIN mh b ON b.doc_id = c.doc_b
+         |), wide AS (
+         |  SELECT e.doc_a, e.doc_b,
+         |         CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+         |         CAST(coalesce(i.ix, 0) AS BIGINT) AS inter_n, e.sig_matches,
+         |         CAST(e.sig_matches AS DOUBLE) / CAST($NumHashes.0 AS DOUBLE) AS est_jaccard,
+         |         CAST(coalesce(i.ix, 0) AS DOUBLE)
+         |           / CAST(na.n + nb.n - coalesce(i.ix, 0) AS DOUBLE) AS exact_jaccard
+         |  FROM est e
+         |  JOIN sizes na ON na.doc_id = e.doc_a
+         |  JOIN sizes nb ON nb.doc_id = e.doc_b
+         |  LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+         |)
+         |SELECT doc_a, doc_b, n_a, n_b, inter_n, sig_matches, est_jaccard,
+         |       exact_jaccard, abs(est_jaccard - exact_jaccard) AS abs_err
+         |FROM wide ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_simhash" ->
       s"""$simhashCte
          |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,

@@ -63,6 +63,41 @@ class DedupSpec extends SparkSpec {
       "unrelated doc must not appear in any candidate pair")
   }
 
+  test("minhash calibration: candidate set pinned, exact jaccard vs reference") {
+    // independent plain-Scala shingle reference for the exact column
+    def shingleSet(text: String): Set[String] =
+      text.split("\\s+").filter(_.nonEmpty).sliding(Dedup.ShingleSize)
+        .map(_.mkString(" ")).toSet
+    val texts = Map(
+      0L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu",
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu")
+    val rows = Dedup.minhashCalibration(corpus).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r).toMap
+    // same pairs as the candidate query, by construction
+    val cand = Dedup.minhashCandidates(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.keySet === cand)
+    // identical docs: estimate and exact both 1, zero error
+    val id = rows((0L, 1L))
+    assert(id.getAs[Long]("sig_matches") === Dedup.NumHashes.toLong)
+    assert(id.getAs[Double]("est_jaccard") === 1.0)
+    assert(id.getAs[Double]("exact_jaccard") === 1.0)
+    assert(id.getAs[Double]("abs_err") === 0.0)
+    // every pair's exact column matches the reference set arithmetic;
+    // estimate stays a valid k-sample fraction
+    rows.foreach { case ((a, b), r) =>
+      val (sa, sb) = (shingleSet(texts(a)), shingleSet(texts(b)))
+      val expected = (sa & sb).size.toDouble / (sa | sb).size.toDouble
+      assert(r.getAs[Long]("n_a") === sa.size.toLong)
+      assert(r.getAs[Long]("inter_n") === (sa & sb).size.toLong)
+      assert(r.getAs[Double]("exact_jaccard") === expected, s"pair ($a,$b)")
+      val est = r.getAs[Double]("est_jaccard")
+      assert(est >= 0.0 && est <= 1.0)
+      assert(r.getAs[Double]("abs_err") === math.abs(est - expected))
+    }
+  }
+
   test("identical docs have identical SimHash and hamming-0 pair") {
     val sigs = Dedup.simhashSignatures(corpus)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
