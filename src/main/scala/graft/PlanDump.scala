@@ -40,7 +40,15 @@ object PlanDump {
     "sim_centroid_outliers" ->
       "Exact decimal-sum centroids (labels x Dim rows) broadcast into ONE narrow corpus pass; the per-label top-k is WindowGroupLimit-bounded. The decimal partial sums are mergeable map-side, so the centroid aggregate survives any cluster size.",
     "events_top_sessions" ->
-      "The shared sessionize chain (one user_id exchange, stacked windows) feeds TakeOrderedAndProject: per-partition top-k heaps, k rows to the driver — no global sort.")
+      "The shared sessionize chain (one user_id exchange, stacked windows) feeds TakeOrderedAndProject: per-partition top-k heaps, k rows to the driver — no global sort.",
+    "text_repetition" ->
+      "Both gram sizes ride ONE explode of a tagged-struct concat — the text is tokenized once for the gram chain; the (doc, n, gram) count shuffle collapses repeats map-side and the two follow-up aggregates key on doc_id. The no-silent-drops spine is a second scan carrying only doc_id + the admission predicate (text read, dropped right after the filter).",
+    "text_pack" ->
+      "Shard-local running sum: one exchange on source, integer `div` bin arithmetic, bounded (source, bin) final aggregate — never a global single-partition window.",
+    "events_anomaly" ->
+      "Dense type×hour grid (bounded: types × hours, independent of event volume) left-joins the one-shuffle hourly aggregate; per-type moments attach as WINDOW aggregates over event_type on the dense frame — a stats-groupBy joined back planned the whole grid+hourly subtree twice (explain-verified before the rewrite).",
+    "dedup_minhash_est" ->
+      "The per-doc feature aggregate carries shingle set + 16 signature minima off one (doc_id, s)-distinct exchange; candidate pairs come from the shared in-bucket expansion, and both docs' features attach via a union-tag join + one (doc_a, doc_b) aggregate. The feature subtree is planned twice (bucket chain + join side — HOF lambdas defeat exchange reuse); the union-tag holds it at two where an a/b self-join would plan three.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -138,8 +138,11 @@ object Events {
     // step mirrored verbatim in the oracle — no Welford-order drift.
     // Scale notes: the grid is types × hours (bounded, independent of
     // event volume); the hourly aggregate is ONE shuffle with map-side
-    // partials; per-type stats ride a ≤|types|-row broadcast back onto
-    // the dense frame. sd_n > 0 guards the divide in both engines.
+    // partials. Per-type moments attach via WINDOW aggregates over the
+    // dense frame — a stats-groupBy joined back would plan the whole
+    // grid+hourly subtree twice (same exchange-reuse defeat the tfidf
+    // df-window works around); the window costs one bounded
+    // event_type exchange. sd_n > 0 guards the divide in both engines.
     "events_anomaly" -> ((s, dir) => {
       val e = ev(s, dir)
       val hourly = e.groupBy(date_trunc("hour", col("ts")).as("hour"),
@@ -155,15 +158,16 @@ object Events {
       val dense = grid.join(hourly, Seq("event_type", "hour"), "left")
         .select(col("event_type"), col("hour"),
           coalesce(col("n"), lit(0L)).as("n"))
-      val stats = dense.groupBy("event_type")
-        .agg(count(lit(1)).as("n_hours"), sum(col("n")).as("s1"),
-          sum(col("n") * col("n")).as("s2"))
+      val byType = Window.partitionBy(col("event_type"))
       val meanN = col("s1").cast("double") / col("n_hours").cast("double")
       val sdN = sqrt((col("s2").cast("double") -
         col("s1").cast("double") * col("s1").cast("double") /
           col("n_hours").cast("double")) / col("n_hours").cast("double"))
       val z = (col("n").cast("double") - col("mean_n")) / col("sd_n")
-      dense.join(broadcast(stats), "event_type")
+      dense
+        .withColumn("n_hours", count(lit(1)).over(byType))
+        .withColumn("s1", sum(col("n")).over(byType))
+        .withColumn("s2", sum(col("n") * col("n")).over(byType))
         .withColumn("mean_n", meanN)
         .withColumn("sd_n", sdN)
         .withColumn("z", z)
