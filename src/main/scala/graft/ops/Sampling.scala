@@ -37,7 +37,7 @@ object Sampling {
     * define them — `withColumn` would silently overwrite a caller's
     * same-named column, so clashes fail fast instead.
     */
-  private val Reserved = Seq("bucket", "rate", "kept", "split")
+  private val Reserved = Seq("bucket", "rate", "kept", "split", "hkey", "rank")
 
   private def requireFresh(d: DataFrame, used: Seq[String]): Unit = {
     val clash = d.columns.toSeq.intersect(used)
@@ -89,6 +89,38 @@ object Sampling {
       (bucket < rate).as("kept"))
   }
 
+  /** Deterministic stratified sample: exactly [[StratifiedK]] rows per
+    * stratum, chosen by ranking a SALTED portable hash of the key — a
+    * pure function of (salt, key), so membership is stable under
+    * re-runs, backfills, and repartitioning, and any engine reproduces
+    * it (vs `sample(seed)`, which is partitioning-dependent). This is
+    * the eval-set carve a pipeline performs ("k docs per language for
+    * human review") — and because the rank hash is salted, a row's
+    * carve fate is independent of its split/mix fate, same reasoning
+    * as [[MixSalt]]. The (hkey, key) order is a total order, so the
+    * sample is unique even across hash ties.
+    *
+    * Scale notes: the per-stratum rank is a row_number window bounded
+    * by Spark's WindowGroupLimit rewrite — each map task keeps only
+    * ~k rows per stratum before the stratum exchange, so the shuffle
+    * carries O(strata · k) rows, not the corpus.
+    */
+  val StratifiedK = 20
+  val StratifiedSalt = "strat|"
+
+  def stratified(d: DataFrame, keyCol: String, strataCol: String,
+      k: Int = StratifiedK): DataFrame = {
+    requireFresh(d, Seq("hkey", "rank"))
+    val h = graft.functions.PortableHash.key64(
+      concat(lit(StratifiedSalt), col(keyCol).cast("string")),
+      graft.functions.PortableHash.enabled(d))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col("hkey").asc, col(keyCol).asc)
+    d.select(col("*"), h.as("hkey"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-doc assignment: the full reproducible-split contract
     "sample_split_assign" -> ((s, dir) =>
@@ -114,8 +146,18 @@ object Sampling {
         .agg(count(lit(1)).as("n_in"),
           sum(col("kept").cast("long")).as("n_kept"),
           max(col("rate")).as("rate_pct"))
-        .orderBy("lang"))
+        .orderBy("lang")),
+    // fixed-k eval-set carve per language (engine-portable, seed-free)
+    "sample_stratified" -> ((s, dir) =>
+      stratified(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "lang")
+        .select("doc_id", "lang", "hkey", "rank")
+        .orderBy("lang", "rank"))
   )
+
+  private val key64Sql: String =
+    (1 to 15).map(k =>
+      s"(strpos('0123456789abcdef', substr(hx, $k, 1)) - 1) * ${java.math.BigInteger.valueOf(16).pow(15 - k)}")
+      .mkString(" + ")
 
   private val bucketSql: String = {
     val digits = (1 to 7).map(k =>
@@ -169,6 +211,23 @@ object Sampling {
          |SELECT lang, count(*) AS n_in,
          |  CAST(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  max(rate) AS rate_pct
-         |FROM m GROUP BY lang ORDER BY lang""".stripMargin
+         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    // 15-hex-digit positional build of the 60-bit rank key — the same
+    // construction the dedup oracle validates for PortableHash.key64
+    "sample_stratified" ->
+      s"""WITH hx AS (
+         |  SELECT doc_id, lang,
+         |         substr(md5('$StratifiedSalt' || CAST(doc_id AS VARCHAR)), 1, 15) AS hx
+         |  FROM documents
+         |), h AS (
+         |  SELECT doc_id, lang, CAST($key64Sql AS BIGINT) AS hkey FROM hx
+         |), r AS (
+         |  SELECT doc_id, lang, hkey,
+         |         CAST(row_number() OVER (PARTITION BY lang
+         |           ORDER BY hkey ASC, doc_id ASC) AS INT) AS rank
+         |  FROM h
+         |)
+         |SELECT doc_id, lang, hkey, rank FROM r WHERE rank <= $StratifiedK
+         |ORDER BY lang, rank""".stripMargin
   )
 }

@@ -38,6 +38,47 @@ object StreamingCounts {
     hourlyCounts(events.withWatermark("ts", watermark))
 }
 
+/** Streaming twin of the batch `events_anomaly` query: scores each
+  * watermark-finalized hourly window against a STATIC reference-stats
+  * side input (event_type, mean_n, sd_n — e.g. last month's moments
+  * from the batch audit) and emits windows past the |z| floor while
+  * they are still actionable.
+  *
+  * Deliberate divergence from batch, documented: a count stream can
+  * only score hours it OBSERVED — a zero-event outage hour produces no
+  * window and so no alert here; the batch dense-grid audit is the
+  * retroactive outage detector, the stream is the in-flight spike
+  * detector. For observed hours the z arithmetic is the batch
+  * expression verbatim (StreamingAnomalySpec pins row-level parity).
+  *
+  * Scale notes: the stats frame is ≤|event types| rows and BROADCASTS
+  * into a stream-static join BEFORE the aggregation (mean/sd are
+  * per-type constants, so they ride the groupBy as extra keys without
+  * changing its cardinality) — joining after the aggregate instead
+  * strips the event-time watermark and append mode rejects the plan.
+  * State stays bounded by the watermark exactly as in
+  * [[StreamingCounts.hourlyCountsStreaming]].
+  */
+object StreamingAnomaly {
+
+  def score(events: DataFrame, stats: DataFrame,
+      zFloor: Double = graft.events.Events.AnomalyZ,
+      watermark: String = "1 hour"): DataFrame = {
+    val z = (col("n").cast("double") - col("mean_n")) / col("sd_n")
+    events.withWatermark("ts", watermark)
+      .join(broadcast(stats), "event_type")
+      // group by the window STRUCT — extracting .start inside the key
+      // severs the watermark link and append mode rejects the plan
+      .groupBy(window(col("ts"), "1 hour"),
+        col("event_type"), col("mean_n"), col("sd_n"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("hour", col("window").getField("start"))
+      .withColumn("z", z)
+      .filter(col("sd_n") > 0.0 && abs(col("z")) >= zFloor)
+      .select("event_type", "hour", "n", "mean_n", "sd_n", "z")
+  }
+}
+
 /** Exact dedup-on-arrival: the streaming twin of the batch
   * `dedup_apply` query ([[graft.dedup.Dedup]]). A document is emitted
   * iff its normalized-text hash has never been seen; later copies are

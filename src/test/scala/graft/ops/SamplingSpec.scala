@@ -65,4 +65,30 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(sizes("train") / n - 0.90) < 0.05, sizes.toString)
     assert(sizes.contains("val") && sizes.contains("test"), sizes.toString)
   }
+
+  test("stratified carve: exactly k per stratum, stable under repartitioning") {
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val got = Sampling.stratified(d, "doc_id", "lang", k = 7)
+      .select("lang", "doc_id", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val perLang = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perLang.values.forall(_ === 7), perLang.toString)
+    // membership is a pure function of the key — any partitioning of
+    // the same input must carve the identical sample
+    val again = Sampling.stratified(d.repartition(7), "doc_id", "lang", k = 7)
+      .select("lang", "doc_id", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSet === again.toSet)
+    // carve fate is salted — the sample must not be the first k doc_ids
+    val firstIds = d.select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.take(7).toSet).toMap
+    assert(got.groupBy(_._1).exists { case (l, rows) =>
+      rows.map(_._2).toSet != firstIds(l)
+    }, "salted hash ranking degenerated to doc_id order")
+    // the rank shuffle is WindowGroupLimit-bounded (top-k, not a full sort)
+    val plan = Sampling.stratified(d, "doc_id", "lang")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(1500))
+  }
 }
