@@ -30,10 +30,11 @@ class ProductionHashSpec extends graft.SparkSpec {
 
   /** Queries whose plans consult PortableHash. */
   private val hashQueries = Seq(
-    "dedup_minhash_candidates", "dedup_simhash", "dedup_simhash_pairs",
-    "dedup_ngram_jaccard", "dedup_bucket_stats", "dedup_decontaminate",
-    "dedup_decontaminate_report", "sample_split_assign", "sample_split_stats",
-    "sample_mix_apply", "sample_mix_stats")
+    "dedup_minhash_candidates", "dedup_minhash_est", "dedup_simhash",
+    "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_bucket_stats",
+    "dedup_decontaminate", "dedup_decontaminate_report",
+    "sample_split_assign", "sample_split_stats",
+    "sample_mix_apply", "sample_mix_stats", "sample_stratified")
 
   private def run(name: String): DataFrame =
     graft.SparkEntry.queries(name)(spark, dir)
@@ -88,6 +89,21 @@ class ProductionHashSpec extends graft.SparkSpec {
       assert(mix.length > 0)
       assert(mix.forall(r => r.getLong(2) <= r.getLong(1)),
         "kept count can never exceed incoming count")
+
+      // calibration: estimate stays a valid k-sample fraction and the
+      // exact column is hash-independent set arithmetic
+      val est = run("dedup_minhash_est").collect()
+      assert(est.forall { r =>
+        val e = r.getAs[Double]("est_jaccard"); val x = r.getAs[Double]("exact_jaccard")
+        r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b") &&
+          e >= 0.0 && e <= 1.0 && x >= 0.0 && x <= 1.0
+      })
+
+      // stratified carve: exactly k per stratum under either hash
+      val strat = run("sample_stratified").collect()
+      assert(strat.length > 0)
+      val perStratum = strat.groupBy(_.getAs[String]("lang")).values.map(_.length)
+      assert(perStratum.forall(_ <= graft.ops.Sampling.StratifiedK))
     }
   }
 
