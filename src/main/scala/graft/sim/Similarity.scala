@@ -378,6 +378,55 @@ object Similarity {
       .select("label", "vec_id", "dist", "rank")
   }
 
+  /** Scalar int8 quantization audit: quantize every embedding to 256
+    * levels over per-dim corpus [lo, hi] ranges, dequantize, and report
+    * each vector's reconstruction MSE and the cosine between original
+    * and reconstruction — the measurement behind shipping a 4×-smaller
+    * vector index (the exact-beside-estimate discipline, applied to
+    * compression). floor-based level assignment, not round: floor is
+    * exact on any IEEE input, while round ties-to-away vs ties-to-even
+    * differ between engines.
+    *
+    * Scale notes: per-dim ranges are a [[Dim]]-row aggregate (map-side
+    * partials collapse to 64 rows per task) re-entered as ONE broadcast
+    * row of lo/hi arrays — the stopword/G4 side-input pattern; the
+    * audit itself is a single narrow corpus pass of per-row HOF
+    * arithmetic (quantize, dequantize, in-order error folds), so the
+    * only exchange anywhere is the 64-group dim aggregate.
+    */
+  val QLevels = 255
+
+  def quantizeAudit(e: DataFrame): DataFrame = {
+    val dims = e.select(posexplode(vCol(col("embedding"))).as(Seq("dim", "x")))
+      .groupBy("dim").agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val ranges = dims
+      .agg(array_sort(collect_list(struct(col("dim"), col("lo"), col("hi"))))
+        .as("dl"))
+      .select(transform(col("dl"), s => s.getField("lo")).as("lo"),
+        transform(col("dl"), s => s.getField("hi")).as("hi"))
+    def deqAt(i: Column): Column = {
+      val x = element_at(col("v"), i)
+      val lo = element_at(col("lo"), i)
+      val hi = element_at(col("hi"), i)
+      val scale = hi - lo
+      when(scale > 0,
+        lo + least(lit(QLevels.toDouble),
+          floor((x - lo) * lit(QLevels.toDouble) / scale).cast("double")) *
+          scale / lit(QLevels.toDouble))
+        .otherwise(lo)
+    }
+    val mse = aggregate(
+      zip_with(col("v"), col("deq"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x) / size(col("v")).cast("double")
+    val cos = dot(col("v"), col("deq")) /
+      (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("deq"), col("deq"))))
+    e.select(col("vec_id"), col("label"), vCol(col("embedding")).as("v"))
+      .crossJoin(broadcast(ranges))
+      .withColumn("deq",
+        transform(sequence(lit(1), size(col("v"))), i => deqAt(i)))
+      .select(col("vec_id"), col("label"), mse.as("mse"), cos.as("cos_recon"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Cap observability for [[MaxNearDupBucket]] (caps must never
     // truncate silently — same audit contract as `dedup_bucket_stats`):
@@ -446,7 +495,9 @@ object Similarity {
     "sim_label_centroids" -> ((s, dir) =>
       labelCentroids(emb(s, dir)).orderBy("label", "dim")),
     "sim_centroid_outliers" -> ((s, dir) =>
-      centroidOutliers(emb(s, dir)).orderBy("label", "rank"))
+      centroidOutliers(emb(s, dir)).orderBy("label", "rank")),
+    "sim_quantize_audit" -> ((s, dir) =>
+      quantizeAudit(emb(s, dir)).orderBy("vec_id"))
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -675,6 +726,39 @@ object Similarity {
          |  FROM dist
          |)
          |SELECT label, vec_id, dist, rank FROM r WHERE rank <= $OutlierK
-         |ORDER BY label, rank""".stripMargin
+         |ORDER BY label, rank""".stripMargin,
+    // Same floor-level quantization, same IEEE op order per element;
+    // min/max are exact, and the error/cosine folds reuse the in-order
+    // list_reduce that mirrors Spark's aggregate fold bit-for-bit.
+    "sim_quantize_audit" ->
+      s"""WITH ev AS (
+         |  SELECT vec_id, label,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), dims AS (
+         |  SELECT i AS dim, min(v[i]) AS lo, max(v[i]) AS hi
+         |  FROM ev, LATERAL (SELECT unnest(range(1, ${Dim + 1})) AS i)
+         |  GROUP BY 1
+         |), ranges AS (
+         |  SELECT list(lo ORDER BY dim) AS lo, list(hi ORDER BY dim) AS hi
+         |  FROM dims
+         |), d AS (
+         |  SELECT vec_id, label, v,
+         |         list_transform(range(1, ${Dim + 1}), i ->
+         |           CASE WHEN r.hi[i] - r.lo[i] > 0
+         |                THEN r.lo[i] + least(CAST($QLevels.0 AS DOUBLE),
+         |                    floor((v[i] - r.lo[i]) * CAST($QLevels.0 AS DOUBLE)
+         |                      / (r.hi[i] - r.lo[i])))
+         |                  * (r.hi[i] - r.lo[i]) / CAST($QLevels.0 AS DOUBLE)
+         |                ELSE r.lo[i] END) AS deq
+         |  FROM ev, ranges r
+         |)
+         |SELECT vec_id, label,
+         |       list_reduce(list_transform(range(1, ${Dim + 1}),
+         |           i -> (v[i] - deq[i]) * (v[i] - deq[i])), (acc, x) -> acc + x)
+         |         / CAST($Dim.0 AS DOUBLE) AS mse,
+         |       ${dotSql("v", "deq")}
+         |         / (sqrt(${dotSql("v", "v")}) * sqrt(${dotSql("deq", "deq")})) AS cos_recon
+         |FROM d ORDER BY vec_id""".stripMargin
   )
 }

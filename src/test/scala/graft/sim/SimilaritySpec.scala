@@ -145,4 +145,45 @@ class SimilaritySpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(1500))
     assert(p.contains("BroadcastHashJoin"), p.take(1500)) // centroids broadcast
   }
+
+  test("quantize audit matches a plain-Scala op-for-op reference") {
+    val s = spark; import s.implicits._
+    // exact-in-float values so the float→double cast is lossless and
+    // the JVM reference runs the same IEEE op sequence as the query
+    val vecs = Map(
+      0L -> Seq(0.0f, 1.0f, 5.0f),
+      1L -> Seq(1.0f, 1.0f, -3.0f),
+      2L -> Seq(2.0f, 1.0f, 13.0f))
+    val e = vecs.toSeq.map { case (id, v) => (id, v, 1) }
+      .toDF("vec_id", "embedding", "label")
+    val dims = vecs.values.head.length
+    val lo = (0 until dims).map(i => vecs.values.map(_(i).toDouble).min)
+    val hi = (0 until dims).map(i => vecs.values.map(_(i).toDouble).max)
+    def deqRef(x: Double, l: Double, h: Double): Double = {
+      val scale = h - l
+      if (scale > 0)
+        l + math.min(255.0, math.floor((x - l) * 255.0 / scale)) * scale / 255.0
+      else l
+    }
+    val got = Similarity.quantizeAudit(e).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Double]("mse"), r.getAs[Double]("cos_recon")))).toMap
+    vecs.foreach { case (id, vf) =>
+      val v = vf.map(_.toDouble)
+      val deq = (0 until dims).map(i => deqRef(v(i), lo(i), hi(i)))
+      val mse = (0 until dims).foldLeft(0.0)((a, i) =>
+        a + (v(i) - deq(i)) * (v(i) - deq(i))) / dims.toDouble
+      def dotp(a: Seq[Double], b: Seq[Double]) =
+        (0 until dims).foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+      val cos = dotp(v, deq) / (math.sqrt(dotp(v, v)) * math.sqrt(dotp(deq, deq)))
+      assert(got(id)._1 === mse, s"mse for vec $id")
+      assert(got(id)._2 === cos, s"cos for vec $id")
+    }
+    // fixture-level meaningfulness: int8 reconstruction stays faithful
+    val fx = Similarity.queries("sim_quantize_audit")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(fx.length > 0)
+    assert(fx.forall(_.getAs[Double]("cos_recon") > 0.999))
+    assert(fx.forall(r => r.getAs[Double]("mse") >= 0.0))
+  }
 }
