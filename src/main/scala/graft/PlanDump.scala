@@ -48,7 +48,11 @@ object PlanDump {
     "events_anomaly" ->
       "Dense type×hour grid (bounded: types × hours, independent of event volume) left-joins the one-shuffle hourly aggregate; per-type moments attach as WINDOW aggregates over event_type on the dense frame — a stats-groupBy joined back planned the whole grid+hourly subtree twice (explain-verified before the rewrite).",
     "dedup_minhash_est" ->
-      "The per-doc feature aggregate carries shingle set + 16 signature minima off one (doc_id, s)-distinct exchange; candidate pairs come from the shared in-bucket expansion, and both docs' features attach via a union-tag join + one (doc_a, doc_b) aggregate. The feature subtree is planned twice (bucket chain + join side — HOF lambdas defeat exchange reuse); the union-tag holds it at two where an a/b self-join would plan three.")
+      "The per-doc feature aggregate carries shingle set + 16 signature minima off one (doc_id, s)-distinct exchange; candidate pairs come from the shared in-bucket expansion, and both docs' features attach via a union-tag join + one (doc_a, doc_b) aggregate. The feature subtree is planned twice (bucket chain + join side — HOF lambdas defeat exchange reuse); the union-tag holds it at two where an a/b self-join would plan three.",
+    "sim_semdedup" ->
+      "Zero-shuffle cell assignment (16 literal centroid dots per row, same narrow map as IVF); the within-cell pair expansion shuffles once on cell_id with the oversized-cell guard upstream; the drop set re-attaches via a left join keyed on vec_id. At scale NumCells is the lever that keeps cells pair-expandable and the cell_id shuffle healthy.",
+    "text_unigram_logprob" ->
+      "Linear chain, ONE corpus tokenization: the token stream collapses map-side into (doc, term) tf rows; corpus counts attach via a sum window over term (same single-materialization argument as tfidf's df window); the grand total broadcasts (1-row cross). The 89-step portable-log2 fold runs per tf row — never per token instance — and the per-doc sum folds tf·log2p in term order off the collected per-doc struct list.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -72,7 +76,7 @@ object PlanDump {
         |The registry contract is lazy-at-build: constructing a query's
         |DataFrame (what `explain` does) schedules no Spark job beyond the
         |parquet footer read every `spark.read.parquet` performs. Exactly
-        |four entries are deliberate exceptions — each runs a BOUNDED
+        |six entries are deliberate exceptions — each runs a BOUNDED
         |collect at build time, so `explain`/`queries(name)(...)` on them
         |executes Spark work. RegistrySpec listener-counts build-time jobs
         |and fails if this table drifts in either direction.
@@ -83,6 +87,8 @@ object PlanDump {
         || `dedup_near_apply` | the Jaccard-verified pair list; the ClusterRounds label propagation then runs on the driver over those edges (propagateDriver, parity spec-pinned) and the labels broadcast into one corpus join | cap-bounded pair stream |
         || `sim_ann_recall` | the exact top-k side input both ANN variants are scored against | NumQueries·TopK = 50 rows |
         || `sim_cosine_ann_ivf` | the `vec_id < TrainN` training sample for driver-side Lloyd (centroids re-enter the plan as literals) | ≤256 rows × 64 doubles |
+        || `sim_semdedup` | the same IVF training sample (cell assignment embeds the trained centroids as literals) | ≤256 rows × 64 doubles |
+        || `sim_bucket_stats` | the same IVF training sample, for the `ivf_cell` cap-audit row's cell assignment | ≤256 rows × 64 doubles |
         |
         |(`sim_ann_recall` composes `ivfTopK`, so it also performs the IVF
         |sample collect; its own bound is the 50-row exact result.)

@@ -52,6 +52,23 @@ object Similarity {
     */
   val TrainN = 256
   val LloydIters = 2
+  /** SemDeDup: within-cell pairs at or above this cosine mark the
+    * higher vec_id as a drop. 0.4 sits in the distribution's far tail
+    * on the fixtures (p99.9 of within-cell cosines ≈ 0.42 at sf0.1) —
+    * selective but non-degenerate, like the real setting's 0.95+ on
+    * trained-encoder embeddings (these synthetic vectors are far more
+    * isotropic, so the operating point shifts down).
+    */
+  val SemDedupThreshold = 0.4
+  /** Cells larger than this skip SemDeDup pair expansion (cap
+    * discipline as [[MaxNearDupBucket]]; audited by `sim_bucket_stats`'s
+    * `ivf_cell` row). Does not bind on the fixtures (max cell 144 at
+    * sf0.1). At 100 TB the primary lever is [[NumCells]] itself: size
+    * the quantizer so |corpus|/NumCells stays pair-expandable (real
+    * SemDeDup runs ~100 k cells over billions of vectors); the cap is
+    * the hard stop under assignment skew.
+    */
+  val MaxSemCell = 1000
 
   /** Deterministic ±1 hyperplane weights: plane p, dim j gets the parity
     * of the first hex digit of md5("p,j"). Seeded data, not code — both
@@ -318,6 +335,53 @@ object Similarity {
     rankTopK(pairs, TopK)
   }
 
+  /** SemDeDup (semantic deduplication over embeddings, after Abbas et
+    * al. 2023, arXiv:2303.09540): prune vectors whose embedding is
+    * near-identical to a kept one. Every vector is assigned to its
+    * trained IVF cell by the same zero-shuffle narrow map as
+    * [[ivfTopK]]; within each cap-admitted cell, pairs at cosine ≥
+    * [[SemDedupThreshold]] mark the HIGHER vec_id as a duplicate
+    * (keep-lowest-id — the deterministic keeper rule shared with
+    * `dedup_near_apply`). Output is a per-vector verdict
+    * (vec_id, cell_id, kept) over the whole corpus; vectors in
+    * oversized cells are kept un-expanded (the cap never drops
+    * silently — `sim_bucket_stats`'s `ivf_cell` row counts them).
+    *
+    * Scale notes: assignment is one corpus pass with zero exchanges
+    * (16 literal dots per row); the pair stage shuffles once on
+    * cell_id and expands |cell|²/2 only inside cap-admitted cells —
+    * never corpus×corpus. At 100 TB, [[NumCells]] is the lever that
+    * keeps cells pair-expandable AND keeps the cell_id shuffle
+    * key-cardinality healthy (16 keys is fixture-sized; production
+    * SemDeDup runs ~100 k cells over billions of vectors, which also
+    * de-skews the shuffle). Distance to the cell centroid — the
+    * quality signal real SemDeDup keeps per cluster — is available
+    * here as element 1's `neg`; the keeper rule stays id-based so the
+    * verdict is join-order-free and oracle-stable.
+    */
+  private def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val c = prepared(s, dir, withBucket = false)
+    val cells = probeCells(centroidLiterals(c))
+    val assign = c.withColumn("cells", cells)
+      .select(element_at(col("cells"), 1).getField("cell_id").as("cell_id"),
+        col("vec_id"), col("v"), col("nrm"))
+    val small = assign.groupBy("cell_id").agg(count(lit(1)).as("csz"))
+      .filter(col("csz") <= MaxSemCell).select("cell_id")
+    val admitted = assign.join(broadcast(small), Seq("cell_id"))
+    val a = admitted.select(col("cell_id"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = admitted.select(col("cell_id"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val drops = a.join(b, Seq("cell_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(cosine(col("va"), col("vb"), col("na"), col("nb"))
+        >= SemDedupThreshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+    assign.join(drops.withColumn("dropped", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"), col("dropped").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
   // ---- exact label centroids + embedding outliers ------------------------
 
   /** Top-k farthest vectors per label reported by
@@ -428,18 +492,32 @@ object Similarity {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Cap observability for [[MaxNearDupBucket]] (caps must never
-    // truncate silently — same audit contract as `dedup_bucket_stats`):
-    // always exactly one row, zeros when nothing is oversized. One
-    // narrow corpus pass computing bucket sizes only (never vectors).
-    "sim_bucket_stats" -> ((s, dir) =>
-      prepared(s, dir, withBucket = true)
-        .groupBy("bucket").agg(count(lit(1)).as("sz"))
-        .filter(col("sz") > MaxNearDupBucket)
-        .agg(count(lit(1)).as("dropped_buckets"),
-          coalesce(sum(col("sz")), lit(0L)).as("dropped_postings"))
-        .select(lit("embedding_lsh").as("method"),
-          col("dropped_buckets"), col("dropped_postings"))),
+    // Cap observability for [[MaxNearDupBucket]] and [[MaxSemCell]]
+    // (caps must never truncate silently — same audit contract as
+    // `dedup_bucket_stats`): always exactly one row per capped method,
+    // zeros when nothing is oversized. Each branch is one narrow
+    // corpus pass computing bucket/cell sizes only (never vectors).
+    // The ivf_cell branch embeds the trained quantizer, so this query
+    // is eager-at-build like `sim_cosine_ann_ivf` (docs/PLANS.md).
+    "sim_bucket_stats" -> ((s, dir) => {
+      val c = prepared(s, dir, withBucket = true)
+      def audit(sizes: DataFrame, cap: Int, method: String): DataFrame =
+        sizes.filter(col("sz") > cap)
+          .agg(count(lit(1)).as("dropped_buckets"),
+            coalesce(sum(col("sz")), lit(0L)).as("dropped_postings"))
+          .select(lit(method).as("method"),
+            col("dropped_buckets"), col("dropped_postings"))
+      val lsh = audit(c.groupBy("bucket").agg(count(lit(1)).as("sz")),
+        MaxNearDupBucket, "embedding_lsh")
+      val cellOf = element_at(probeCells(centroidLiterals(c)), 1)
+        .getField("cell_id")
+      val ivf = audit(
+        c.withColumn("cell_id", cellOf)
+          .groupBy("cell_id").agg(count(lit(1)).as("sz")),
+        MaxSemCell, "ivf_cell")
+      lsh.unionByName(ivf).orderBy("method")
+    }),
+    "sim_semdedup" -> (semDedup _),
     "sim_cosine_topk" -> (exactTopK _),
     "sim_cosine_ann_lsh" -> (lshTopK _),
     "sim_cosine_ann_ivf" -> (ivfTopK _),
@@ -610,12 +688,36 @@ object Similarity {
 
   def oracleSql: Map[String, String] = Map(
     "sim_bucket_stats" ->
-      s"""$bCte
-         |SELECT 'embedding_lsh' AS method,
-         |       count(*) AS dropped_buckets,
-         |       CAST(coalesce(sum(sz), 0) AS BIGINT) AS dropped_postings
-         |FROM (SELECT bucket, count(*) AS sz FROM b GROUP BY 1)
-         |WHERE sz > $MaxNearDupBucket""".stripMargin,
+      s"""$bCte$ivfCtes
+         |SELECT method, dropped_buckets, dropped_postings FROM (
+         |  SELECT 'embedding_lsh' AS method,
+         |         count(*) AS dropped_buckets,
+         |         CAST(coalesce(sum(sz), 0) AS BIGINT) AS dropped_postings
+         |  FROM (SELECT bucket, count(*) AS sz FROM b GROUP BY 1)
+         |  WHERE sz > $MaxNearDupBucket
+         |  UNION ALL
+         |  SELECT 'ivf_cell' AS method,
+         |         count(*) AS dropped_buckets,
+         |         CAST(coalesce(sum(sz), 0) AS BIGINT) AS dropped_postings
+         |  FROM (SELECT cell_id, count(*) AS sz FROM iassign GROUP BY 1)
+         |  WHERE sz > $MaxSemCell
+         |) ORDER BY method""".stripMargin,
+    "sim_semdedup" ->
+      s"""$eCte$ivfCtes, csz AS (
+         |  SELECT cell_id FROM iassign GROUP BY cell_id
+         |  HAVING count(*) <= $MaxSemCell
+         |), adm AS (
+         |  SELECT a.* FROM iassign a JOIN csz USING (cell_id)
+         |), sdrop AS (
+         |  SELECT DISTINCT b2.vec_id AS vec_id
+         |  FROM adm a JOIN adm b2
+         |    ON a.cell_id = b2.cell_id AND a.vec_id < b2.vec_id
+         |  WHERE ${dotSql("a.v", "b2.v")} / (sqrt(a.nrm) * sqrt(b2.nrm))
+         |          >= $SemDedupThreshold
+         |)
+         |SELECT i.vec_id, i.cell_id, d.vec_id IS NULL AS kept
+         |FROM iassign i LEFT JOIN sdrop d ON i.vec_id = d.vec_id
+         |ORDER BY i.vec_id""".stripMargin,
     "sim_cosine_topk" ->
       s"""$eCte, p AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,

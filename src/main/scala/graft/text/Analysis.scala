@@ -361,6 +361,128 @@ object Analysis {
         sum(when(col("end_bin") > col("bin"), 1L).otherwise(0L)).as("n_spill"))
   }
 
+  // ---- unigram LM scoring ------------------------------------------------
+
+  /** Engine-portable base-2 logarithm, built ONLY from IEEE-754 basic
+    * operations (×, ÷, +, comparisons — each correctly rounded by the
+    * standard, hence bit-identical in any conforming engine). libm
+    * `ln`/`log2` carry no such guarantee: DuckDB's `ln` and the JVM's
+    * `Math.log` were measured to disagree by 1 ulp on ~0.04 % of
+    * inputs, which would break the bit-exact oracle gate. This is the
+    * same portability discipline as the decimal-exact centroid means,
+    * applied to the one transcendental a data pipeline actually needs.
+    *
+    * Shape: one 89-step fold, index-dispatched, state [m, e, f, w]:
+    * steps 1–64 normalize m into [1, 2) by exact power-of-two scaling
+    * (accumulating the exponent e); steps 65–88 extract 24 fraction
+    * bits by squaring (m←m², halve if ≥2, add the current weight w to
+    * f — the add is exact because f is a sum of distinct powers of
+    * two ≥ 2⁻²⁴); step 89 writes e+f into slot 1. Only the squaring
+    * rounds, and it rounds identically everywhere. Max error vs true
+    * log2 ≤ ~7e-8 (quantization 2⁻²⁴ plus ~1-ulp-per-squaring
+    * drift); powers of two are EXACT. Valid for x in (2⁻⁶⁴, 2⁶⁴) —
+    * unigram probabilities (≥ 1/total) sit inside for any corpus
+    * under 2⁶⁴ tokens. Cost: 89 arithmetic iterations per evaluated
+    * row — apply it to aggregated rows (vocab/tf level), never to the
+    * raw token stream.
+    *
+    * The step is BRANCHLESS — arithmetic selection by exact 0/1 flags
+    * (`cast(cond as double)`), not when/CASE: DuckDB 1.0.0's
+    * `list_reduce` miscomputes list-typed accumulators when a CASE in
+    * the lambda takes different branches on different rows of a
+    * vector (measured: ~100 % wrong on a 3 k-row divergent fold,
+    * correct on uniform branches), so the oracle twin cannot branch —
+    * and the Spark side mirrors it op-for-op. The selection math is
+    * bit-neutral: every flag product/scaling is exact (×1, ×2, ÷2,
+    * +0), the one rounding op (m·m) is identical in both forms, and
+    * no intermediate is NaN/Inf/−0 on the valid domain, so branchless
+    * ≡ branchy bit-for-bit — AnalysisSpec pins exactly that against a
+    * branchy scalar reference.
+    */
+  def portableLog2(x: Column): Column = {
+    def flag(c: Column): Column = c.cast("double")
+    element_at(
+      aggregate(sequence(lit(1), lit(89)),
+        array(x, lit(0.0), lit(0.0), lit(0.5)),
+        (st, i) => {
+          val m = element_at(st, 1); val e = element_at(st, 2)
+          val f = element_at(st, 3); val w = element_at(st, 4)
+          val p1 = flag(i <= 64)
+          val p2 = flag(i > 64 && i <= 88)
+          val p3 = flag(i > 88)
+          val a = flag(m < 1.0); val b = flag(m >= 2.0)
+          val m2 = m * m
+          val c2 = flag(m2 >= 2.0)
+          array(
+            p1 * (m * (lit(1.0) + a) * (lit(1.0) - b / 2.0)) +
+              p2 * (m2 * (lit(1.0) - c2 / 2.0)) +
+              p3 * (e + f),
+            e + p1 * (b - a),
+            f + p2 * w * c2,
+            w / (lit(1.0) + p2))
+        }),
+      1)
+  }
+
+  /** Unigram-LM document scoring — the KenLM/CCNet-style perplexity
+    * proxy of a data pipeline, with the LM trained on the corpus
+    * itself: every document gets Σ tf·log2 p(w) over its tokens
+    * (p = corpus MLE cnt/total; every token is in-vocabulary by
+    * construction, so no smoothing term) and `bits_per_token` =
+    * −sum/n — high bits ⇒ rare-token-heavy documents, the tail a
+    * quality pipeline inspects first. log2 is [[portableLog2]], so the
+    * score is bit-identical across engines. The probability log is
+    * DECOMPOSED — Σ tf·log2 cnt − n·log2 total — because that is what
+    * keeps the grand total off the heavy chain (below); the two plog2
+    * calls cost ≤ ~1.4e-7 absolute vs the ratio form, and the oracle
+    * mirrors the decomposition op-for-op.
+    *
+    * Scale notes: ONE corpus tokenization — the token stream collapses
+    * map-side into (doc, term) tf rows (the same first shuffle as
+    * [[tfidf]]); corpus term counts attach via a SUM WINDOW over term
+    * on the tf rows (vocab-keyed, tf-row-sized — the same
+    * single-materialization argument as tfidf's df window). The grand
+    * total is Σ_docs |toks| — a NARROW map-side scan-sum (size of the
+    * token array, no explode, no shuffle) riding a 1-row broadcast
+    * (chi2's G4 pattern): deriving it from the tf rows instead would
+    * re-plan the whole tokenize+aggregate subtree just for one number
+    * (HOF lambdas upstream defeat exchange reuse — explain-verified
+    * here, same finding as tfidf's df window). The 89-step log fold
+    * runs per tf ROW, never per token instance. The per-doc sum folds
+    * tf·log2 cnt in TERM order (array_sort over the collected per-doc
+    * struct list, bounded by the doc's distinct terms) — double
+    * addition is order-sensitive, and a fixed fold order is what keeps
+    * the sum reproducible on any partitioning. Docs with zero admitted
+    * tokens report n_tokens=0, bits 0.0 — no silent drops.
+    */
+  def unigramLogProb(d: DataFrame): DataFrame = {
+    val tok = d.select(col("doc_id"), explode(toksCol).as("t"))
+    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val tot = d.agg(sum(size(toksCol)).cast("long").as("tot"))
+      .select(portableLog2(col("tot").cast("double")).as("lg_tot"))
+    val byTerm = org.apache.spark.sql.expressions.Window.partitionBy("t")
+    val scored = tf.withColumn("cnt", sum(col("tf")).over(byTerm))
+      .withColumn("lg", portableLog2(col("cnt").cast("double")))
+    val perDoc = scored.groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        aggregate(
+          array_sort(collect_list(struct(col("t"),
+            (col("tf").cast("double") * col("lg")).as("v")))),
+          lit(0.0), (acc, s) => acc + s.getField("v")).as("sfold"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("sfold") - col("n_tokens").cast("double") * col("lg_tot"))
+          .as("sum_log2p"))
+    d.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("sum_log2p"), lit(0.0)).as("sum_log2p"))
+      .withColumn("bits_per_token",
+        when(col("n_tokens") > 0,
+          -(col("sum_log2p") / col("n_tokens").cast("double")))
+          .otherwise(lit(0.0)))
+  }
+
   // ---- corpus audits -----------------------------------------------------
 
   /** Doc-length histogram per source: fixed-width `n_chars` buckets —
@@ -422,6 +544,78 @@ object Analysis {
           col("vocab_exact").cast("double"))
   }
 
+  // ---- per-source corpus profile ----------------------------------------
+
+  /** Per-source corpus report — the snapshot dashboard a pipeline runs
+    * after every ingest: volume (docs, tokens, chars, mean tokens),
+    * quality admission rate (EXACTLY [[qualityFilter]]'s predicate),
+    * and the dominant heuristic language with its doc count. One row
+    * per source.
+    *
+    * Scale notes: per-doc features are ENTIRELY map-side — quality is
+    * the same HOF arithmetic as [[quality]], and the language winner
+    * is re-derived WITHOUT the marker join: 5 langs × 8 markers are
+    * literals, so per-lang hits are five `filter` folds over the token
+    * array and the winner is element 1 of a sorted 5-struct
+    * (−matches, lang) array (the probeCells trick — ties break
+    * alphabetical, zero hits → "und", exactly [[langId]]'s semantics;
+    * AnalysisSpec asserts per-doc agreement with the join-based
+    * `text_langid` on the fixture). The only exchanges are the bounded
+    * (source, lang) aggregate and the sources-keyed window+aggregate
+    * over its sources×langs rows — at 100 TB: one narrow corpus pass
+    * into a ~|sources|·6-row reduction. Means are one double division
+    * over exact long sums.
+    */
+  def sourceProfile(d: DataFrame): DataFrame = {
+    val toks = col("toks")
+    val langStructs = array(Markers.map { case (l, ws) =>
+      struct((-size(filter(toks, t => t.isInCollection(ws)))).as("neg"),
+        lit(l).as("lang"))
+    }: _*)
+    val perDoc = d
+      .select(col("source"), length(col("text")).cast("long").as("n_chars"),
+        toksCol.as("toks"))
+      .select(col("source"), col("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        size(filter(toks, t => t.isInCollection(QualityStopwords)))
+          .cast("long").as("n_stopwords"),
+        element_at(array_sort(langStructs), 1).as("w"))
+      .select(col("source"), col("n_chars"), col("n_tokens"),
+        when(col("w.neg") === 0, lit("und")).otherwise(col("w.lang"))
+          .as("lang"),
+        (lit(0.4) * least(lit(1.0),
+          col("n_tokens").cast("double") / lit(100.0)) +
+          lit(0.3) * (lit(1.0) -
+            col("n_stopwords").cast("double") / col("n_tokens").cast("double")) +
+          lit(0.3) *
+            (col("n_distinct").cast("double") / col("n_tokens").cast("double")))
+          .as("q"))
+    val sl = perDoc.groupBy("source", "lang").agg(
+      count(lit(1)).as("docs"),
+      sum(col("n_tokens")).as("toks"),
+      sum(col("n_chars")).as("chars"),
+      sum(when(col("q") >= QualityThreshold && col("n_tokens") >= MinTokens,
+        1L).otherwise(0L)).as("pass"))
+    val bySource = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("docs").desc, col("lang").asc)
+    sl.withColumn("rk", row_number().over(bySource))
+      .groupBy("source").agg(
+        sum(col("docs")).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("chars")).as("n_chars"),
+        sum(col("pass")).as("n_quality_pass"),
+        max(when(col("rk") === 1, col("lang"))).as("top_lang"),
+        max(when(col("rk") === 1, col("docs"))).as("top_lang_docs"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("mean_tokens"),
+        col("n_quality_pass"),
+        (col("n_quality_pass").cast("double") / col("n_docs").cast("double"))
+          .as("pass_rate"),
+        col("top_lang"), col("top_lang_docs"))
+  }
+
   // ---- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -446,7 +640,11 @@ object Analysis {
     "text_repetition" -> ((s, dir) =>
       repetition(docs(s, dir)).orderBy("doc_id")),
     "text_pack" -> ((s, dir) =>
-      pack(docs(s, dir)).orderBy("source", "bin"))
+      pack(docs(s, dir)).orderBy("source", "bin")),
+    "text_unigram_logprob" -> ((s, dir) =>
+      unigramLogProb(docs(s, dir)).orderBy("doc_id")),
+    "text_source_profile" -> ((s, dir) =>
+      sourceProfile(docs(s, dir)).orderBy("source"))
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -466,6 +664,38 @@ object Analysis {
 
   private val stopList: String =
     QualityStopwords.map(s => "'" + s + "'").mkString("(", ",", ")")
+
+  /** [[portableLog2]] as a DuckDB expression over `x`: the identical
+    * 89-step BRANCHLESS fold, op-for-op (see the portableLog2 scaladoc
+    * for why no CASE may appear inside this lambda — DuckDB 1.0.0
+    * miscomputes divergent branches over list accumulators). DuckDB's
+    * `list_reduce` has no initial-value form, so the init state is
+    * PREPENDED and the step elements carry their index in slot 1
+    * (mirroring Spark's `sequence`-driven lambda index). Every literal
+    * is CAST to DOUBLE — DuckDB parses bare decimals as DECIMAL,
+    * whose arithmetic would diverge.
+    */
+  private def plog2Sql(x: String): String = {
+    val d1 = "CAST(1 AS DOUBLE)"; val d2 = "CAST(2 AS DOUBLE)"
+    val p1 = s"CAST(nxt[1] <= CAST(64 AS DOUBLE) AS DOUBLE)"
+    val p2 = s"CAST(nxt[1] > CAST(64 AS DOUBLE) AND nxt[1] <= CAST(88 AS DOUBLE) AS DOUBLE)"
+    val p3 = s"CAST(nxt[1] > CAST(88 AS DOUBLE) AS DOUBLE)"
+    val a = s"CAST(st[1] < $d1 AS DOUBLE)"
+    val b = s"CAST(st[1] >= $d2 AS DOUBLE)"
+    val c = s"CAST(st[1] * st[1] >= $d2 AS DOUBLE)"
+    s"""list_reduce(
+       |    list_prepend([$x, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0.5 AS DOUBLE)],
+       |      list_transform(range(1, 90),
+       |        i -> [CAST(i AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
+       |    (st, nxt) -> [
+       |      $p1 * (st[1] * ($d1 + $a) * ($d1 - $b / $d2))
+       |        + $p2 * (st[1] * st[1] * ($d1 - $c / $d2))
+       |        + $p3 * (st[2] + st[3]),
+       |      st[2] + $p1 * ($b - $a),
+       |      st[3] + $p2 * st[4] * $c,
+       |      st[4] / ($d1 + $p2)
+       |    ])[1]""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "text_langid" ->
@@ -687,7 +917,98 @@ object Analysis {
          |SELECT source, bin, count(*) AS n_docs,
          |       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
          |       CAST(sum(CASE WHEN end_bin > bin THEN 1 ELSE 0 END) AS BIGINT) AS n_spill
-         |FROM b GROUP BY 1, 2 ORDER BY source, bin""".stripMargin
+         |FROM b GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
+    // Same tf/cnt/tot integer chain; the log is the portable fold
+    // (plog2Sql ≡ portableLog2 op-for-op), the per-doc sum is the
+    // list_prepend(0)+list_reduce in-TERM-order fold mirroring Spark's
+    // zero-init aggregate over the array_sort'ed struct list.
+    "text_unigram_logprob" ->
+      s"""$dCte, tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
+         |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |ltot AS (
+         |  SELECT ${plog2Sql("CAST(tot AS DOUBLE)")} AS lg_tot
+         |  FROM (SELECT CAST(sum(len(toks)) AS BIGINT) AS tot FROM d)
+         |), sc AS (
+         |  SELECT doc_id, t, tf,
+         |         CAST(sum(tf) OVER (PARTITION BY t) AS BIGINT) AS cnt
+         |  FROM tf
+         |), lg AS (
+         |  SELECT doc_id, t, tf,
+         |         CAST(tf AS DOUBLE) * ${plog2Sql("CAST(cnt AS DOUBLE)")} AS v
+         |  FROM sc
+         |), pd AS (
+         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(v ORDER BY t)),
+         |                     (a, x) -> a + x) AS sfold
+         |  FROM lg GROUP BY doc_id
+         |), pj AS (
+         |  SELECT doc_id, n_tokens,
+         |         sfold - CAST(n_tokens AS DOUBLE) * lg_tot AS sum_log2p
+         |  FROM pd, ltot
+         |)
+         |SELECT d.doc_id,
+         |       coalesce(pj.n_tokens, 0) AS n_tokens,
+         |       coalesce(pj.sum_log2p, CAST(0 AS DOUBLE)) AS sum_log2p,
+         |       CASE WHEN coalesce(pj.n_tokens, 0) > 0
+         |            THEN -(pj.sum_log2p / CAST(pj.n_tokens AS DOUBLE))
+         |            ELSE CAST(0 AS DOUBLE) END AS bits_per_token
+         |FROM d LEFT JOIN pj USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    // Same map-side feature arithmetic; the lang winner mirrors the
+    // sorted (−matches, lang) struct-array trick (DuckDB sorts structs
+    // field-lexicographically, same as Spark's array_sort).
+    "text_source_profile" ->
+      s"""WITH dd AS (
+         |  SELECT source, text,
+         |         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |                     t -> length(t) > 0) AS toks
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND length(text) > 0
+         |), lw AS (
+         |  SELECT source,
+         |         CAST(length(text) AS BIGINT) AS n_chars,
+         |         CAST(len(toks) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         |         CAST(len(list_filter(toks, t -> t IN $stopList)) AS BIGINT) AS n_stopwords,
+         |         list_sort([${Markers.map { case (l, ws) =>
+               s"struct_pack(neg := -len(list_filter(toks, t -> t IN (${
+                 ws.map(w => s"'$w'").mkString(",")}))), lang := '$l')"
+             }.mkString(", ")}])[1] AS w
+         |  FROM dd
+         |), pd AS (
+         |  SELECT source, n_chars, n_tokens,
+         |         CASE WHEN w.neg = 0 THEN 'und' ELSE w.lang END AS lang,
+         |         CAST(0.4 AS DOUBLE) * least(CAST(1.0 AS DOUBLE),
+         |             CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE))
+         |           + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+         |               - CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+         |           + CAST(0.3 AS DOUBLE)
+         |               * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS q
+         |  FROM lw
+         |), sl AS (
+         |  SELECT source, lang, count(*) AS docs,
+         |         CAST(sum(n_tokens) AS BIGINT) AS toks,
+         |         CAST(sum(n_chars) AS BIGINT) AS chars,
+         |         CAST(sum(CASE WHEN q >= CAST($QualityThreshold AS DOUBLE)
+         |                        AND n_tokens >= $MinTokens
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS pass
+         |  FROM pd GROUP BY 1, 2
+         |), rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY docs DESC, lang ASC) AS rk
+         |  FROM sl
+         |)
+         |SELECT source,
+         |       CAST(sum(docs) AS BIGINT) AS n_docs,
+         |       CAST(sum(toks) AS BIGINT) AS n_tokens,
+         |       CAST(sum(chars) AS BIGINT) AS n_chars,
+         |       CAST(sum(toks) AS DOUBLE) / CAST(sum(docs) AS DOUBLE) AS mean_tokens,
+         |       CAST(sum(pass) AS BIGINT) AS n_quality_pass,
+         |       CAST(sum(pass) AS DOUBLE) / CAST(sum(docs) AS DOUBLE) AS pass_rate,
+         |       max(CASE WHEN rk = 1 THEN lang END) AS top_lang,
+         |       CAST(max(CASE WHEN rk = 1 THEN docs END) AS BIGINT) AS top_lang_docs
+         |FROM rk GROUP BY source
+         |ORDER BY source""".stripMargin
     // text_vocab_sketch: deliberately NO oracle — HLL++ estimates are
     // engine-specific; the driver records its rows-only check and the
     // query carries its own exact-vs-approx cross-check column.

@@ -20,7 +20,9 @@ class RegistrySpec extends SparkSpec {
     "dedup_bucket_stats",   // 3-row cap-audit summary, re-entered locally
     "dedup_near_apply",     // cap-bounded verified-pair edge list, re-entered locally
     "sim_ann_recall",       // 50-row exact top-k side input
-    "sim_cosine_ann_ivf"    // ≤256-row training sample for driver Lloyd
+    "sim_cosine_ann_ivf",   // ≤256-row training sample for driver Lloyd
+    "sim_semdedup",         // same ≤256-row sample (literal-embedded quantizer)
+    "sim_bucket_stats"      // same sample, for the ivf_cell cap-audit row
   )
 
   /** Entries with DELIBERATELY no oracle SQL (docs/PLANS.md §"Rows-only

@@ -106,6 +106,53 @@ class SimilaritySpec extends SparkSpec {
     assert(shared.forall(k => exact(k) == ann(k)))
   }
 
+  test("semdedup: verdict matches an all-pairs driver reference; lowest id per cell kept") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Similarity.queries("sim_semdedup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // whole corpus, one verdict per vector
+    assert(out.length === emb.size)
+    assert(out.map(_._1).toSet === emb.keySet)
+    // independent reference for the PAIR/VERDICT logic: same in-order
+    // IEEE fold as graft_dot over all within-cell pairs on the driver
+    // (assignment itself is pinned by IvfPlanSpec's training parity —
+    // here it is taken from the output's cell_id column)
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val cellOf = out.map(t => t._1 -> t._2).toMap
+    val expectedDrops = emb.keys.groupBy(cellOf).flatMap { case (_, ids) =>
+      val sorted = ids.toSeq.sorted
+      if (sorted.size > Similarity.MaxSemCell) Seq.empty // cap-skipped cell
+      else for {
+        i <- sorted.indices; j <- (i + 1) until sorted.size
+        a = emb(sorted(i)); b = emb(sorted(j))
+        if dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b))) >=
+          Similarity.SemDedupThreshold
+      } yield sorted(j)
+    }.toSet
+    assert(out.filterNot(_._3).map(_._1).toSet === expectedDrops)
+    // threshold is non-degenerate on the fixture, and never total
+    assert(expectedDrops.nonEmpty && expectedDrops.size < emb.size / 2)
+    // the lowest vec_id in every cell can never be a drop
+    val cellMin = out.groupBy(_._2).map { case (c, vs) => c -> vs.map(_._1).min }
+    assert(out.filter(t => cellMin(t._2) == t._1).forall(_._3))
+  }
+
+  test("bucket stats: both cap methods reported, zeros when caps don't bind") {
+    val rows = Similarity.queries("sim_bucket_stats")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+    assert(rows.map(_._1).toSeq === Seq("embedding_lsh", "ivf_cell"))
+    // neither cap binds on the fixture: the audit must SAY so (zeros),
+    // not omit the row
+    assert(rows.toMap.values.forall(_ === ((0L, 0L))))
+  }
+
   test("label centroids: exact mean on a hand case; invariant under repartitioning") {
     val s = spark; import s.implicits._
     // dim-2 embeddings, label 7: (1.5, 0.25) and (2.5, 0.75) → mean (2.0, 0.5)

@@ -262,4 +262,113 @@ class AnalysisSpec extends SparkSpec {
     assert(got(("s2", 0L)) === ((1L, 300L, 1L)))
     assert(got.size === 3)
   }
+
+  /** Plain-Scala twin of [[Analysis.portableLog2]]'s 89-step fold —
+    * the same IEEE op sequence, so equality below is BIT equality. */
+  private def plog2Ref(x0: Double): Double = {
+    var m = x0; var e = 0.0; var f = 0.0; var w = 0.5
+    for (_ <- 1 to 64) {
+      if (m < 1.0) { m = m * 2.0; e = e - 1.0 }
+      else if (m >= 2.0) { m = m / 2.0; e = e + 1.0 }
+    }
+    for (_ <- 65 to 88) {
+      val m2 = m * m
+      if (m2 >= 2.0) { m = m2 / 2.0; f = f + w } else m = m2
+      w = w / 2.0
+    }
+    e + f
+  }
+
+  test("portableLog2: bit-equals the scalar fold; exact on powers of two; ~1e-8 accurate") {
+    val s = spark; import s.implicits._
+    val xs = Seq(1.0, 2.0, 0.5, 1024.0, math.pow(2, -40), 3.0, 10.0,
+      0.0017, 1.0 / 3.0, 0.9999999, 1.0000001) ++
+      (1 to 200).map(k => k / 7919.0)
+    import org.apache.spark.sql.functions.col
+    val got = xs.toDF("x")
+      .select(col("x"), Analysis.portableLog2(col("x")).as("lg"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    for (x <- xs) {
+      assert(java.lang.Double.doubleToLongBits(got(x)) ===
+        java.lang.Double.doubleToLongBits(plog2Ref(x)), s"bits for x=$x")
+      // 24 fraction bits: quantization alone allows 2^-24 ≈ 6e-8
+      assert(math.abs(got(x) - math.log(x) / math.log(2.0)) < 7e-8, s"accuracy at x=$x")
+    }
+    // powers of two come out exactly integral
+    assert(got(1.0) === 0.0)
+    assert(got(2.0) === 1.0)
+    assert(got(0.5) === -1.0)
+    assert(got(1024.0) === 10.0)
+    assert(got(math.pow(2, -40)) === -40.0)
+  }
+
+  test("unigram logprob: hand case (MLE probabilities, term-ordered fold)") {
+    val s = spark; import s.implicits._
+    // corpus: "a a b" + "b c" → counts a:2 b:2 c:1, total 5
+    val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = Analysis.unigramLogProb(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    // decomposed form: Σ tf·plog2(cnt) − n·plog2(total)
+    val lg2 = plog2Ref(2.0); val lg1 = plog2Ref(1.0); val lgT = plog2Ref(5.0)
+    // doc 1: terms sorted (a, b), counts a:2 b:2: (2·lg2 + 1·lg2) − 3·lgT
+    val s1 = (0.0 + 2.0 * lg2 + 1.0 * lg2) - 3.0 * lgT
+    // doc 2: (b, c), counts b:2 c:1: (1·lg2 + 1·lg1) − 2·lgT
+    val s2 = (0.0 + 1.0 * lg2 + 1.0 * lg1) - 2.0 * lgT
+    assert(got(1L) === ((3L, s1, -(s1 / 3.0))))
+    assert(got(2L) === ((2L, s2, -(s2 / 2.0))))
+    // fixture run: every doc scored, bits positive (p < 1 throughout)
+    val fx = Analysis.queries("text_unigram_logprob")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(fx.length === 500)
+    assert(fx.forall(r => r.getAs[Double]("bits_per_token") > 0.0))
+  }
+
+  test("source profile: hand case; fixture totals agree with the per-doc queries") {
+    val s = spark; import s.implicits._
+    // s1: "the and is not a" → en 5 hits, 5 toks (q: 0.4*0.05 + 0.3*0 + 0.3*1
+    //     = 0.32 < 0.6, fails); "der der der" → de, 3 toks < MinTokens;
+    //     "x y" → no hits → und. s2: one en doc.
+    val d = Seq(
+      ("s1", 1L, "the and is not a"),
+      ("s1", 2L, "der der der"),
+      ("s1", 3L, "x y"),
+      ("s2", 4L, "the and the and the and the is")
+    ).toDF("source", "doc_id", "text")
+    val got = Analysis.sourceProfile(d).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(got("s1").getAs[Long]("n_docs") === 3L)
+    assert(got("s1").getAs[Long]("n_tokens") === 10L)
+    assert(got("s1").getAs[Long]("n_quality_pass") === 0L)
+    // de/en/und each 1 doc → tie breaks alphabetical: de
+    assert(got("s1").getAs[String]("top_lang") === "de")
+    assert(got("s1").getAs[Long]("top_lang_docs") === 1L)
+    assert(got("s2").getAs[String]("top_lang") === "en")
+    assert(got("s1").getAs[Double]("mean_tokens") === 10.0 / 3.0)
+    // fixture cross-checks against the independently-shaped per-doc
+    // queries: same admission totals, same per-source lang mode as the
+    // join-based text_langid
+    val dir = "/root/testdata/sf0.001"
+    val prof = Analysis.queries("text_source_profile")(spark, dir).collect()
+    assert(prof.map(_.getAs[Long]("n_docs")).sum === 500L)
+    val passTotal = prof.map(_.getAs[Long]("n_quality_pass")).sum
+    assert(passTotal ===
+      Analysis.queries("text_quality_filter")(spark, dir).count())
+    val langBySrc = Analysis.langId(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .filter(org.apache.spark.sql.functions.col("text").isNotNull))
+      .join(spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "source"), "doc_id")
+      .collect()
+      .groupBy(_.getAs[String]("source"))
+      .map { case (src, rows) =>
+        val counts = rows.groupBy(_.getAs[String]("predicted_lang"))
+          .view.mapValues(_.length).toSeq
+        src -> counts.minBy { case (l, n) => (-n, l) }._1
+      }
+    for (r <- prof)
+      assert(r.getAs[String]("top_lang") ===
+        langBySrc(r.getAs[String]("source")),
+        s"top_lang for ${r.getAs[String]("source")}")
+  }
 }
