@@ -52,7 +52,9 @@ object PlanDump {
     "sim_semdedup" ->
       "Zero-shuffle cell assignment (16 literal centroid dots per row, same narrow map as IVF); the within-cell pair expansion shuffles once on cell_id with the oversized-cell guard upstream; the drop set re-attaches via a left join keyed on vec_id. At scale NumCells is the lever that keeps cells pair-expandable and the cell_id shuffle healthy.",
     "text_unigram_logprob" ->
-      "Linear chain, ONE corpus tokenization: the token stream collapses map-side into (doc, term) tf rows; corpus counts attach via a sum window over term (same single-materialization argument as tfidf's df window); the grand total broadcasts (1-row cross). The 89-step portable-log2 fold runs per tf row — never per token instance — and the per-doc sum folds tf·log2p in term order off the collected per-doc struct list.")
+      "Linear chain, ONE corpus tokenization: the token stream collapses map-side into (doc, term) tf rows; corpus counts attach via a sum window over term (same single-materialization argument as tfidf's df window); the grand total broadcasts (1-row cross). The 89-step portable-log2 fold runs per tf row — never per token instance — and the per-doc sum folds tf·log2p in term order off the collected per-doc struct list.",
+    "text_filter_funnel" ->
+      "One corpus scan computes the shared quality features map-side; the first-failing-stage CASE collapses into a 4-group aggregate; the dense stage grid left-joins it (broadcast, 4 rows) and the share window runs over the grid, never the corpus.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -76,7 +78,7 @@ object PlanDump {
         |The registry contract is lazy-at-build: constructing a query's
         |DataFrame (what `explain` does) schedules no Spark job beyond the
         |parquet footer read every `spark.read.parquet` performs. Exactly
-        |six entries are deliberate exceptions — each runs a BOUNDED
+        |eight entries are deliberate exceptions — each runs a BOUNDED
         |collect at build time, so `explain`/`queries(name)(...)` on them
         |executes Spark work. RegistrySpec listener-counts build-time jobs
         |and fails if this table drifts in either direction.
@@ -85,6 +87,8 @@ object PlanDump {
         ||---|---|---|
         || `dedup_bucket_stats` | the 3-row cap-audit summary (result re-entered as a local frame so no state survives the return) | 3 rows |
         || `dedup_near_apply` | the Jaccard-verified pair list; the ClusterRounds label propagation then runs on the driver over those edges (propagateDriver, parity spec-pinned) and the labels broadcast into one corpus join | cap-bounded pair stream |
+        || `dedup_cluster_sizes` | the same collected pair stream; labels and the component-size histogram are driver arithmetic re-entered as a local frame | cap-bounded pair stream |
+        || `dedup_source_overlap` | the (src_a, src_b) presence/co-presence counts off ONE corpus scan (shk-keyed collect_set + in-array pair expansion — a distinct+self-join formulation planned the corpus subtree four times); the dense grid + Jaccard assemble on the driver | ≤ sources² rows |
         || `sim_ann_recall` | the exact top-k side input both ANN variants are scored against | NumQueries·TopK = 50 rows |
         || `sim_cosine_ann_ivf` | the `vec_id < TrainN` training sample for driver-side Lloyd (centroids re-enter the plan as literals) | ≤256 rows × 64 doubles |
         || `sim_semdedup` | the same IVF training sample (cell assignment embeds the trained centroids as literals) | ≤256 rows × 64 doubles |

@@ -652,6 +652,77 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count_distinct(col("shk")).as("n_shared_keys"))
 
+  /** Cross-source duplication matrix on hashed [[DecontamShingle]]-gram
+    * key SETS: for every source pair, the distinct keys each side holds,
+    * how many they share, and the Jaccard of the two sets — the corpus
+    * composition report that decides which source pairs need
+    * cross-source (not just within-source) near-dedup, and the
+    * generalization of decontamination from one eval source to ALL
+    * pairs.
+    *
+    * Scale notes (100 TB posture): ONE corpus scan. The raw (non-
+    * distinct) hashed-key explode feeds a shk-keyed `collect_set
+    * (source)` — collect_set is duplicate-insensitive, so the (source,
+    * shk) distinct exchange is skipped outright, and the per-key set is
+    * bounded by SOURCE cardinality. Presence ((a,a) diagonal) and
+    * co-presence ((a,b), a<b) pairs expand IN-ARRAY (map-side, ≤
+    * |sources|² per key, never a doc-level explosion) into one bounded
+    * (src_a, src_b) count aggregate. A naive distinct + self-join +
+    * count-join formulation planned the corpus subtree FOUR times (HOF
+    * lambdas defeat exchange reuse — explain-verified before this
+    * rewrite); here the ≤|sources|² count rows are collected and the
+    * dense grid (zero-overlap pairs as explicit rows) plus the single
+    * Jaccard division assemble on the driver, re-entered as a local
+    * frame — the bucket-stats re-enter discipline.
+    */
+  def sourceOverlap(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val production = graft.functions.PortableHash.enabled(d)
+    val srcs = col("srcs")
+    // element i pairs with itself and every later element of the sorted
+    // set: the diagonal counts presence (per-source key totals), the
+    // strict pairs count co-presence — one aggregate carries both
+    val pairCol = flatten(transform(srcs, (a, i) =>
+      transform(slice(srcs, i + 1, size(srcs)),
+        b => struct(a.as("src_a"), b.as("src_b")))))
+    val cnt = d.select(col("source"), toksCol.as("toks"))
+      .select(col("source"),
+        explode(shingleOfN(col("toks"), DecontamShingle)).as("s"))
+      .select(graft.functions.PortableHash.key64(col("s"), production)
+        .as("shk"), col("source"))
+      .groupBy("shk").agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .select(explode(pairCol).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val sources = cnt.keys.collect { case (a, b) if a == b => a }.toSeq.sorted
+    val rows = for {
+      (a, ia) <- sources.zipWithIndex
+      b <- sources.drop(ia + 1)
+    } yield {
+      val ka = cnt((a, a)); val kb = cnt((b, b))
+      val sh = cnt.getOrElse((a, b), 0L)
+      (a, b, ka, kb, sh, sh.toDouble / (ka + kb - sh).toDouble)
+    }
+    rows.toDF("src_a", "src_b", "keys_a", "keys_b", "shared_keys", "jaccard")
+  }
+
+  /** Near-dup component-size histogram over the driver-propagated
+    * labels — the audit that distinguishes "near-dedup removes isolated
+    * pair twins" from "a template is flooding the corpus as one giant
+    * dup family" (the latter is also the skew early-warning for every
+    * downstream per-cluster operation). Bounded driver arithmetic over
+    * the already-collected labels, same discipline as
+    * [[propagateDriver]].
+    */
+  private[dedup] def clusterSizeHistogram(
+      labels: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    labels.groupBy(_._2).map { case (_, members) => members.size.toLong }
+      .groupBy(identity).map { case (sz, xs) => (sz, xs.size.toLong) }
+      .toSeq.sortBy(_._1)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: one row per distinct normalized text, keeper = min id.
     "dedup_exact" -> ((s, dir) =>
@@ -727,6 +798,19 @@ object Dedup {
         d.filter(col("source") =!= lit(DecontamEvalSource)),
         d.filter(col("source") === lit(DecontamEvalSource)))
         .orderBy("doc_id")
+    }),
+    "dedup_source_overlap" -> ((s, dir) =>
+      sourceOverlap(docs(s, dir)).orderBy("src_a", "src_b")),
+    // Component-size histogram over near_apply's labels: shares the
+    // collected cap-bounded pair stream and driver propagation (the
+    // registry's documented eager-at-build discipline), then bounded
+    // driver arithmetic re-entered as a local frame.
+    "dedup_cluster_sizes" -> ((s, dir) => {
+      import s.implicits._
+      val pr = ngramJaccardPairsRaw(docs(s, dir)).select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      clusterSizeHistogram(propagateDriver(pr))
+        .toDF("cluster_size", "n_clusters").orderBy("cluster_size")
     })
   )
 
@@ -1074,6 +1158,35 @@ object Dedup {
          |WHERE source <> '$DecontamEvalSource'
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+    // Reuses the decontamination CTE chain's keyed(doc_id, source, shk)
+    // (the trailing ev CTE rides along unused — legal SQL). Same 60-bit
+    // md5-prefix keys as the Spark side, so collision behavior is
+    // shared.
+    "dedup_source_overlap" ->
+      s"""$decontamCtes, sk AS (
+         |  SELECT DISTINCT source, shk FROM keyed
+         |), cnt AS (
+         |  SELECT source, count(*) AS nkeys FROM sk GROUP BY 1
+         |), shp AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_keys
+         |  FROM sk a JOIN sk b ON a.shk = b.shk AND a.source < b.source
+         |  GROUP BY 1, 2
+         |)
+         |SELECT ca.source AS src_a, cb.source AS src_b,
+         |       ca.nkeys AS keys_a, cb.nkeys AS keys_b,
+         |       coalesce(shp.shared_keys, 0) AS shared_keys,
+         |       CAST(coalesce(shp.shared_keys, 0) AS DOUBLE)
+         |         / CAST(ca.nkeys + cb.nkeys - coalesce(shp.shared_keys, 0) AS DOUBLE)
+         |         AS jaccard
+         |FROM cnt ca JOIN cnt cb ON ca.source < cb.source
+         |LEFT JOIN shp ON shp.src_a = ca.source AND shp.src_b = cb.source
+         |ORDER BY src_a, src_b""".stripMargin,
+    "dedup_cluster_sizes" ->
+      s"""$jaccardPairCtes$labelCtes, sizes AS (
+         |  SELECT lbl, count(*) AS sz FROM l$ClusterRounds GROUP BY 1
+         |)
+         |SELECT sz AS cluster_size, count(*) AS n_clusters
+         |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin,
     // One WITH composes all three candidate-generation chains (the CTE
     // bodies above exist exactly for this — duplicate CTE names are
     // illegal). The empty-filter agg emits one row of (0, NULL→0), so

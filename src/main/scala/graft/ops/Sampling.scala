@@ -121,6 +121,50 @@ object Sampling {
       .filter(col("rank") <= k)
   }
 
+  /** Token-budget mixing plan: global budget = corpus tokens divided by
+    * [[BudgetDen]], shared UNIFORMLY across observed languages, each
+    * language capped at [[MaxEpochs]] passes over its available tokens
+    * (the standard guard against memorizing a tiny language by
+    * oversampling it). All plan quantities are integer arithmetic
+    * (`div`, `least`, `*`) over exact long token sums — bit-identical
+    * across engines — and the per-lang repeat factor is ONE double
+    * division at the end. Any shortfall is an explicit `deficit_tokens`
+    * column, never a silent under-delivery.
+    *
+    * Scale notes: one narrow corpus scan into a |langs|-row aggregate;
+    * the window total runs over that |langs|-row frame, not the corpus.
+    * On the fixtures languages are near-uniform so the epoch cap does
+    * not bind (deficit = 0 everywhere) — SamplingSpec exercises the
+    * upsample-capped branch on a skewed synthetic corpus.
+    */
+  val BudgetDen = 2L
+  val MaxEpochs = 4L
+
+  def budgetPlan(d: DataFrame): DataFrame = {
+    // NB: qualified — this object's split(DataFrame, String) shadows
+    // functions.split
+    val toks = filter(
+      org.apache.spark.sql.functions.split(lower(col("text")), "\\s+"),
+      t => length(t) > 0)
+    val perLang = d
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("lang"), size(toks).cast("long").as("n"))
+      .groupBy("lang").agg(sum(col("n")).as("avail_tokens"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    perLang
+      .withColumn("total_tokens", sum(col("avail_tokens")).over(all))
+      .withColumn("n_langs", count(lit(1)).over(all))
+      .withColumn("target_tokens",
+        expr(s"(total_tokens div $BudgetDen) div n_langs"))
+      .withColumn("planned_tokens",
+        least(col("target_tokens"), col("avail_tokens") * lit(MaxEpochs)))
+      .select(col("lang"), col("avail_tokens"), col("target_tokens"),
+        col("planned_tokens"),
+        (col("target_tokens") - col("planned_tokens")).as("deficit_tokens"),
+        (col("planned_tokens").cast("double") /
+          col("avail_tokens").cast("double")).as("repeat_factor"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-doc assignment: the full reproducible-split contract
     "sample_split_assign" -> ((s, dir) =>
@@ -151,7 +195,11 @@ object Sampling {
     "sample_stratified" -> ((s, dir) =>
       stratified(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "lang")
         .select("doc_id", "lang", "hkey", "rank")
-        .orderBy("lang", "rank"))
+        .orderBy("lang", "rank")),
+    // per-language token-budget plan (epoch-capped uniform reweighting)
+    "sample_budget_plan" -> ((s, dir) =>
+      budgetPlan(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("lang"))
   )
 
   private val key64Sql: String =
@@ -228,6 +276,34 @@ object Sampling {
          |  FROM h
          |)
          |SELECT doc_id, lang, hkey, rank FROM r WHERE rank <= $StratifiedK
-         |ORDER BY lang, rank""".stripMargin
+         |ORDER BY lang, rank""".stripMargin,
+    // integer plan arithmetic (// is DuckDB's integer division, Spark's
+    // div); the single double division comes last
+    "sample_budget_plan" ->
+      s"""WITH d AS (
+         |  SELECT lang,
+         |         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |                     t -> length(t) > 0) AS toks
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND length(text) > 0
+         |), pl AS (
+         |  SELECT lang, CAST(sum(len(toks)) AS BIGINT) AS avail_tokens
+         |  FROM d GROUP BY 1
+         |), t AS (
+         |  SELECT *, CAST(sum(avail_tokens) OVER () AS BIGINT) AS total_tokens,
+         |         CAST(count(*) OVER () AS BIGINT) AS n_langs
+         |  FROM pl
+         |), p AS (
+         |  SELECT lang, avail_tokens,
+         |         CAST((total_tokens // $BudgetDen) // n_langs AS BIGINT) AS target_tokens
+         |  FROM t
+         |)
+         |SELECT lang, avail_tokens, target_tokens,
+         |       least(target_tokens, avail_tokens * $MaxEpochs) AS planned_tokens,
+         |       target_tokens - least(target_tokens, avail_tokens * $MaxEpochs)
+         |         AS deficit_tokens,
+         |       CAST(least(target_tokens, avail_tokens * $MaxEpochs) AS DOUBLE)
+         |         / CAST(avail_tokens AS DOUBLE) AS repeat_factor
+         |FROM p ORDER BY lang""".stripMargin
   )
 }

@@ -616,6 +616,116 @@ object Analysis {
         col("top_lang"), col("top_lang_docs"))
   }
 
+  // ---- PII audit / redaction -------------------------------------------
+
+  /** PII detector patterns. Deliberately written in the common subset of
+    * Java regex (Spark) and RE2 (DuckDB): no lookaround, no
+    * backreferences, greedy leftmost-first quantifiers only — so ONE
+    * pattern string drives both engines and the oracle compares the
+    * same language. The fixture corpus contains no digits or '@', so
+    * the registered audit binds structurally (per-source rollup shape,
+    * zero counts asserted as facts); AnalysisSpec injects synthetic PII
+    * to exercise detection and redaction — same honesty rule as the
+    * non-binding MinTokens guard.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\+\\d{1,3}[ -]?\\d{3}[ -]?\\d{3,4}[ -]?\\d{2,4}"
+
+  /** Redaction chain: email → IPv4 → phone. Order matters only for the
+    * engineered case where one span embeds another; the replacement
+    * tokens contain no digits or '@', so the chain is idempotent
+    * (spec-pinned). Map-side only — a narrow projection at any scale.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "[EMAIL]"),
+        Ipv4Pattern, "[IP]"),
+      PhonePattern, "[PHONE]")
+
+  /** Per-source PII exposure report: doc counts, docs carrying any PII,
+    * and per-category match totals. One narrow corpus scan (three
+    * codegen'd regex counters per row) into a |sources|-row aggregate —
+    * the audit a pipeline runs BEFORE deciding to redact or drop.
+    */
+  def piiAudit(d: DataFrame): DataFrame = {
+    val perDoc = d.select(col("source"),
+      size(regexp_extract_all(col("text"), lit(EmailPattern), lit(0)))
+        .cast("long").as("e"),
+      size(regexp_extract_all(col("text"), lit(PhonePattern), lit(0)))
+        .cast("long").as("p"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Pattern), lit(0)))
+        .cast("long").as("i"))
+    perDoc.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("e") + col("p") + col("i") > 0, 1L).otherwise(0L))
+        .as("docs_with_pii"),
+      sum(col("e")).as("n_emails"),
+      sum(col("p")).as("n_phones"),
+      sum(col("i")).as("n_ipv4"))
+  }
+
+  // ---- staged filter funnel --------------------------------------------
+
+  /** First-failing-stage thresholds. Chosen to BIND on the fixtures
+    * (token counts span 10–99 with median ~56; type-token ratio spans
+    * 0.26–1.0 with median ~0.46; quality spans 0.51–0.78), so every
+    * stage has traffic on both sides of its bar.
+    */
+  val FunnelMinTokens = 25L
+  val FunnelMinTtr = 0.35
+  /** Stage labels carry their ordinal so lexicographic order IS funnel
+    * order and the output needs no separate sort key.
+    */
+  val FunnelStages: Seq[String] =
+    Seq("1_too_short", "2_low_diversity", "3_low_quality", "4_passed")
+
+  /** Staged quality-filter audit (the per-stage drop accounting every
+    * production cleaning pipeline publishes): each doc is charged to the
+    * FIRST stage that rejects it, so stage counts sum to the corpus and
+    * no drop is double-counted or silent. One corpus scan computing the
+    * shared quality features, a 4-group aggregate, and a dense
+    * stage-grid left join (absent stages surface as explicit zeros).
+    * The share division is one double op over exact longs; the window
+    * total runs over the 4-row grid, never the corpus.
+    */
+  def filterFunnel(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val toks = col("toks")
+    val feat = d
+      .select(length(col("text")).cast("long").as("n_chars"),
+        toksCol.as("toks"))
+      .select(col("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        size(filter(toks, t => t.isInCollection(QualityStopwords)))
+          .cast("long").as("n_stopwords"))
+    val ttr = col("n_distinct").cast("double") / col("n_tokens").cast("double")
+    val q = lit(0.4) * least(lit(1.0),
+      col("n_tokens").cast("double") / lit(100.0)) +
+      lit(0.3) * (lit(1.0) -
+        col("n_stopwords").cast("double") / col("n_tokens").cast("double")) +
+      lit(0.3) * ttr
+    val staged = feat.select(col("n_chars"),
+      when(col("n_tokens") < FunnelMinTokens, FunnelStages(0))
+        .when(ttr < FunnelMinTtr, FunnelStages(1))
+        .when(q < QualityThreshold, FunnelStages(2))
+        .otherwise(FunnelStages(3)).as("stage"))
+    val counts = staged.groupBy("stage").agg(
+      count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+    val grid = FunnelStages.toDF("stage")
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)) // 4-row frame: the total is a grid-local sum
+    grid.join(counts, Seq("stage"), "left")
+      .select(col("stage"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"))
+      .withColumn("share",
+        col("n_docs").cast("double") / sum(col("n_docs")).over(all).cast("double"))
+  }
+
   // ---- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -644,7 +754,11 @@ object Analysis {
     "text_unigram_logprob" -> ((s, dir) =>
       unigramLogProb(docs(s, dir)).orderBy("doc_id")),
     "text_source_profile" -> ((s, dir) =>
-      sourceProfile(docs(s, dir)).orderBy("source"))
+      sourceProfile(docs(s, dir)).orderBy("source")),
+    "text_pii_audit" -> ((s, dir) =>
+      piiAudit(docs(s, dir)).orderBy("source")),
+    "text_filter_funnel" -> ((s, dir) =>
+      filterFunnel(docs(s, dir)).orderBy("stage"))
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -1008,7 +1122,58 @@ object Analysis {
          |       max(CASE WHEN rk = 1 THEN lang END) AS top_lang,
          |       CAST(max(CASE WHEN rk = 1 THEN docs END) AS BIGINT) AS top_lang_docs
          |FROM rk GROUP BY source
-         |ORDER BY source""".stripMargin
+         |ORDER BY source""".stripMargin,
+    // PII patterns are written in the Java-regex ∩ RE2 subset, so the
+    // pattern STRINGS are shared verbatim with the Spark plan.
+    "text_pii_audit" ->
+      s"""WITH pd AS (
+         |  SELECT source,
+         |         CAST(len(regexp_extract_all(text, '$EmailPattern')) AS BIGINT) AS e,
+         |         CAST(len(regexp_extract_all(text, '$PhonePattern')) AS BIGINT) AS p,
+         |         CAST(len(regexp_extract_all(text, '$Ipv4Pattern')) AS BIGINT) AS i
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND length(text) > 0
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS docs_with_pii,
+         |       CAST(sum(e) AS BIGINT) AS n_emails,
+         |       CAST(sum(p) AS BIGINT) AS n_phones,
+         |       CAST(sum(i) AS BIGINT) AS n_ipv4
+         |FROM pd GROUP BY source ORDER BY source""".stripMargin,
+    "text_filter_funnel" ->
+      s"""$dCte, feat AS (
+         |  SELECT CAST(length(text) AS BIGINT) AS n_chars,
+         |         CAST(len(toks) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         |         CAST(len(list_filter(toks, t -> t IN $stopList)) AS BIGINT) AS n_stopwords
+         |  FROM d
+         |), staged AS (
+         |  SELECT n_chars,
+         |    CASE WHEN n_tokens < $FunnelMinTokens THEN '${FunnelStages(0)}'
+         |         WHEN CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         |              < CAST($FunnelMinTtr AS DOUBLE) THEN '${FunnelStages(1)}'
+         |         WHEN CAST(0.4 AS DOUBLE) * least(CAST(1.0 AS DOUBLE),
+         |                CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE))
+         |              + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+         |                  - CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+         |              + CAST(0.3 AS DOUBLE)
+         |                  * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+         |              < CAST($QualityThreshold AS DOUBLE) THEN '${FunnelStages(2)}'
+         |         ELSE '${FunnelStages(3)}' END AS stage
+         |  FROM feat
+         |), cnt AS (
+         |  SELECT stage, count(*) AS n_docs,
+         |         CAST(sum(n_chars) AS BIGINT) AS n_chars
+         |  FROM staged GROUP BY 1
+         |), stages(stage) AS (VALUES ${FunnelStages.map(st => s"('$st')").mkString(", ")})
+         |SELECT s.stage,
+         |       coalesce(cnt.n_docs, 0) AS n_docs,
+         |       coalesce(cnt.n_chars, 0) AS n_chars,
+         |       CAST(coalesce(cnt.n_docs, 0) AS DOUBLE)
+         |         / CAST(sum(coalesce(cnt.n_docs, 0)) OVER () AS DOUBLE) AS share
+         |FROM stages s LEFT JOIN cnt USING (stage)
+         |ORDER BY stage""".stripMargin
     // text_vocab_sketch: deliberately NO oracle — HLL++ estimates are
     // engine-specific; the driver records its rows-only check and the
     // query carries its own exact-vs-approx cross-check column.

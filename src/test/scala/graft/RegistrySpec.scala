@@ -19,6 +19,8 @@ class RegistrySpec extends SparkSpec {
   private val eagerAtBuild = Set(
     "dedup_bucket_stats",   // 3-row cap-audit summary, re-entered locally
     "dedup_near_apply",     // cap-bounded verified-pair edge list, re-entered locally
+    "dedup_cluster_sizes",  // same collected pair stream, histogram re-entered locally
+    "dedup_source_overlap", // ≤|sources|² co-occurrence counts, grid re-entered locally
     "sim_ann_recall",       // 50-row exact top-k side input
     "sim_cosine_ann_ivf",   // ≤256-row training sample for driver Lloyd
     "sim_semdedup",         // same ≤256-row sample (literal-embedded quantizer)

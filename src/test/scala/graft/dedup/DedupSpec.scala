@@ -183,4 +183,39 @@ class DedupSpec extends SparkSpec {
       .selectExpr("id AS doc_id", "'same text for every single doc here' AS text")
     assert(Dedup.minhashCandidates(many).count() === 0L)
   }
+
+  test("sourceOverlap: shared-key counts and jaccard on a hand corpus") {
+    val s = spark; import s.implicits._
+    // doc 1 (s1) and doc 2 (s2) share identical text → identical 5-gram
+    // sets (7 tokens → 3 shingles); doc 3 (s2) is disjoint vocabulary
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val other = "one two three four five six seven"
+    val d = Seq(
+      (1L, shared, "s1"), (2L, shared, "s2"), (3L, other, "s2")
+    ).toDF("doc_id", "text", "source")
+    val rows = Dedup.sourceOverlap(d).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert((r.getString(0), r.getString(1)) === (("s1", "s2")))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((3L, 6L, 3L)))
+    assert(r.getDouble(5) === 3.0 / 6.0) // |∩| / (3 + 6 − 3)
+  }
+
+  test("sourceOverlap: zero-overlap pairs are explicit rows, not absences") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta", "s1"),
+      (2L, "one two three four five six seven", "s2")
+    ).toDF("doc_id", "text", "source")
+    val rows = Dedup.sourceOverlap(d).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(4) === 0L)
+    assert(rows.head.getDouble(5) === 0.0)
+  }
+
+  test("clusterSizeHistogram over propagated labels") {
+    // components {1,2,3} (path) and {10,11} → one 3-cluster, one 2-cluster
+    val labels = Dedup.propagateDriver(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    assert(Dedup.clusterSizeHistogram(labels) === Seq((2L, 1L), (3L, 1L)))
+  }
 }

@@ -91,4 +91,39 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan.take(1500))
   }
+
+  test("budget plan: integer targets, epoch cap binds on a skewed corpus") {
+    val s = spark; import s.implicits._
+    // 'big': 10 docs × 90 tokens = 900; 'tiny': 1 doc × 10 tokens
+    // total 910 → budget 455 → target 227 per lang
+    // tiny: planned = min(227, 10·4) = 40, deficit 187, repeat 4.0
+    // big:  planned = 227, deficit 0, repeat 227/900
+    val docs =
+      (1 to 10).map(i =>
+        (i.toLong, (1 to 90).map(j => s"b${i}w$j").mkString(" "), "big")) :+
+        (99L, (1 to 10).map(j => s"t$j").mkString(" "), "tiny")
+    val plan = Sampling.budgetPlan(docs.toDF("doc_id", "text", "lang"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val big = plan("big"); val tiny = plan("tiny")
+    assert((big.getLong(1), big.getLong(2), big.getLong(3), big.getLong(4))
+      === ((900L, 227L, 227L, 0L)))
+    assert(big.getDouble(5) === 227.0 / 900.0)
+    assert((tiny.getLong(1), tiny.getLong(2), tiny.getLong(3), tiny.getLong(4))
+      === ((10L, 227L, 40L, 187L)))
+    assert(tiny.getDouble(5) === Sampling.MaxEpochs.toDouble,
+      "the epoch cap must bound the repeat factor")
+  }
+
+  test("budget plan on the fixture: per-lang rows, caps respected") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val rows = Sampling.budgetPlan(d).collect()
+    val nLangs = d.filter(col("text").isNotNull)
+      .select("lang").distinct().count()
+    assert(rows.length.toLong === nLangs)
+    for (r <- rows) {
+      assert(r.getDouble(5) <= Sampling.MaxEpochs.toDouble + 1e-12)
+      assert(r.getLong(4) === r.getLong(2) - r.getLong(3), "deficit identity")
+      assert(r.getLong(3) <= r.getLong(2), "planned never exceeds target")
+    }
+  }
 }

@@ -371,4 +371,80 @@ class AnalysisSpec extends SparkSpec {
         langBySrc(r.getAs[String]("source")),
         s"top_lang for ${r.getAs[String]("source")}")
   }
+
+  test("pii audit detects injected PII and attributes it per source") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (1L, "contact alice@example.com or bob.smith@sub.domain.org today", "s1"),
+      (2L, "server at 192.168.0.1 and backup at 10.0.0.255 ok", "s1"),
+      (3L, "call +1 415 555 1234 now", "s2"),
+      (4L, "clean text with no identifiers at all", "s2")
+    ).toDF("doc_id", "text", "source")
+    val audit = Analysis.piiAudit(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s1 = audit("s1"); val s2 = audit("s2")
+    assert((s1.getLong(1), s1.getLong(2), s1.getLong(3), s1.getLong(4),
+      s1.getLong(5)) === ((2L, 2L, 2L, 0L, 2L)))
+    assert((s2.getLong(1), s2.getLong(2), s2.getLong(3), s2.getLong(4),
+      s2.getLong(5)) === ((2L, 1L, 0L, 1L, 0L)))
+  }
+
+  test("pii redaction replaces every span and is idempotent") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (1L, "contact alice@example.com or bob.smith@sub.domain.org today"),
+      (2L, "server at 192.168.0.1 and backup at 10.0.0.255 ok"),
+      (3L, "call +1 415 555 1234 now"),
+      (4L, "clean text with no identifiers at all")
+    ).toDF("doc_id", "text")
+    import org.apache.spark.sql.functions.col
+    val once = d.select(col("doc_id"),
+        Analysis.redactPii(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(once(1L) === "contact [EMAIL] or [EMAIL] today")
+    assert(once(2L) === "server at [IP] and backup at [IP] ok")
+    assert(once(3L) === "call [PHONE] now")
+    assert(once(4L) === "clean text with no identifiers at all")
+    val twice = d.select(col("doc_id"),
+        Analysis.redactPii(Analysis.redactPii(col("text"))).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(twice === once, "redaction must be idempotent")
+  }
+
+  test("filter funnel charges each doc to its FIRST failing stage") {
+    val s = spark; import s.implicits._
+    val stop = Analysis.QualityStopwords
+    val d = Seq(
+      // 10 tokens < FunnelMinTokens → stage 1 (even though its ttr is 1.0)
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      // 30 copies of one word: ttr 1/30 < 0.35 → stage 2
+      (2L, Seq.fill(30)("word").mkString(" ")),
+      // all 20 stopwords + 5 repeats: 25 toks, ttr 0.8, stopword_ratio 1
+      // → q = 0.4·0.25 + 0 + 0.3·0.8 = 0.34 < 0.6 → stage 3
+      (3L, (stop ++ stop.take(5)).mkString(" ")),
+      // 30 distinct non-stopwords: q = 0.12 + 0.3 + 0.3 = 0.72 → passed
+      (4L, (1 to 30).map(i => s"tok$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val rows = Analysis.filterFunnel(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(rows.keySet === Analysis.FunnelStages.toSet, "dense stage grid")
+    assert(rows.values.map(_._1).sum === 4L, "stages partition the corpus")
+    for (st <- Analysis.FunnelStages)
+      assert(rows(st)._1 === 1L, s"stage $st should hold exactly one doc")
+    assert(math.abs(rows.values.map(_._3).sum - 1.0) < 1e-12,
+      "shares sum to 1")
+  }
+
+  test("filter funnel emits explicit zero rows for empty stages") {
+    val s = spark; import s.implicits._
+    // every doc passes → the three reject stages must still be rows
+    val d = Seq((1L, (1 to 30).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = Analysis.filterFunnel(d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows === Map(
+      Analysis.FunnelStages(0) -> 0L, Analysis.FunnelStages(1) -> 0L,
+      Analysis.FunnelStages(2) -> 0L, Analysis.FunnelStages(3) -> 1L))
+  }
 }
