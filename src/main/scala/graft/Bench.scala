@@ -34,6 +34,21 @@ import java.nio.file.{Files, Paths}
   *    their own tax — see docs/BENCH_NOTES.md.
   */
 object Bench {
+
+  /** The timed action. `count()` (rounds 1-9 early) let Catalyst PRUNE
+    * every computed column for pure-projection queries — the unigram
+    * chain benched 0.46 s while its real materialized cost was ~14 s
+    * at sf0.1 (exposed when `text_ppl_buckets` aggregated the scores
+    * and pruning no longer applied). The noop sink materializes every
+    * output column without writing bytes, so projection queries are
+    * measured at their true cost; aggregate-shaped queries are
+    * unaffected (their columns were never prunable). Methodology
+    * change recorded in docs/BENCH_NOTES.md and BASELINE.md — compare
+    * cross-round numbers only within the same action.
+    */
+  private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -69,7 +84,7 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     if (Files.exists(Paths.get(warmDir)))
       selected.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        try materialize(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
 
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
@@ -85,7 +100,7 @@ object Bench {
             // warm cache and the median understates cold cost.
             if (barriers) spark.catalog.clearCache()
             val t0 = System.nanoTime()
-            fn(spark, sfDir).count()
+            materialize(fn(spark, sfDir))
             (System.nanoTime() - t0) / 1e9
           }
         } catch { case e: Throwable =>

@@ -52,7 +52,7 @@ object PlanDump {
     "sim_semdedup" ->
       "Zero-shuffle cell assignment (16 literal centroid dots per row, same narrow map as IVF); the within-cell pair expansion shuffles once on cell_id with the oversized-cell guard upstream; the drop set re-attaches via a left join keyed on vec_id. At scale NumCells is the lever that keeps cells pair-expandable and the cell_id shuffle healthy.",
     "text_unigram_logprob" ->
-      "Linear chain, ONE corpus tokenization: the token stream collapses map-side into (doc, term) tf rows; corpus counts attach via a sum window over term (same single-materialization argument as tfidf's df window); the grand total broadcasts (1-row cross). The 89-step portable-log2 fold runs per tf row — never per token instance — and the per-doc sum folds tf·log2p in term order off the collected per-doc struct list.",
+      "Linear chain, ONE corpus tokenization: the token stream collapses map-side into (doc, term) tf rows; corpus counts attach via a sum window over term (same single-materialization argument as tfidf's df window); the grand total broadcasts (1-row cross). The portable log2 is the native codegen'd graft_log2 expression (the Column-HOF fold form defeated whole-stage codegen and cost ~120 µs/row interpreted — 14 s of the sf0.1 stage; bit parity with the oracle's list_reduce fold is spec-pinned), evaluated per tf row — never per token instance — and the per-doc sum folds tf·log2p in term order off the collected per-doc struct list.",
     "text_filter_funnel" ->
       "One corpus scan computes the shared quality features map-side; the first-failing-stage CASE collapses into a 4-group aggregate; the dense stage grid left-joins it (broadcast, 4 rows) and the share window runs over the grid, never the corpus.")
 

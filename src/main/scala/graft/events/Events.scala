@@ -190,8 +190,40 @@ object Events {
         .groupBy("cohort_day", "day_offset")
         .agg(count_distinct(col("user_id")).as("n_users"))
         .orderBy("cohort_day", "day_offset")
-    })
+    }),
+    "events_active_users" -> ((s, dir) =>
+      activeUsers(ev(s, dir)).orderBy("day"))
   )
+
+  /** Rolling engagement: exact DAU and trailing-7-day WAU per observed
+    * day, as ONE linear chain. Event volume collapses first to the
+    * distinct (user, day) frame; each active day then CONTRIBUTES to
+    * the 7 target days [day, day+6] with its offset, and min(offset)
+    * per (user, target) both dedups the window (a user active twice in
+    * a window counts once) and marks same-day activity (min = 0 ⟺
+    * active ON the target day) — so DAU rides the WAU aggregate for
+    * free. A dau-join-wau formulation re-read raw events under both
+    * sides (explain-verified before this rewrite); a count-distinct
+    * range window Spark doesn't support; a day-range self-join
+    * re-shuffles per day. Only observed days are reported (dau > 0; a
+    * dense calendar needs a date dimension).
+    *
+    * Scale notes: one corpus scan; the ×7 explode runs on the
+    * (user, day) DISTINCT frame, never on raw events; both downstream
+    * aggregates are bounded by users × days.
+    */
+  def activeUsers(e: DataFrame): DataFrame =
+    e.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .select(col("user_id"), col("day").as("aday"),
+        explode(sequence(lit(0), lit(6))).as("o"))
+      .select(col("user_id"), date_add(col("aday"), col("o")).as("day"),
+        col("o"))
+      .groupBy("user_id", "day").agg(min(col("o")).as("mo"))
+      .groupBy("day").agg(
+        sum(when(col("mo") === 0, 1L).otherwise(0L)).as("dau"),
+        count(lit(1)).as("wau"))
+      .filter(col("dau") > 0)
+      .select(col("day"), col("dau"), col("wau"))
 
   def oracleSql: Map[String, String] = Map(
     // NOTE the decimal→VARCHAR→DOUBLE hop: DuckDB's direct decimal→double
@@ -326,6 +358,21 @@ object Events {
         |  count(DISTINCT user_id) AS n_users
         |FROM c
         |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+    "events_active_users" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), uw AS (
+        |  SELECT user_id, day + CAST(o AS INTEGER) AS day,
+        |         CAST(min(o) AS BIGINT) AS mo
+        |  FROM ud, LATERAL (SELECT unnest(generate_series(0, 6)) AS o)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT day,
+        |  CAST(sum(CASE WHEN mo = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dau,
+        |  count(*) AS wau
+        |FROM uw GROUP BY 1
+        |HAVING sum(CASE WHEN mo = 0 THEN 1 ELSE 0 END) > 0
+        |ORDER BY day""".stripMargin
   )
 }

@@ -94,6 +94,10 @@ object GraftFunctions {
   /** Column-API form of [[Md5Prefix64]]. */
   def graftMd5Bits(c: Column): Column =
     call_function("graft_md5_bits", c)
+
+  /** Column-API form of [[PortableLog2]]. */
+  def graftLog2(c: Column): Column =
+    call_function("graft_log2", c)
 }
 
 /** Function injection: add `.withExtensions(new GraftExtensions)` to the
@@ -113,5 +117,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("graft_md5_bits"),
         new ExpressionInfo(classOf[Md5Prefix64].getName, "graft_md5_bits"),
         (children: Seq[Expression]) => Md5Prefix64(children.head)))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_log2"),
+        new ExpressionInfo(classOf[PortableLog2].getName, "graft_log2"),
+        (children: Seq[Expression]) => PortableLog2(children.head)))
   }
 }

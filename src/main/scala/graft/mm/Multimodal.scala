@@ -131,12 +131,29 @@ object Multimodal {
     }
   }
 
+  /** Exact payload dedup per media kind: one row per distinct payload
+    * with keeper = min media_id and the copy count — the first pass any
+    * multimodal ingest runs (identical bytes re-crawled under different
+    * ids). The CRITICAL property at 100 TB: the sha-256 digest is
+    * computed MAP-SIDE over the binary, so the dedup shuffle carries
+    * (kind, 64-hex hash, id) rows — payloads never move. Same keeper
+    * semantics as the text-side `dedup_exact`.
+    */
+  def payloadDedup(m: DataFrame): DataFrame =
+    m.select(col("kind"), sha2(col("payload"), 256).as("payload_hash"),
+        col("media_id"))
+      .groupBy("kind", "payload_hash")
+      .agg(min(col("media_id")).as("keep_media_id"),
+        count(lit(1)).as("n_copies"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_stats" -> ((s, dir) =>
       decodeStats(media(s, dir)).orderBy("media_id")),
     "mm_resize" -> ((s, dir) => resize(media(s, dir)).orderBy("media_id")),
     "mm_frame_sample" -> ((s, dir) =>
-      frameSample(media(s, dir)).orderBy("media_id"))
+      frameSample(media(s, dir)).orderBy("media_id")),
+    "mm_payload_dedup" -> ((s, dir) =>
+      payloadDedup(media(s, dir)).orderBy("kind", "payload_hash"))
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -190,6 +207,15 @@ object Multimodal {
          |SELECT media_id, n_frames,
          |       CAST(len(frames) AS BIGINT) AS n_sampled,
          |       CAST(list_sum(frames) AS BIGINT) AS sampled_sum
-         |FROM fr ORDER BY media_id""".stripMargin
+         |FROM fr ORDER BY media_id""".stripMargin,
+    // payload bytes ARE the utf8 text bytes (ASCII fixture), so DuckDB's
+    // sha256(text) digests the same byte stream Spark's sha2(binary)
+    // does — the dedup_exact hash-parity argument verbatim
+    "mm_payload_dedup" ->
+      s"""$mCte
+         |SELECT kind, sha256(text) AS payload_hash,
+         |       min(media_id) AS keep_media_id, count(*) AS n_copies
+         |FROM m GROUP BY 1, 2
+         |ORDER BY kind, payload_hash""".stripMargin
   )
 }

@@ -399,7 +399,18 @@ object Analysis {
     * ≡ branchy bit-for-bit — AnalysisSpec pins exactly that against a
     * branchy scalar reference.
     */
-  def portableLog2(x: Column): Column = {
+  def portableLog2(x: Column): Column =
+    graft.functions.GraftFunctions.graftLog2(x)
+
+  /** The fold form of [[portableLog2]] — the literal Column-HOF mirror
+    * of the oracle's `list_reduce`, kept as the parity REFERENCE: the
+    * production path is the codegen'd [[graft.functions.PortableLog2]]
+    * loop (HOFs defeat whole-stage codegen and allocate an ArrayData
+    * per step per row — measured ~120 µs/row in the unigram chain),
+    * and AnalysisSpec pins native ≡ fold across the valid domain, so
+    * the DuckDB twin's arithmetic is still certified op-for-op.
+    */
+  def portableLog2Fold(x: Column): Column = {
     def flag(c: Column): Column = c.cast("double")
     element_at(
       aggregate(sequence(lit(1), lit(89)),
@@ -482,6 +493,26 @@ object Analysis {
           -(col("sum_log2p") / col("n_tokens").cast("double")))
           .otherwise(lit(0.0)))
   }
+
+  /** Perplexity-bucket histogram (the CCNet-style head/middle/tail
+    * slicing a pipeline uses to stage quality filtering): docs bucketed
+    * by [[unigramLogProb]]'s bits-per-token in half-bit steps. The
+    * bucket is `floor(bpt · 2)` — one multiply + floor over the
+    * already-bit-identical score, so bucket membership is exact in both
+    * engines. Per-bucket extremes are min/max (order-independent —
+    * a double SUM would be merge-order-dependent and is deliberately
+    * absent). Bounded output: the score range spans a handful of bits.
+    */
+  val PplBucketsPerBit = 2.0
+
+  def pplBuckets(d: DataFrame): DataFrame =
+    unigramLogProb(d)
+      .select(floor(col("bits_per_token") * lit(PplBucketsPerBit))
+        .cast("long").as("bucket"),
+        col("bits_per_token").as("bpt"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("bpt")).as("min_bpt"), max(col("bpt")).as("max_bpt"))
 
   // ---- corpus audits -----------------------------------------------------
 
@@ -758,7 +789,9 @@ object Analysis {
     "text_pii_audit" -> ((s, dir) =>
       piiAudit(docs(s, dir)).orderBy("source")),
     "text_filter_funnel" -> ((s, dir) =>
-      filterFunnel(docs(s, dir)).orderBy("stage"))
+      filterFunnel(docs(s, dir)).orderBy("stage")),
+    "text_ppl_buckets" -> ((s, dir) =>
+      pplBuckets(docs(s, dir)).orderBy("bucket"))
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -810,6 +843,43 @@ object Analysis {
        |      st[4] / ($d1 + $p2)
        |    ])[1]""".stripMargin
   }
+
+  /** The [[unigramLogProb]] chain as CTEs ending in
+    * ul(doc_id, n_tokens, sum_log2p, bits_per_token) — shared by the
+    * per-doc score oracle and the perplexity-bucket histogram.
+    */
+  private val unigramCtes: String =
+    s"""$dCte, tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
+       |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |ltot AS (
+       |  SELECT ${plog2Sql("CAST(tot AS DOUBLE)")} AS lg_tot
+       |  FROM (SELECT CAST(sum(len(toks)) AS BIGINT) AS tot FROM d)
+       |), sc AS (
+       |  SELECT doc_id, t, tf,
+       |         CAST(sum(tf) OVER (PARTITION BY t) AS BIGINT) AS cnt
+       |  FROM tf
+       |), lg AS (
+       |  SELECT doc_id, t, tf,
+       |         CAST(tf AS DOUBLE) * ${plog2Sql("CAST(cnt AS DOUBLE)")} AS v
+       |  FROM sc
+       |), pd AS (
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(v ORDER BY t)),
+       |                     (a, x) -> a + x) AS sfold
+       |  FROM lg GROUP BY doc_id
+       |), pj AS (
+       |  SELECT doc_id, n_tokens,
+       |         sfold - CAST(n_tokens AS DOUBLE) * lg_tot AS sum_log2p
+       |  FROM pd, ltot
+       |), ul AS (
+       |  SELECT d.doc_id,
+       |         coalesce(pj.n_tokens, 0) AS n_tokens,
+       |         coalesce(pj.sum_log2p, CAST(0 AS DOUBLE)) AS sum_log2p,
+       |         CASE WHEN coalesce(pj.n_tokens, 0) > 0
+       |              THEN -(pj.sum_log2p / CAST(pj.n_tokens AS DOUBLE))
+       |              ELSE CAST(0 AS DOUBLE) END AS bits_per_token
+       |  FROM d LEFT JOIN pj USING (doc_id)
+       |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "text_langid" ->
@@ -1037,37 +1107,19 @@ object Analysis {
     // list_prepend(0)+list_reduce in-TERM-order fold mirroring Spark's
     // zero-init aggregate over the array_sort'ed struct list.
     "text_unigram_logprob" ->
-      s"""$dCte, tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
-         |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
-         |ltot AS (
-         |  SELECT ${plog2Sql("CAST(tot AS DOUBLE)")} AS lg_tot
-         |  FROM (SELECT CAST(sum(len(toks)) AS BIGINT) AS tot FROM d)
-         |), sc AS (
-         |  SELECT doc_id, t, tf,
-         |         CAST(sum(tf) OVER (PARTITION BY t) AS BIGINT) AS cnt
-         |  FROM tf
-         |), lg AS (
-         |  SELECT doc_id, t, tf,
-         |         CAST(tf AS DOUBLE) * ${plog2Sql("CAST(cnt AS DOUBLE)")} AS v
-         |  FROM sc
-         |), pd AS (
-         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-         |         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(v ORDER BY t)),
-         |                     (a, x) -> a + x) AS sfold
-         |  FROM lg GROUP BY doc_id
-         |), pj AS (
-         |  SELECT doc_id, n_tokens,
-         |         sfold - CAST(n_tokens AS DOUBLE) * lg_tot AS sum_log2p
-         |  FROM pd, ltot
-         |)
-         |SELECT d.doc_id,
-         |       coalesce(pj.n_tokens, 0) AS n_tokens,
-         |       coalesce(pj.sum_log2p, CAST(0 AS DOUBLE)) AS sum_log2p,
-         |       CASE WHEN coalesce(pj.n_tokens, 0) > 0
-         |            THEN -(pj.sum_log2p / CAST(pj.n_tokens AS DOUBLE))
-         |            ELSE CAST(0 AS DOUBLE) END AS bits_per_token
-         |FROM d LEFT JOIN pj USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin,
+      s"""$unigramCtes
+         |SELECT doc_id, n_tokens, sum_log2p, bits_per_token
+         |FROM ul ORDER BY doc_id""".stripMargin,
+    // floor over the already-bit-identical score — bucket membership is
+    // exact; extremes are order-independent (no double SUM)
+    "text_ppl_buckets" ->
+      s"""$unigramCtes
+         |SELECT CAST(floor(bits_per_token
+         |           * CAST($PplBucketsPerBit AS DOUBLE)) AS BIGINT) AS bucket,
+         |       count(*) AS n_docs,
+         |       min(bits_per_token) AS min_bpt,
+         |       max(bits_per_token) AS max_bpt
+         |FROM ul GROUP BY 1 ORDER BY 1""".stripMargin,
     // Same map-side feature arithmetic; the lang winner mirrors the
     // sorted (−matches, lang) struct-array trick (DuckDB sorts structs
     // field-lexicographically, same as Spark's array_sort).

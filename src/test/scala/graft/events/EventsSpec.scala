@@ -156,4 +156,26 @@ class EventsSpec extends SparkSpec {
     assert(r.getAs[Double]("mean_n") === 1.0)
     assert(math.abs(r.getAs[Double]("z") - 8.0 / math.sqrt(7.2)) < 1e-12)
   }
+
+  test("active users: DAU and trailing-7-day WAU match a hand trace") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val day = 86400L
+    // u1 active days 0 and 8; u2 active day 0 (twice — distinct must
+    // collapse it); u3 active day 5
+    val rows = Seq(
+      (1L, 0L * day, 1L), (2L, 8L * day + 3600, 1L),
+      (3L, 0L * day + 60, 2L), (4L, 0L * day + 120, 2L),
+      (5L, 5L * day, 3L))
+    val e = rows.toDF("event_id", "sec", "user_id")
+      .select(col("event_id"), timestamp_seconds(col("sec")).as("ts"),
+        col("user_id"), lit("click").as("event_type"))
+    val got = Events.activeUsers(e).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    // observed days: 0 (u1,u2), 5 (u3), 8 (u1)
+    assert(got.keySet === Set("1970-01-01", "1970-01-06", "1970-01-09"))
+    assert(got("1970-01-01") === ((2L, 2L))) // window [-6,0]: u1,u2
+    assert(got("1970-01-06") === ((1L, 3L))) // window [-1,5]: u1,u2,u3
+    assert(got("1970-01-09") === ((1L, 2L))) // window [2,8]: u3(d5),u1(d8)
+  }
 }

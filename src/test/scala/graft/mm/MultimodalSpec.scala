@@ -87,4 +87,23 @@ class MultimodalSpec extends SparkSpec {
       .head()
     assert(f.n_bytes === 3 && f.mean_byte === 7.0 && f.checksum === 21L)
   }
+
+  test("payload dedup: identical bytes collapse to the min keeper per kind") {
+    val s = spark; import s.implicits._
+    val m = Seq(
+      (5L, "image", "abc"), (1L, "image", "abc"), (3L, "image", "xyz"),
+      (2L, "audio", "abc")
+    ).toDF("media_id", "kind", "p")
+      .select(org.apache.spark.sql.functions.col("media_id"),
+        org.apache.spark.sql.functions.col("kind"),
+        org.apache.spark.sql.functions.col("p").cast("binary").as("payload"))
+    val got = Multimodal.payloadDedup(m).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got.size === 3, "kind-scoped: audio 'abc' is its own group")
+    val imgAbc = got.collect {
+      case ((k, _), v) if k == "image" && v._2 == 2L => v }.toSeq
+    assert(imgAbc === Seq((1L, 2L)), "keeper must be the min media_id")
+    assert(got.values.map(_._2).sum === 4L, "copies account for every row")
+  }
 }

@@ -286,20 +286,28 @@ class AnalysisSpec extends SparkSpec {
       (1 to 200).map(k => k / 7919.0)
     import org.apache.spark.sql.functions.col
     val got = xs.toDF("x")
-      .select(col("x"), Analysis.portableLog2(col("x")).as("lg"))
-      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      .select(col("x"), Analysis.portableLog2(col("x")).as("lg"),
+        Analysis.portableLog2Fold(col("x")).as("lgf"))
+      .collect().map(r => r.getDouble(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
     for (x <- xs) {
-      assert(java.lang.Double.doubleToLongBits(got(x)) ===
+      // native codegen'd loop ≡ the Column-HOF fold (the oracle's
+      // list_reduce mirror) ≡ the branchy scalar reference — all three
+      // BIT-equal, so the production path stays certified against the
+      // DuckDB twin's arithmetic
+      assert(java.lang.Double.doubleToLongBits(got(x)._1) ===
+        java.lang.Double.doubleToLongBits(got(x)._2), s"native vs fold at x=$x")
+      assert(java.lang.Double.doubleToLongBits(got(x)._1) ===
         java.lang.Double.doubleToLongBits(plog2Ref(x)), s"bits for x=$x")
       // 24 fraction bits: quantization alone allows 2^-24 ≈ 6e-8
-      assert(math.abs(got(x) - math.log(x) / math.log(2.0)) < 7e-8, s"accuracy at x=$x")
+      assert(math.abs(got(x)._1 - math.log(x) / math.log(2.0)) < 7e-8, s"accuracy at x=$x")
     }
     // powers of two come out exactly integral
-    assert(got(1.0) === 0.0)
-    assert(got(2.0) === 1.0)
-    assert(got(0.5) === -1.0)
-    assert(got(1024.0) === 10.0)
-    assert(got(math.pow(2, -40)) === -40.0)
+    assert(got(1.0)._1 === 0.0)
+    assert(got(2.0)._1 === 1.0)
+    assert(got(0.5)._1 === -1.0)
+    assert(got(1024.0)._1 === 10.0)
+    assert(got(math.pow(2, -40))._1 === -40.0)
   }
 
   test("unigram logprob: hand case (MLE probabilities, term-ordered fold)") {
@@ -434,6 +442,27 @@ class AnalysisSpec extends SparkSpec {
       assert(rows(st)._1 === 1L, s"stage $st should hold exactly one doc")
     assert(math.abs(rows.values.map(_._3).sum - 1.0) < 1e-12,
       "shares sum to 1")
+  }
+
+  test("ppl buckets partition the corpus and bound the per-doc scores") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val perDoc = Analysis.unigramLogProb(
+        d.filter(org.apache.spark.sql.functions.col("text").isNotNull))
+      .collect().map(_.getAs[Double]("bits_per_token"))
+    val buckets = Analysis.pplBuckets(
+        d.filter(org.apache.spark.sql.functions.col("text").isNotNull))
+      .collect()
+    assert(buckets.map(_.getAs[Long]("n_docs")).sum === perDoc.length.toLong)
+    for (b <- buckets) {
+      val lo = b.getAs[Long]("bucket").toDouble / Analysis.PplBucketsPerBit
+      val hi = lo + 1.0 / Analysis.PplBucketsPerBit
+      assert(b.getAs[Double]("min_bpt") >= lo &&
+        b.getAs[Double]("max_bpt") < hi,
+        s"bucket ${b.getAs[Long]("bucket")} extremes outside its range")
+      assert(b.getAs[Double]("min_bpt") <= b.getAs[Double]("max_bpt"))
+    }
+    assert(buckets.map(_.getAs[Double]("min_bpt")).min === perDoc.min)
+    assert(buckets.map(_.getAs[Double]("max_bpt")).max === perDoc.max)
   }
 
   test("filter funnel emits explicit zero rows for empty stages") {
