@@ -98,6 +98,14 @@ object GraftFunctions {
   /** Column-API form of [[PortableLog2]]. */
   def graftLog2(c: Column): Column =
     call_function("graft_log2", c)
+
+  /** Column-API form of [[RunStats]]. */
+  def graftRunStats(c: Column): Column =
+    call_function("graft_run_stats", c)
+
+  /** Column-API form of [[GramStats]]. */
+  def graftGramStats(toks: Column, n: Column): Column =
+    call_function("graft_gram_stats", toks, n)
 }
 
 /** Function injection: add `.withExtensions(new GraftExtensions)` to the
@@ -121,5 +129,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("graft_log2"),
         new ExpressionInfo(classOf[PortableLog2].getName, "graft_log2"),
         (children: Seq[Expression]) => PortableLog2(children.head)))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_run_stats"),
+        new ExpressionInfo(classOf[RunStats].getName, "graft_run_stats"),
+        (children: Seq[Expression]) => RunStats(children.head)))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_gram_stats"),
+        new ExpressionInfo(classOf[GramStats].getName, "graft_gram_stats"),
+        (children: Seq[Expression]) => GramStats(children(0), children(1))))
   }
 }

@@ -282,14 +282,47 @@ object Analysis {
     * output (docs too short for an n-gram report zero counts — no
     * silent drops).
     *
-    * Scale notes: ONE corpus scan — both gram sizes ride a single
-    * explode of a concatenated tagged-struct array, so the text is
-    * tokenized once; the (doc, n, gram) count shuffle collapses repeats
-    * map-side, and the two follow-up aggregates key on doc_id (bounded
-    * rows per doc). Fractions are one double division over exact long
-    * counts — bit-identical across engines.
+    * Scale notes: ZERO shuffles and ZERO gram materialization —
+    * multiplicity stats are per-document, so the codegen'd
+    * [[graft.functions.GramStats]] kernel computes them inside one
+    * narrow map straight off the bound TOKEN array (both gram sizes
+    * read the same attribute; no concat_ws gram string is ever built —
+    * the HOF transform in `shingleOfN` was the dominant remaining cost
+    * once the shuffles were gone). The prior explode + (doc, n, gram)
+    * count + two doc-keyed aggregates shuffled every gram occurrence
+    * of the corpus twice for numbers that never leave the row — see
+    * [[repetitionByGroup]], kept as the spec-pinned reference.
+    * Fractions are one double division over exact long counts —
+    * bit-identical across engines.
     */
-  def repetition(d: DataFrame): DataFrame = {
+  def repetition(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), toksCol.as("toks"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions
+          .graftGramStats(col("toks"), lit(2)).as("bs"),
+        graft.functions.GraftFunctions
+          .graftGramStats(col("toks"), lit(3)).as("ts"))
+      .select(col("doc_id"),
+        col("bs.n_grams").as("n_bigrams"), col("bs.top").as("top_bigram_n"),
+        col("ts.n_grams").as("n_trigrams"), col("ts.dup").as("dup_trigram_n"))
+      .withColumn("top_bigram_frac",
+        when(col("n_bigrams") > 0,
+          col("top_bigram_n").cast("double") / col("n_bigrams").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("dup_trigram_frac",
+        when(col("n_trigrams") > 0,
+          col("dup_trigram_n").cast("double") / col("n_trigrams").cast("double"))
+          .otherwise(lit(0.0)))
+
+  /** The explode + groupBy formulation [[repetition]] replaced — kept
+    * as the parity REFERENCE (AnalysisSpec pins the two equal on the
+    * fixture corpus): it shuffles every gram OCCURRENCE of the corpus
+    * twice to compute per-document numbers, where the production path
+    * is one narrow map over the codegen'd
+    * [[graft.functions.RunStats]] kernel — zero exchanges,
+    * plan-asserted.
+    */
+  private[text] def repetitionByGroup(d: DataFrame): DataFrame = {
     val toks = col("toks")
     val grams = d.select(col("doc_id"), toksCol.as("toks"))
       .select(col("doc_id"), explode(concat(

@@ -244,6 +244,51 @@ class AnalysisSpec extends SparkSpec {
     assert(r2.getAs[Double]("dup_trigram_frac") === 0.0)
   }
 
+  test("run-stats kernel: scalar cases") {
+    import graft.functions.RunStats.statsOf
+    assert(statsOf(Seq.empty) === ((0L, 0L)))
+    assert(statsOf(Seq("a")) === ((1L, 0L)))
+    assert(statsOf(Seq("a", "b", "c")) === ((1L, 0L)))
+    assert(statsOf(Seq("a", "b", "a")) === ((2L, 2L)))
+    assert(statsOf(Seq("a", "a", "a")) === ((3L, 3L)))
+    assert(statsOf(Seq("b", "a", "b", "c", "a", "b")) === ((3L, 5L)))
+  }
+
+  test("gram-stats kernel: scalar cases and RunStats∘shingle agreement") {
+    import graft.functions.GramStats.statsOf
+    // "a b a b a": bigrams {a b ×2, b a ×2} ; trigrams {a b a ×2, b a b}
+    val t = Seq("a", "b", "a", "b", "a")
+    assert(statsOf(t, 2) === ((4L, 2L, 4L)))
+    assert(statsOf(t, 3) === ((3L, 2L, 2L)))
+    assert(statsOf(Seq("x"), 2) === ((0L, 0L, 0L)))
+    assert(statsOf(Seq.empty, 2) === ((0L, 0L, 0L)))
+    // window equality ≡ joined-string equality (space-free tokens):
+    // agreement with RunStats over the materialized gram strings
+    import graft.functions.RunStats
+    for (toks <- Seq(t, Seq("p", "q", "r"), Seq("z", "z", "z", "z"),
+        Seq("ab", "c", "ab", "c", "ab"));
+        n <- Seq(2, 3)) {
+      val grams = if (toks.length < n) Seq.empty[String]
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      val (topR, dupR) = RunStats.statsOf(grams)
+      val (m, topG, dupG) = statsOf(toks, n)
+      assert(m === grams.length.toLong && topG === topR && dupG === dupR,
+        s"toks=$toks n=$n")
+    }
+  }
+
+  test("repetition: kernel path equals the groupBy reference; zero exchanges") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+    val key = (r: org.apache.spark.sql.Row) => r.getAs[Long]("doc_id")
+    val a = Analysis.repetition(d).collect().map(r => key(r) -> r.toSeq).toMap
+    val b = Analysis.repetitionByGroup(d).collect()
+      .map(r => key(r) -> r.toSeq).toMap
+    assert(a === b, "narrow-map kernel diverged from the groupBy reference")
+    val p = Analysis.repetition(d).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(1500))
+  }
+
   test("pack bins shard-locally with exact integer boundary arithmetic") {
     val s = spark; import s.implicits._
     def txt(n: Int) = Seq.fill(n)("t").mkString(" ")
