@@ -228,6 +228,34 @@ object Analysis {
           .as("chunk_text"))
   }
 
+  /** Chunk-level exact dedup — the repeated-span detector at training-
+    * context granularity: boilerplate that never duplicates a whole
+    * document still duplicates its context windows, and a packer that
+    * ships the same 32-token window hundreds of times is a
+    * memorization hazard no doc-level dedup can see. One row per
+    * distinct chunk text (the `dedup_exact` convention — group sizes
+    * are the audit, so "no duplicates" is an asserted fact), keeper =
+    * lexicographic min (doc_id, chunk_id).
+    *
+    * Scale notes: the sha-256 digest is computed MAP-SIDE over the
+    * chunk text, so the one exchange carries (64-hex hash, doc_id,
+    * encoded keeper key) rows — chunk text never shuffles. The keeper
+    * is an integer arg-min: doc_id·10⁶ + chunk_id (chunk_id < 10⁶ by
+    * the Int contract; exact in int64 and in any engine), decoded with
+    * `div`/`%` after the aggregate — no window, no second pass.
+    */
+  def chunkDedup(d: DataFrame): DataFrame =
+    chunk(d)
+      .select(sha2(col("chunk_text"), 256).as("chunk_hash"), col("doc_id"),
+        (col("doc_id") * lit(1000000L) + col("chunk_id")).as("ck"))
+      .groupBy("chunk_hash")
+      .agg(count(lit(1)).as("n_copies"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        min(col("ck")).as("k"))
+      .select(col("chunk_hash"), col("n_copies"), col("n_docs"),
+        expr("k div 1000000").as("keep_doc_id"),
+        (col("k") % lit(1000000L)).as("keep_chunk_id"))
+
   // ---- TF-IDF ------------------------------------------------------------
 
   /** Top terms per document by tf·idf. The idf is the LINEAR ratio
@@ -803,6 +831,8 @@ object Analysis {
       topBigrams(docs(s, dir)).orderBy("lang", "rank")),
     "text_chunk" -> ((s, dir) =>
       chunk(docs(s, dir)).orderBy("doc_id", "chunk_id")),
+    "text_chunk_dedup" -> ((s, dir) =>
+      chunkDedup(docs(s, dir)).orderBy("chunk_hash")),
     "text_tfidf" -> ((s, dir) =>
       tfidf(docs(s, dir)).orderBy("doc_id", "rank")),
     "text_length_hist" -> ((s, dir) =>
@@ -876,6 +906,27 @@ object Analysis {
        |      st[4] / ($d1 + $p2)
        |    ])[1]""".stripMargin
   }
+
+  /** The [[chunk]] chain as CTEs ending in ch(doc_id, chunk_id,
+    * start_tok, n_tokens, chunk_text) — shared by the chunk listing and
+    * the chunk-level dedup oracles.
+    */
+  private val chunkCtes: String =
+    s"""$dCte, starts AS (
+       |  SELECT doc_id, toks,
+       |         unnest(generate_series(0,
+       |           greatest(0, len(toks) - $ChunkTokens) // $ChunkStride +
+       |           CASE WHEN greatest(0, len(toks) - $ChunkTokens) % $ChunkStride > 0 THEN 1 ELSE 0 END)) AS k
+       |  FROM d
+       |), ch AS (
+       |  SELECT doc_id,
+       |         CAST(k AS INT) AS chunk_id,
+       |         CAST(k * $ChunkStride + 1 AS INT) AS start_tok,
+       |         CAST(least($ChunkTokens, len(toks) - (k * $ChunkStride + 1) + 1) AS BIGINT) AS n_tokens,
+       |         array_to_string(list_slice(toks, k * $ChunkStride + 1,
+       |           k * $ChunkStride + $ChunkTokens), ' ') AS chunk_text
+       |  FROM starts
+       |)""".stripMargin
 
   /** The [[unigramLogProb]] chain as CTEs ending in
     * ul(doc_id, n_tokens, sum_log2p, bits_per_token) — shared by the
@@ -1020,21 +1071,21 @@ object Analysis {
     // Same integer start arithmetic: starts k·S+1 for k in 0..⌈max(0,
     // len−C)/S⌉ (// is DuckDB integer division — no float rounding).
     "text_chunk" ->
-      s"""$dCte, starts AS (
-         |  SELECT doc_id, toks,
-         |         unnest(generate_series(0,
-         |           greatest(0, len(toks) - $ChunkTokens) // $ChunkStride +
-         |           CASE WHEN greatest(0, len(toks) - $ChunkTokens) % $ChunkStride > 0 THEN 1 ELSE 0 END)) AS k
-         |  FROM d
-         |)
-         |SELECT doc_id,
-         |       CAST(k AS INT) AS chunk_id,
-         |       CAST(k * $ChunkStride + 1 AS INT) AS start_tok,
-         |       CAST(least($ChunkTokens, len(toks) - (k * $ChunkStride + 1) + 1) AS BIGINT) AS n_tokens,
-         |       array_to_string(list_slice(toks, k * $ChunkStride + 1,
-         |         k * $ChunkStride + $ChunkTokens), ' ') AS chunk_text
-         |FROM starts
-         |ORDER BY doc_id, chunk_id""".stripMargin,
+      s"""$chunkCtes
+         |SELECT doc_id, chunk_id, start_tok, n_tokens, chunk_text
+         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+    // same integer arg-min keeper encoding as the Spark side; sha256 of
+    // the chunk text digests the same utf8 bytes in both engines
+    "text_chunk_dedup" ->
+      s"""$chunkCtes
+         |SELECT sha256(chunk_text) AS chunk_hash,
+         |       count(*) AS n_copies,
+         |       count(DISTINCT doc_id) AS n_docs,
+         |       CAST(min(doc_id * 1000000 + chunk_id) // 1000000 AS BIGINT)
+         |         AS keep_doc_id,
+         |       CAST(min(doc_id * 1000000 + chunk_id) % 1000000 AS BIGINT)
+         |         AS keep_chunk_id
+         |FROM ch GROUP BY 1 ORDER BY chunk_hash""".stripMargin,
     // Linear idf (tf·N/df): exact integer product, ONE double division —
     // bit-identical across engines, unlike libm ln (see tfidf scaladoc).
     "text_tfidf" ->

@@ -489,6 +489,30 @@ class AnalysisSpec extends SparkSpec {
       "shares sum to 1")
   }
 
+  test("chunk dedup: repeated windows collapse to the lexicographic-min keeper") {
+    val s = spark; import s.implicits._
+    // docs 5 and 2 share identical text (3 tokens → one chunk each);
+    // doc 7 is unique. Keeper of the shared chunk = (2, 0).
+    val shared = "alpha beta gamma"
+    val d = Seq((5L, shared), (2L, shared), (7L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val got = Analysis.chunkDedup(d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.size === 2)
+    val dup = got.values.find(_._1 == 2L).get
+    assert(dup === ((2L, 2L, 2L, 0L)), "shared chunk: 2 copies, keeper (2,0)")
+    assert(got.values.count(_._1 == 1L) === 1)
+    // within-doc repeats count as copies but one doc
+    val rep = (1 to 64).map(_ => "same").mkString(" ") // 2 chunks, same text?
+    val d2 = Seq((1L, rep)).toDF("doc_id", "text")
+    val g2 = Analysis.chunkDedup(d2).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // 64 tokens → starts 1, 25, 49: chunks (32), (32), (16 tokens) —
+    // the two full windows are identical text, the 16-token tail is not
+    assert(g2.toSet === Set((2L, 1L, 1L, 0L), (1L, 1L, 1L, 2L)))
+  }
+
   test("ppl buckets partition the corpus and bound the per-doc scores") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val perDoc = Analysis.unigramLogProb(
