@@ -50,7 +50,7 @@ object PlanDump {
     "dedup_minhash_est" ->
       "The per-doc feature aggregate carries shingle set + 16 signature minima off one (doc_id, s)-distinct exchange; candidate pairs come from the shared in-bucket expansion, and both docs' features attach via a union-tag join + one (doc_a, doc_b) aggregate. The feature subtree is planned twice (bucket chain + join side — HOF lambdas defeat exchange reuse); the union-tag holds it at two where an a/b self-join would plan three.",
     "sim_semdedup" ->
-      "Zero-shuffle cell assignment (16 literal centroid dots per row, same narrow map as IVF); the within-cell pair expansion shuffles once on cell_id with the oversized-cell guard upstream; the drop set re-attaches via a left join keyed on vec_id. At scale NumCells is the lever that keeps cells pair-expandable and the cell_id shuffle healthy.",
+      "Zero-shuffle cell assignment (16 literal centroid dots per row, same narrow map as IVF); ONE cell_id exchange carries both the count-window size guard and the per-cell collect_list, and pairs expand IN-ARRAY inside cap-admitted cells (the a×b self-join planned the assignment subtree four times — 1.75 → 0.92 s at sf0.1); the drop set re-attaches via a left join keyed on vec_id. At scale NumCells is the lever that keeps cells pair-expandable and the cell_id shuffle healthy.",
     "text_unigram_logprob" ->
       "Linear chain, ONE corpus tokenization: the token stream collapses map-side into (doc, term) tf rows; corpus counts attach via a sum window over term (same single-materialization argument as tfidf's df window); the grand total broadcasts (1-row cross). The portable log2 is the native codegen'd graft_log2 expression (the Column-HOF fold form defeated whole-stage codegen and cost ~120 µs/row interpreted — 14 s of the sf0.1 stage; bit parity with the oracle's list_reduce fold is spec-pinned), evaluated per tf row — never per token instance — and the per-doc sum folds tf·log2p in term order off the collected per-doc struct list.",
     "text_filter_funnel" ->

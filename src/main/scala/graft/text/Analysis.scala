@@ -818,6 +818,42 @@ object Analysis {
         col("n_docs").cast("double") / sum(col("n_docs")).over(all).cast("double"))
   }
 
+  // ---- dataset card ------------------------------------------------------
+
+  /** One-row dataset card — the headline numbers a corpus release
+    * publishes (and the cheapest cross-check that an ingest produced
+    * the corpus you think it did): volumes, vocabulary-bearing distinct
+    * counts, and the exact-duplicate rate. All counts are exact longs;
+    * the two ratios are single double divisions.
+    *
+    * Scale notes: one corpus scan into a global aggregate. The three
+    * DISTINCT aggregates (langs, sources, normalized-text hashes) make
+    * Catalyst plan an Expand (×3 row multiplication into the partial
+    * aggregate) — acceptable for a card run once per release; the
+    * distinct text hash is computed map-side (sha-256), so text never
+    * shuffles. For a daily card over a petabyte, swap the distincts for
+    * approx_count_distinct and keep this exact form as the calibration
+    * twin (the `text_vocab_sketch` pattern).
+    */
+  def datasetCard(d: DataFrame): DataFrame =
+    d.select(col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(toksCol).cast("long").as("n_tokens"),
+        sha2(lower(col("text")), 256).as("th"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        count_distinct(col("lang")).as("n_langs"),
+        count_distinct(col("source")).as("n_sources"),
+        (count(lit(1)) - count_distinct(col("th"))).as("n_exact_dup_docs"))
+      .select(col("n_docs"), col("n_tokens"), col("n_chars"),
+        (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("mean_doc_tokens"),
+        col("n_langs"), col("n_sources"), col("n_exact_dup_docs"),
+        (col("n_exact_dup_docs").cast("double") / col("n_docs").cast("double"))
+          .as("dup_rate"))
+
   // ---- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -854,7 +890,8 @@ object Analysis {
     "text_filter_funnel" -> ((s, dir) =>
       filterFunnel(docs(s, dir)).orderBy("stage")),
     "text_ppl_buckets" -> ((s, dir) =>
-      pplBuckets(docs(s, dir)).orderBy("bucket"))
+      pplBuckets(docs(s, dir)).orderBy("bucket")),
+    "text_dataset_card" -> ((s, dir) => datasetCard(docs(s, dir)))
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -1086,6 +1123,32 @@ object Analysis {
          |       CAST(min(doc_id * 1000000 + chunk_id) % 1000000 AS BIGINT)
          |         AS keep_chunk_id
          |FROM ch GROUP BY 1 ORDER BY chunk_hash""".stripMargin,
+    // own CTE: needs lang/source, which dCte prunes away
+    "text_dataset_card" ->
+      s"""WITH f AS (
+         |  SELECT lang, source,
+         |         CAST(length(text) AS BIGINT) AS n_chars,
+         |         CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |                              t -> length(t) > 0)) AS BIGINT) AS n_tokens,
+         |         sha256(lower(text)) AS th
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND length(text) > 0
+         |), a AS (
+         |  SELECT count(*) AS n_docs,
+         |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |         count(DISTINCT lang) AS n_langs,
+         |         count(DISTINCT source) AS n_sources,
+         |         count(*) - count(DISTINCT th) AS n_exact_dup_docs
+         |  FROM f
+         |)
+         |SELECT n_docs, n_tokens, n_chars,
+         |       CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         |         AS mean_doc_tokens,
+         |       n_langs, n_sources, n_exact_dup_docs,
+         |       CAST(n_exact_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         |         AS dup_rate
+         |FROM a""".stripMargin,
     // Linear idf (tf·N/df): exact integer product, ONE double division —
     // bit-identical across engines, unlike libm ln (see tfidf scaladoc).
     "text_tfidf" ->

@@ -513,6 +513,23 @@ class AnalysisSpec extends SparkSpec {
     assert(g2.toSet === Set((2L, 1L, 1L, 0L), (1L, 1L, 1L, 2L)))
   }
 
+  test("dataset card: hand-computed volumes, distincts, and dup rate") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (1L, "a b c", "en", "s1"), (2L, "A b C", "en", "s2"), // dup (lower)
+      (3L, "d e", "de", "s1")
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = Analysis.datasetCard(d).collect().head
+    assert(r.getAs[Long]("n_docs") === 3L)
+    assert(r.getAs[Long]("n_tokens") === 8L)
+    assert(r.getAs[Long]("n_chars") === 13L)
+    assert(r.getAs[Double]("mean_doc_tokens") === 8.0 / 3.0)
+    assert(r.getAs[Long]("n_langs") === 2L)
+    assert(r.getAs[Long]("n_sources") === 2L)
+    assert(r.getAs[Long]("n_exact_dup_docs") === 1L)
+    assert(r.getAs[Double]("dup_rate") === 1.0 / 3.0)
+  }
+
   test("ppl buckets partition the corpus and bound the per-doc scores") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val perDoc = Analysis.unigramLogProb(
