@@ -37,7 +37,7 @@ object Sampling {
     * define them — `withColumn` would silently overwrite a caller's
     * same-named column, so clashes fail fast instead.
     */
-  private val Reserved = Seq("bucket", "rate", "kept", "split", "hkey", "rank")
+  private val Reserved = Seq("bucket", "rate", "kept", "split", "hkey", "rank", "fold")
 
   private def requireFresh(d: DataFrame, used: Seq[String]): Unit = {
     val clash = d.columns.toSeq.intersect(used)
@@ -121,6 +121,23 @@ object Sampling {
       .filter(col("rank") <= k)
   }
 
+  /** Deterministic k-fold assignment for cross-validation: fold =
+    * salted portable hash mod [[KFolds]]. The salt ("fold|") makes a
+    * row's fold independent of its split/mix/carve fate (the [[MixSalt]]
+    * argument); hash-mod membership is stable under re-runs, backfills,
+    * and repartitioning, and any engine reproduces it.
+    */
+  val KFolds = 5
+  val FoldSalt = "fold|"
+
+  def kfold(d: DataFrame, keyCol: String): DataFrame = {
+    requireFresh(d, Seq("fold"))
+    val h = graft.functions.PortableHash.base28(
+      concat(lit(FoldSalt), col(keyCol).cast("string")),
+      graft.functions.PortableHash.enabled(d))
+    d.select(col("*"), pmod(h, lit(KFolds.toLong)).as("fold"))
+  }
+
   /** Token-budget mixing plan: global budget = corpus tokens divided by
     * [[BudgetDen]], shared UNIFORMLY across observed languages, each
     * language capped at [[MaxEpochs]] passes over its available tokens
@@ -199,7 +216,12 @@ object Sampling {
     // per-language token-budget plan (epoch-capped uniform reweighting)
     "sample_budget_plan" -> ((s, dir) =>
       budgetPlan(s.read.parquet(s"$dir/documents.parquet"))
-        .orderBy("lang"))
+        .orderBy("lang")),
+    // deterministic k-fold assignment (salted hash mod k)
+    "sample_kfold" -> ((s, dir) =>
+      kfold(s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+        .select("doc_id", "lang", "fold")
+        .orderBy("doc_id"))
   )
 
   private val key64Sql: String =
@@ -207,12 +229,12 @@ object Sampling {
       s"(strpos('0123456789abcdef', substr(hx, $k, 1)) - 1) * ${java.math.BigInteger.valueOf(16).pow(15 - k)}")
       .mkString(" + ")
 
-  private val bucketSql: String = {
-    val digits = (1 to 7).map(k =>
+  private val digitsSql: String =
+    (1 to 7).map(k =>
       s"(strpos('0123456789abcdef', substr(hx, $k, 1)) - 1) * ${math.pow(16, 7 - k).toLong}")
       .mkString(" + ")
-    s"($digits) % 100"
-  }
+
+  private val bucketSql: String = s"($digitsSql) % 100"
 
   private val splitCte: String =
     s"""WITH hx AS (
@@ -304,6 +326,14 @@ object Sampling {
          |         AS deficit_tokens,
          |       CAST(least(target_tokens, avail_tokens * $MaxEpochs) AS DOUBLE)
          |         / CAST(avail_tokens AS DOUBLE) AS repeat_factor
-         |FROM p ORDER BY lang""".stripMargin
+         |FROM p ORDER BY lang""".stripMargin,
+    "sample_kfold" ->
+      s"""WITH hx AS (
+         |  SELECT doc_id, lang,
+         |         substr(md5('$FoldSalt' || CAST(doc_id AS VARCHAR)), 1, 7) AS hx
+         |  FROM documents
+         |)
+         |SELECT doc_id, lang, CAST(($digitsSql) % $KFolds AS BIGINT) AS fold
+         |FROM hx ORDER BY doc_id""".stripMargin
   )
 }

@@ -74,6 +74,19 @@ object Analysis {
         coalesce(col("matches"), lit(0L)).as("matches"))
   }
 
+  /** Heuristic-vs-label confusion matrix — the eval every pipeline
+    * runs before trusting a cheap classifier to gate data: (actual,
+    * predicted, n) over the corpus's labeled `lang` column. Diagonal
+    * mass = accuracy; off-diagonal rows name the confusable pairs the
+    * marker lists must grow to separate. One extra broadcast-join +
+    * bounded (langs²) aggregate over the [[langId]] chain.
+    */
+  def langIdEval(d: DataFrame): DataFrame =
+    langId(d)
+      .join(d.select(col("doc_id"), col("lang").as("actual_lang")), "doc_id")
+      .groupBy("actual_lang", "predicted_lang")
+      .agg(count(lit(1)).as("n"))
+
   // ---- quality ----------------------------------------------------------
 
   /** Per-doc quality features + a fixed-weight composite score. Every
@@ -891,7 +904,9 @@ object Analysis {
       filterFunnel(docs(s, dir)).orderBy("stage")),
     "text_ppl_buckets" -> ((s, dir) =>
       pplBuckets(docs(s, dir)).orderBy("bucket")),
-    "text_dataset_card" -> ((s, dir) => datasetCard(docs(s, dir)))
+    "text_dataset_card" -> ((s, dir) => datasetCard(docs(s, dir))),
+    "text_langid_eval" -> ((s, dir) =>
+      langIdEval(docs(s, dir)).orderBy("actual_lang", "predicted_lang"))
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -943,6 +958,29 @@ object Analysis {
        |      st[4] / ($d1 + $p2)
        |    ])[1]""".stripMargin
   }
+
+  /** The [[langId]] chain as CTEs ending in lid(doc_id, predicted_lang,
+    * matches) — shared by the per-doc listing and the confusion-matrix
+    * eval oracles.
+    */
+  private val langidCtes: String =
+    s"""$dCte, markers(mlang, t) AS (VALUES $markerValues),
+       |tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
+       |hits AS (
+       |  SELECT doc_id, mlang, count(*) AS matches
+       |  FROM tok JOIN markers USING (t) GROUP BY 1, 2
+       |), best AS (
+       |  SELECT doc_id, mlang, matches FROM (
+       |    SELECT doc_id, mlang, matches,
+       |           row_number() OVER (PARTITION BY doc_id
+       |             ORDER BY matches DESC, mlang ASC) AS rn
+       |    FROM hits) WHERE rn = 1
+       |), lid AS (
+       |  SELECT d.doc_id,
+       |         coalesce(best.mlang, 'und') AS predicted_lang,
+       |         coalesce(best.matches, 0) AS matches
+       |  FROM d LEFT JOIN best ON d.doc_id = best.doc_id
+       |)""".stripMargin
 
   /** The [[chunk]] chain as CTEs ending in ch(doc_id, chunk_id,
     * start_tok, n_tokens, chunk_text) — shared by the chunk listing and
@@ -1004,23 +1042,15 @@ object Analysis {
 
   def oracleSql: Map[String, String] = Map(
     "text_langid" ->
-      s"""$dCte, markers(mlang, t) AS (VALUES $markerValues),
-         |tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
-         |hits AS (
-         |  SELECT doc_id, mlang, count(*) AS matches
-         |  FROM tok JOIN markers USING (t) GROUP BY 1, 2
-         |), best AS (
-         |  SELECT doc_id, mlang, matches FROM (
-         |    SELECT doc_id, mlang, matches,
-         |           row_number() OVER (PARTITION BY doc_id
-         |             ORDER BY matches DESC, mlang ASC) AS rn
-         |    FROM hits) WHERE rn = 1
-         |)
-         |SELECT d.doc_id,
-         |       coalesce(best.mlang, 'und') AS predicted_lang,
-         |       coalesce(best.matches, 0) AS matches
-         |FROM d LEFT JOIN best ON d.doc_id = best.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+      s"""$langidCtes
+         |SELECT doc_id, predicted_lang, matches FROM lid
+         |ORDER BY doc_id""".stripMargin,
+    "text_langid_eval" ->
+      s"""$langidCtes
+         |SELECT dd.lang AS actual_lang, lid.predicted_lang, count(*) AS n
+         |FROM lid JOIN documents dd ON dd.doc_id = lid.doc_id
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin,
     "text_quality" ->
       s"""$dCte, base AS (
          |  SELECT doc_id,

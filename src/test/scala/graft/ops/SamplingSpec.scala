@@ -114,6 +114,25 @@ class SamplingSpec extends SparkSpec {
       "the epoch cap must bound the repeat factor")
   }
 
+  test("kfold: stable, in-range, and independent of the split fate") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val a = Sampling.kfold(d, "doc_id").select("doc_id", "fold").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.values.forall(f => f >= 0 && f < Sampling.KFolds))
+    assert(a.values.toSet.size > 1, "folds must actually spread")
+    val b = Sampling.kfold(d.repartition(9), "doc_id")
+      .select("doc_id", "fold").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b, "fold membership must be partitioning-independent")
+    // salted: fold must not be a function of the split bucket
+    val buckets = Sampling.split(d, "doc_id").select("doc_id", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byBucket = a.groupBy { case (id, _) => buckets(id) % 5 }
+    assert(byBucket.exists { case (bm, folds) =>
+      folds.values.toSet.size > 1
+    }, "fold degenerated to a function of the split bucket")
+  }
+
   test("budget plan on the fixture: per-lang rows, caps respected") {
     val d = spark.read.parquet(s"$dir/documents.parquet")
     val rows = Sampling.budgetPlan(d).collect()

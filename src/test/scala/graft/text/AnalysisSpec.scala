@@ -513,6 +513,19 @@ class AnalysisSpec extends SparkSpec {
     assert(g2.toSet === Set((2L, 1L, 1L, 0L), (1L, 1L, 1L, 2L)))
   }
 
+  test("langid eval: confusion matrix against the labeled corpus") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (1L, "the cat and the dog is not a friend", "en"), // correct
+      (2L, "der hund und die katze ist nicht",    "de"), // correct
+      (3L, "xyzzy plugh quux frobnicate",          "en")  // no markers → und
+    ).toDF("doc_id", "text", "lang")
+    val got = Analysis.langIdEval(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("en", "en") -> 1L, ("de", "de") -> 1L,
+      ("en", "und") -> 1L))
+  }
+
   test("dataset card: hand-computed volumes, distincts, and dup rate") {
     val s = spark; import s.implicits._
     val d = Seq(
