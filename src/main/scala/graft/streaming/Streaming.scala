@@ -261,3 +261,103 @@ object StreamingAttribution {
         (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts"))).as("dt_us"))
   }
 }
+
+/** Streaming NEAR-dup candidate surfacing on arrival — the stateful
+  * twin of [[graft.dedup.Dedup.minhashCandidates]]: each arriving doc
+  * computes its MinHash signature map-side ([[sigOf]] — the scalar
+  * mirror of the batch column chain: same md5-derived base28 shingle
+  * hash, same affine coefficients, bit parity spec-pinned), explodes
+  * into its band buckets, and per-bucket `GroupState` holds the
+  * admitted member list. An arrival emits candidate pairs against the
+  * current members plus the in-batch pairs.
+  *
+  * Cap semantics (the no-silent-quadratic rule, streamed): within one
+  * invocation, if state ∪ batch exceeds [[graft.dedup.Dedup.MaxBucketSize]]
+  * the bucket POISONS itself — emits nothing, forever — which on a
+  * one-batch replay is exactly the batch drop-oversized-bucket rule
+  * (replay ≡ `minhashCandidates` as a pair SET, spec-pinned; the same
+  * pair may surface from several bands — batch dedups globally, a
+  * stream consumer dedups downstream). Across batches the cap freezes
+  * admission at arrival order — the documented divergence, mirroring
+  * StreamingAnomaly's static-reference divergence note. State per
+  * bucket is ≤ cap doc_ids; oracle-mode hashing (md5) — flip
+  * [[graft.functions.PortableHash]]'s flag story does not reach this
+  * scalar path, which a production deployment would switch to xxhash64
+  * wholesale.
+  */
+object StreamingNearDup {
+
+  case class Doc(doc_id: Long, text: String)
+  case class Cand(doc_a: Long, doc_b: Long)
+  case class BucketState(members: List[Long], poisoned: Boolean)
+
+  import graft.dedup.Dedup.{Bands, MinHashP, NumHashes, RowsPerBand, ShingleSize}
+
+  /** MinHash signature of one document — the scalar twin of the batch
+    * chain: lower → \s+ split → non-empty → word ShingleSize-grams →
+    * base28 = first 7 md5 hex digits (Md5Prefix64 bits >>> 36) →
+    * per-coefficient affine minima. Returns None for docs too short to
+    * shingle (the batch chain emits no signature row for them either).
+    */
+  def sigOf(text: String): Option[Array[Long]] = {
+    val toks = text.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty)
+    if (toks.length < ShingleSize) return None
+    val coeffs = graft.dedup.Dedup.minHashCoeffs
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    toks.sliding(ShingleSize).foreach { w =>
+      val base = graft.functions.Md5Prefix64.hash64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          w.mkString(" "))) >>> 36
+      var i = 0
+      while (i < NumHashes) {
+        val (a, b) = coeffs(i)
+        val h = (a * base + b) % MinHashP
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    Some(sig)
+  }
+
+  /** Band-bucket keys of one signature: "band|h..|h.." — the string
+    * form of the batch (band, sig) key pair.
+    */
+  def bucketKeysOf(sig: Array[Long]): Seq[String] =
+    (0 until Bands).map { b =>
+      val slice = (b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(sig(_)).mkString("|")
+      s"$b|$slice"
+    }
+
+  def candidates(docs: Dataset[Doc],
+      maxBucketSize: Int = graft.dedup.Dedup.MaxBucketSize): Dataset[Cand] = {
+    import docs.sparkSession.implicits._
+    docs
+      .filter(d => d.text != null && d.text.nonEmpty)
+      .flatMap(d => sigOf(d.text).toSeq
+        .flatMap(sig => bucketKeysOf(sig).map(k => (k, d.doc_id))))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BucketState, Cand](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, batch: Iterator[(String, Long)],
+            state: GroupState[BucketState]) =>
+          val arrivals = batch.map(_._2).toSeq.distinct.sorted
+          val st = state.getOption.getOrElse(BucketState(Nil, poisoned = false))
+          if (st.poisoned) Iterator.empty
+          else if (st.members.size + arrivals.size > maxBucketSize) {
+            state.update(BucketState(Nil, poisoned = true))
+            Iterator.empty
+          } else {
+            val inBatch = for {
+              (a, i) <- arrivals.zipWithIndex; b <- arrivals.drop(i + 1)
+            } yield Cand(a, b)
+            val cross = for {
+              a <- arrivals; m <- st.members
+            } yield if (m < a) Cand(m, a) else Cand(a, m)
+            state.update(BucketState(st.members ++ arrivals, poisoned = false))
+            (inBatch ++ cross).iterator
+          }
+      }
+  }
+}
