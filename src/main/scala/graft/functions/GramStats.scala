@@ -56,7 +56,13 @@ case class GramStats(left: Expression, right: Expression)
 
 object GramStats {
 
-  /** Called from generated code. */
+  /** Called from generated code. Null elements cannot occur in the
+    * shingle arrays this serves (concat_ws never yields null), but the
+    * function is registered session-wide, so ad-hoc SQL can hand it
+    * anything — nulls sort first and compare equal to each other, the
+    * [[RunStats]] rule (review finding: the first cut NPE'd here where
+    * its sibling kernel didn't).
+    */
   def stats(arr: ArrayData, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
     val len = arr.numElements()
     val m = len - n + 1
@@ -65,19 +71,26 @@ object GramStats {
     val toks = new Array[UTF8String](len)
     var i = 0
     while (i < len) { toks(i) = arr.getUTF8String(i); i += 1 }
+    def cmpTok(x: UTF8String, y: UTF8String): Int =
+      if (x == null) (if (y == null) 0 else -1)
+      else if (y == null) 1
+      else x.compareTo(y)
     val idx = new Array[Integer](m)
     i = 0
     while (i < m) { idx(i) = i; i += 1 }
     java.util.Arrays.sort(idx, (a: Integer, b: Integer) => {
       var k = 0; var c = 0
       while (k < n && c == 0) {
-        c = toks(a + k).compareTo(toks(b + k)); k += 1
+        c = cmpTok(toks(a + k), toks(b + k)); k += 1
       }
       c
     })
     def eq(a: Int, b: Int): Boolean = {
       var k = 0
-      while (k < n) { if (!toks(a + k).equals(toks(b + k))) return false; k += 1 }
+      while (k < n) {
+        if (cmpTok(toks(a + k), toks(b + k)) != 0) return false
+        k += 1
+      }
       true
     }
     var top = 0L; var dup = 0L; var run = 0L

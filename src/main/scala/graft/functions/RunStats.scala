@@ -10,20 +10,21 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Multiplicity statistics of a string array as ONE codegen'd kernel:
   * `graft_run_stats(arr)` = struct(top, dup) where `top` is the highest
   * multiplicity of any element (0 for empty) and `dup` is the total
-  * count of elements whose multiplicity exceeds 1 — the two numbers the
-  * Gopher-style repetition audit needs per document.
+  * count of elements whose multiplicity exceeds 1.
   *
-  * WHY an expression: these are PER-DOCUMENT statistics, but the
-  * groupBy formulation (`explode` grams → count per (doc, gram) → max /
-  * conditional sum per doc) shuffles EVERY gram occurrence of the
-  * corpus twice to compute numbers that never leave the row — at 100 TB
-  * that is the difference between a narrow map stage and two
-  * corpus-sized exchanges. Spark has no count-by higher-order function,
-  * and a fold-based HOF would defeat whole-stage codegen (the
-  * PortableLog2 lesson); this kernel sorts a copied reference array and
-  * run-length-scans it in a tight loop. Integer outputs — engine
-  * parity is untouched (the DuckDB oracle keeps its count-based CTEs;
-  * AnalysisSpec pins equality against the old groupBy formulation).
+  * Role: the GENERAL array-level primitive and the parity REFERENCE for
+  * [[GramStats]] — the production repetition audit composes gram
+  * construction into GramStats and never materializes gram strings, and
+  * AnalysisSpec pins GramStats ≡ RunStats∘shingle-strings, which is
+  * what certifies the window-equality argument. Registered session-wide
+  * (`graft_run_stats`) for ad-hoc multiplicity audits over any
+  * array<string> column.
+  *
+  * WHY an expression at all: per-row multiplicity stats via the groupBy
+  * formulation shuffle every element occurrence of the corpus for
+  * numbers that never leave the row, and a fold-based HOF would defeat
+  * whole-stage codegen (the PortableLog2 lesson); this kernel sorts a
+  * copied reference array and run-length-scans it in a tight loop.
   */
 case class RunStats(child: Expression) extends UnaryExpression {
 
@@ -81,8 +82,9 @@ object RunStats {
     org.apache.spark.sql.catalyst.InternalRow(top, dup)
   }
 
-  /** Unused helper kept for symmetry with other kernels' test hooks:
-    * scalar form over plain strings, for driver-side references.
+  /** Scalar form over plain strings — the driver-side reference
+    * AnalysisSpec uses to pin [[GramStats]] (window equality ≡
+    * joined-string equality) and this kernel's own hand cases.
     */
   def statsOf(xs: Seq[String]): (Long, Long) = {
     val row = stats(new GenericArrayData(

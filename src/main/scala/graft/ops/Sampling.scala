@@ -178,8 +178,13 @@ object Sampling {
       .select(col("lang"), col("avail_tokens"), col("target_tokens"),
         col("planned_tokens"),
         (col("target_tokens") - col("planned_tokens")).as("deficit_tokens"),
-        (col("planned_tokens").cast("double") /
-          col("avail_tokens").cast("double")).as("repeat_factor"))
+        // a lang whose docs all tokenize empty has avail = 0: planned
+        // is 0 (nothing to repeat) and 0/0 would be NaN - report 0.0
+        // with the full target as the explicit deficit instead
+        when(col("avail_tokens") > 0,
+          col("planned_tokens").cast("double") /
+            col("avail_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("repeat_factor"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -324,8 +329,10 @@ object Sampling {
          |       least(target_tokens, avail_tokens * $MaxEpochs) AS planned_tokens,
          |       target_tokens - least(target_tokens, avail_tokens * $MaxEpochs)
          |         AS deficit_tokens,
-         |       CAST(least(target_tokens, avail_tokens * $MaxEpochs) AS DOUBLE)
-         |         / CAST(avail_tokens AS DOUBLE) AS repeat_factor
+         |       CASE WHEN avail_tokens > 0
+         |            THEN CAST(least(target_tokens, avail_tokens * $MaxEpochs) AS DOUBLE)
+         |                 / CAST(avail_tokens AS DOUBLE)
+         |            ELSE CAST(0 AS DOUBLE) END AS repeat_factor
          |FROM p ORDER BY lang""".stripMargin,
     "sample_kfold" ->
       s"""WITH hx AS (

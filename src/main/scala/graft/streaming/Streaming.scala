@@ -342,9 +342,13 @@ object StreamingNearDup {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, batch: Iterator[(String, Long)],
             state: GroupState[BucketState]) =>
-          val arrivals = batch.map(_._2).toSeq.distinct.sorted
           val st = state.getOption.getOrElse(BucketState(Nil, poisoned = false))
-          if (st.poisoned) Iterator.empty
+          // redelivery guard (at-least-once sources, re-crawled ids):
+          // an id already admitted must neither pair with itself nor
+          // count twice toward the cap
+          val arrivals = batch.map(_._2).toSeq.distinct.sorted
+            .filterNot(st.members.toSet)
+          if (st.poisoned || arrivals.isEmpty) Iterator.empty
           else if (st.members.size + arrivals.size > maxBucketSize) {
             state.update(BucketState(Nil, poisoned = true))
             Iterator.empty

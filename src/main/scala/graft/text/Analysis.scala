@@ -36,6 +36,21 @@ object Analysis {
   )
 
   val QualityStopwords: Seq[String] = Tokenize.DefaultStopwords
+
+  /** THE composite quality score — the one formula [[quality]],
+    * [[sourceProfile]], and [[filterFunnel]] all gate on. Single
+    * definition so the funnel's stage-3 bar can never silently diverge
+    * from what `text_quality_filter` actually admits (the oracle SQL
+    * strings still spell it out independently — that duplication is the
+    * point of an oracle). Inputs are exact long counts; every ratio is
+    * one double division.
+    */
+  private def qualityScore(nTokens: Column, nStopwords: Column,
+      nDistinct: Column): Column =
+    lit(0.4) * least(lit(1.0), nTokens.cast("double") / lit(100.0)) +
+      lit(0.3) * (lit(1.0) -
+        nStopwords.cast("double") / nTokens.cast("double")) +
+      lit(0.3) * (nDistinct.cast("double") / nTokens.cast("double"))
   /** Winnowing fingerprint keeps this many minimal shingle hashes. */
   val WinnowK = 4
   val FpShingleSize = 3
@@ -113,6 +128,8 @@ object Analysis {
       (col("n_distinct").cast("double") / col("n_tokens").cast("double"))
         .as("type_token_ratio"))
       .withColumn("quality_score",
+        // same double ops as qualityScore over the base counts: the
+        // ratio columns ARE those divisions (projection-collapsed)
         lit(0.4) * least(lit(1.0),
           col("n_tokens").cast("double") / lit(100.0)) +
           lit(0.3) * (lit(1.0) - col("stopword_ratio")) +
@@ -252,22 +269,27 @@ object Analysis {
     *
     * Scale notes: the sha-256 digest is computed MAP-SIDE over the
     * chunk text, so the one exchange carries (64-hex hash, doc_id,
-    * encoded keeper key) rows — chunk text never shuffles. The keeper
-    * is an integer arg-min: doc_id·10⁶ + chunk_id (chunk_id < 10⁶ by
-    * the Int contract; exact in int64 and in any engine), decoded with
-    * `div`/`%` after the aggregate — no window, no second pass.
+    * chunk_id) rows — chunk text never shuffles. The keeper arg-min
+    * rides a min-window stacked on the SAME chunk_hash partitioning as
+    * the aggregate (no second exchange): keep_doc_id = min doc, and
+    * keep_chunk_id = min chunk WITHIN that doc. (A doc_id·10⁶+chunk_id
+    * integer encoding was rejected in review: nothing bounds chunk_id
+    * below 10⁶, and a ~24M-token doc would silently decode a wrong —
+    * possibly nonexistent — keeper in both engines at once.)
     */
-  def chunkDedup(d: DataFrame): DataFrame =
+  def chunkDedup(d: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("chunk_hash")
     chunk(d)
       .select(sha2(col("chunk_text"), 256).as("chunk_hash"), col("doc_id"),
-        (col("doc_id") * lit(1000000L) + col("chunk_id")).as("ck"))
+        col("chunk_id"))
+      .withColumn("kd", min(col("doc_id")).over(w))
       .groupBy("chunk_hash")
       .agg(count(lit(1)).as("n_copies"),
         count_distinct(col("doc_id")).as("n_docs"),
-        min(col("ck")).as("k"))
-      .select(col("chunk_hash"), col("n_copies"), col("n_docs"),
-        expr("k div 1000000").as("keep_doc_id"),
-        (col("k") % lit(1000000L)).as("keep_chunk_id"))
+        min(col("doc_id")).as("keep_doc_id"),
+        min(when(col("doc_id") === col("kd"), col("chunk_id")))
+          .cast("long").as("keep_chunk_id"))
+  }
 
   // ---- TF-IDF ------------------------------------------------------------
 
@@ -360,7 +382,7 @@ object Analysis {
     * fixture corpus): it shuffles every gram OCCURRENCE of the corpus
     * twice to compute per-document numbers, where the production path
     * is one narrow map over the codegen'd
-    * [[graft.functions.RunStats]] kernel — zero exchanges,
+    * [[graft.functions.GramStats]] kernel — zero exchanges,
     * plan-asserted.
     */
   private[text] def repetitionByGroup(d: DataFrame): DataFrame = {
@@ -689,12 +711,7 @@ object Analysis {
       .select(col("source"), col("n_chars"), col("n_tokens"),
         when(col("w.neg") === 0, lit("und")).otherwise(col("w.lang"))
           .as("lang"),
-        (lit(0.4) * least(lit(1.0),
-          col("n_tokens").cast("double") / lit(100.0)) +
-          lit(0.3) * (lit(1.0) -
-            col("n_stopwords").cast("double") / col("n_tokens").cast("double")) +
-          lit(0.3) *
-            (col("n_distinct").cast("double") / col("n_tokens").cast("double")))
+        qualityScore(col("n_tokens"), col("n_stopwords"), col("n_distinct"))
           .as("q"))
     val sl = perDoc.groupBy("source", "lang").agg(
       count(lit(1)).as("docs"),
@@ -808,11 +825,7 @@ object Analysis {
         size(filter(toks, t => t.isInCollection(QualityStopwords)))
           .cast("long").as("n_stopwords"))
     val ttr = col("n_distinct").cast("double") / col("n_tokens").cast("double")
-    val q = lit(0.4) * least(lit(1.0),
-      col("n_tokens").cast("double") / lit(100.0)) +
-      lit(0.3) * (lit(1.0) -
-        col("n_stopwords").cast("double") / col("n_tokens").cast("double")) +
-      lit(0.3) * ttr
+    val q = qualityScore(col("n_tokens"), col("n_stopwords"), col("n_distinct"))
     val staged = feat.select(col("n_chars"),
       when(col("n_tokens") < FunnelMinTokens, FunnelStages(0))
         .when(ttr < FunnelMinTtr, FunnelStages(1))
@@ -1141,18 +1154,21 @@ object Analysis {
       s"""$chunkCtes
          |SELECT doc_id, chunk_id, start_tok, n_tokens, chunk_text
          |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
-    // same integer arg-min keeper encoding as the Spark side; sha256 of
-    // the chunk text digests the same utf8 bytes in both engines
+    // same window-arg-min keeper as the Spark side; sha256 of the
+    // chunk text digests the same utf8 bytes in both engines
     "text_chunk_dedup" ->
-      s"""$chunkCtes
-         |SELECT sha256(chunk_text) AS chunk_hash,
+      s"""$chunkCtes, hd AS (
+         |  SELECT sha256(chunk_text) AS chunk_hash, doc_id, chunk_id,
+         |         min(doc_id) OVER (PARTITION BY sha256(chunk_text)) AS kd
+         |  FROM ch
+         |)
+         |SELECT chunk_hash,
          |       count(*) AS n_copies,
          |       count(DISTINCT doc_id) AS n_docs,
-         |       CAST(min(doc_id * 1000000 + chunk_id) // 1000000 AS BIGINT)
-         |         AS keep_doc_id,
-         |       CAST(min(doc_id * 1000000 + chunk_id) % 1000000 AS BIGINT)
+         |       min(doc_id) AS keep_doc_id,
+         |       CAST(min(CASE WHEN doc_id = kd THEN chunk_id END) AS BIGINT)
          |         AS keep_chunk_id
-         |FROM ch GROUP BY 1 ORDER BY chunk_hash""".stripMargin,
+         |FROM hd GROUP BY 1 ORDER BY chunk_hash""".stripMargin,
     // own CTE: needs lang/source, which dCte prunes away
     "text_dataset_card" ->
       s"""WITH f AS (

@@ -133,6 +133,22 @@ class SamplingSpec extends SparkSpec {
     }, "fold degenerated to a function of the split bucket")
   }
 
+  test("budget plan: a zero-token lang reports 0.0 repeat, full deficit — not NaN") {
+    val s = spark; import s.implicits._
+    // "   " passes the length(text) > 0 admission but tokenizes empty
+    val docs = Seq(
+      (1L, (1 to 40).map(j => s"w$j").mkString(" "), "real"),
+      (2L, "   ", "ghost"))
+    val plan = Sampling.budgetPlan(docs.toDF("doc_id", "text", "lang"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = plan("ghost")
+    assert(g.getLong(1) === 0L, "avail")
+    assert(g.getLong(3) === 0L, "planned")
+    assert(g.getLong(4) === g.getLong(2), "deficit = full target")
+    assert(g.getDouble(5) === 0.0, "repeat_factor must be 0.0, not NaN")
+    assert(!plan.values.exists(r => r.getDouble(5).isNaN))
+  }
+
   test("budget plan on the fixture: per-lang rows, caps respected") {
     val d = spark.read.parquet(s"$dir/documents.parquet")
     val rows = Sampling.budgetPlan(d).collect()

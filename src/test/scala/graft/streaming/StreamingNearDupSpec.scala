@@ -89,4 +89,30 @@ class StreamingNearDupSpec extends SparkSpec {
         "the over-cap arrival must poison its buckets, not expand pairs")
     } finally q.stop()
   }
+
+  test("redelivered doc_id neither self-pairs nor double-counts the cap") {
+    val s = spark; import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val stream = MemoryStream[StreamingNearDup.Doc]
+    // cap = 2: a redelivery that double-counted would poison the bucket
+    // and suppress the legitimate pair with doc 2
+    val q = StreamingNearDup.candidates(stream.toDS(), maxBucketSize = 2)
+      .writeStream.format("memory").queryName("neardup_redelivery")
+      .outputMode("append").start()
+    try {
+      stream.addData(StreamingNearDup.Doc(1L, base))
+      q.processAllAvailable()
+      stream.addData(StreamingNearDup.Doc(1L, base)) // at-least-once replay
+      q.processAllAvailable()
+      assert(spark.table("neardup_redelivery").count() === 0,
+        "a redelivered doc must not pair with itself")
+      stream.addData(StreamingNearDup.Doc(2L, base))
+      q.processAllAvailable()
+      val got = spark.table("neardup_redelivery").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((1L, 2L)),
+        "redelivery must not consume cap headroom (bucket wrongly poisoned)")
+    } finally q.stop()
+  }
 }

@@ -254,6 +254,19 @@ class AnalysisSpec extends SparkSpec {
     assert(statsOf(Seq("b", "a", "b", "c", "a", "b")) === ((3L, 5L)))
   }
 
+  test("kernels tolerate null array elements from ad-hoc SQL") {
+    // both kernels are registered session-wide; ad-hoc SQL can hand
+    // them anything — nulls sort first and compare equal (no NPE)
+    val r = spark.sql(
+      "SELECT graft_run_stats(array('a', CAST(NULL AS STRING), 'a')) AS rs, " +
+        "graft_gram_stats(array('a', CAST(NULL AS STRING), 'a', NULL), 2) AS gs")
+      .collect().head
+    assert(r.getStruct(0).getLong(0) === 2L) // 'a' twice
+    val gs = r.getStruct(1)
+    // windows: (a,null), (null,a), (a,null) → (a,null) twice
+    assert((gs.getLong(0), gs.getLong(1), gs.getLong(2)) === ((3L, 2L, 2L)))
+  }
+
   test("gram-stats kernel: scalar cases and RunStats∘shingle agreement") {
     import graft.functions.GramStats.statsOf
     // "a b a b a": bigrams {a b ×2, b a ×2} ; trigrams {a b a ×2, b a b}
