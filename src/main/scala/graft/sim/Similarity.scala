@@ -60,6 +60,17 @@ object Similarity {
     * isotropic, so the operating point shifts down).
     */
   val SemDedupThreshold = 0.4
+
+  /** [[embDecontaminate]]'s pseudo-eval set (label 0 — the embedding
+    * fixture's analogue of decontamination's `src0`) and its cosine
+    * bar. 0.4 BINDS on the fixtures (sf0.001: 14 of 444 corpus vectors
+    * fall; 0.5 drops nothing, 0.3 drops a third), and it is
+    * [[SemDedupThreshold]] on purpose: "near-duplicate of an eval
+    * vector" should mean the same thing as "near-duplicate of a kept
+    * vector".
+    */
+  val EmbEvalLabel = 0
+  val EmbDecontamThreshold: Double = SemDedupThreshold
   /** Cells larger than this skip SemDeDup pair expansion (cap
     * discipline as [[MaxNearDupBucket]]; audited by `sim_bucket_stats`'s
     * `ivf_cell` row). Does not bind on the fixtures (max cell 144 at
@@ -369,6 +380,38 @@ object Similarity {
     * keeper rule stays id-based so the verdict is join-order-free and
     * oracle-stable.
     */
+  /** Embedding-level decontamination: drop every corpus vector whose
+    * cosine against ANY eval vector reaches [[EmbDecontamThreshold]] —
+    * the semantic leak detector for PARAPHRASED eval contamination that
+    * n-gram decontamination (`dedup_decontaminate`) cannot see, and the
+    * cross-set sibling of [[semDedup]] (within-set near-dup → keep one;
+    * cross-set near-dup → drop the corpus side).
+    *
+    * Scale notes: the eval side is a BENCHMARK — tiny by construction —
+    * so it broadcasts and the membership test is a bounded
+    * nested-loop over broadcast eval vectors (the `sim_cosine_topk`
+    * pattern; the corpus never shuffles). The admitted-spine scan is
+    * column-pruned to (vec_id, label). For an eval set too big to
+    * broadcast, assign both sides to IVF cells and probe (the semDedup
+    * chain) — the threshold semantics are unchanged.
+    */
+  private def embDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val withLabel = emb(s, dir)
+      .select(col("vec_id"), col("label"), vCol(col("embedding")).as("v"))
+      .withColumn("nrm", dot(col("v"), col("v")))
+    val eval = withLabel.filter(col("label") === EmbEvalLabel)
+      .select(col("v").as("ev"), col("nrm").as("en"))
+    val contaminated = withLabel.filter(col("label") =!= EmbEvalLabel)
+      .join(broadcast(eval),
+        cosine(col("v"), col("ev"), col("nrm"), col("en"))
+          >= EmbDecontamThreshold)
+      .select("vec_id").distinct()
+    emb(s, dir).filter(col("label") =!= EmbEvalLabel)
+      .join(contaminated, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")
+  }
+
   private def semDedup(s: SparkSession, dir: String): DataFrame = {
     val c = prepared(s, dir, withBucket = false)
     val cells = probeCells(centroidLiterals(c))
@@ -531,6 +574,7 @@ object Similarity {
       lsh.unionByName(ivf).orderBy("method")
     }),
     "sim_semdedup" -> (semDedup _),
+    "sim_embedding_decontam" -> (embDecontaminate _),
     "sim_cosine_topk" -> (exactTopK _),
     "sim_cosine_ann_lsh" -> (lshTopK _),
     "sim_cosine_ann_ivf" -> (ivfTopK _),
@@ -731,6 +775,28 @@ object Similarity {
          |SELECT i.vec_id, i.cell_id, d.vec_id IS NULL AS kept
          |FROM iassign i LEFT JOIN sdrop d ON i.vec_id = d.vec_id
          |ORDER BY i.vec_id""".stripMargin,
+    // label-carrying CTE variant (eCte prunes label away); same in-order
+    // dot fold, so the cosine-vs-threshold verdicts are bit-shared
+    "sim_embedding_decontam" ->
+      s"""WITH el AS (
+         |  SELECT vec_id, label,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), nl AS (
+         |  SELECT vec_id, label, v, ${dotSql("v", "v")} AS nrm FROM el
+         |), ev AS (
+         |  SELECT v AS evv, nrm AS en FROM nl WHERE label = $EmbEvalLabel
+         |), hits AS (
+         |  SELECT DISTINCT c.vec_id
+         |  FROM nl c JOIN ev
+         |    ON ${dotSql("c.v", "ev.evv")} / (sqrt(c.nrm) * sqrt(ev.en))
+         |       >= CAST($EmbDecontamThreshold AS DOUBLE)
+         |  WHERE c.label <> $EmbEvalLabel
+         |)
+         |SELECT nl.vec_id, nl.label FROM nl
+         |LEFT JOIN hits ON hits.vec_id = nl.vec_id
+         |WHERE nl.label <> $EmbEvalLabel AND hits.vec_id IS NULL
+         |ORDER BY nl.vec_id""".stripMargin,
     "sim_cosine_topk" ->
       s"""$eCte, p AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,

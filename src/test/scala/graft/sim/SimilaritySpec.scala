@@ -233,4 +233,30 @@ class SimilaritySpec extends SparkSpec {
     assert(fx.forall(_.getAs[Double]("cos_recon") > 0.999))
     assert(fx.forall(r => r.getAs[Double]("mse") >= 0.0))
   }
+
+  test("embedding decontam: drops vectors near ANY eval vector; threshold binds") {
+    val s = spark; import s.implicits._
+    // 4-dim toy corpus: eval = e1 axis (label 0); corpus has a parallel
+    // vector (cos 1.0 — dropped), an orthogonal one (cos 0 — kept), and
+    // a diagonal at cos ≈ 0.707 ≥ 0.4 — dropped
+    val dim = graft.sim.Similarity.Dim
+    def vec(xs: Double*): Array[Float] =
+      (xs ++ Seq.fill(dim - xs.length)(0.0)).map(_.toFloat).toArray
+    val d = Seq(
+      (0L, vec(1.0), 0),           // eval
+      (1L, vec(2.0), 3),           // parallel to eval → drop
+      (2L, vec(0.0, 1.0), 3),      // orthogonal → keep
+      (3L, vec(1.0, 1.0), 7)       // cos ≈ 0.707 → drop
+    ).toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-edec")
+    d.write.mode("overwrite").parquet(tmp.resolve("embeddings.parquet").toString)
+    val kept = Similarity.queries("sim_embedding_decontam")(spark, tmp.toString)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(kept.toSeq === Seq((2L, 3)),
+      "only the orthogonal corpus vector survives; eval rows never emit")
+    // fixture: both sides of the bar populated (14/444 drop at sf0.001)
+    val fx = Similarity.queries("sim_embedding_decontam")(
+      spark, "/root/testdata/sf0.001").count()
+    assert(fx > 0 && fx < 444, s"threshold must bind on the fixture ($fx)")
+  }
 }
