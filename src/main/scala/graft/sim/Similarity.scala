@@ -547,6 +547,69 @@ object Similarity {
       .select(col("vec_id"), col("label"), mse.as("mse"), cos.as("cos_recon"))
   }
 
+  /** Referential-integrity + vector-health audit of the embedding
+    * corpus against the document corpus — the pre-flight check before
+    * ANY of the embedding operators above run at scale (a join-based
+    * pipeline silently drops docs whose embeddings are missing, and a
+    * NaN vector poisons every cosine it touches). One row per audited
+    * issue, zeros explicit (the `dedup_bucket_stats` discipline:
+    * "nothing wrong" is an asserted fact, not an absent row):
+    * docs_total / embeddings_total / missing_embedding (docs with no
+    * vector) / orphan_embedding (vectors with no doc) / null_embedding
+    * / wrong_dim (length ≠ [[Dim]]) / nonfinite_values (NaN or ±Inf
+    * anywhere in the vector — detected through the self-dot, which is
+    * NaN/+Inf iff some element is) / zero_norm (all-zero vector:
+    * cosine-undefined, breaks every normalized operator).
+    *
+    * Scale notes: exactly ONE shuffle — the full-outer id join, over
+    * two column-pruned single-column scans (ids only; at corpus scale
+    * both sides are large, so a shuffle join on the id is the right
+    * plan and nothing else would be). The health branch is a
+    * shuffle-free 1-row global aggregate over one embeddings pass
+    * (map-side partials → 1 row/task); each 1-row frame is `stack`-
+    * pivoted to (issue, n) rows and the two branches union — no join
+    * between them.
+    */
+  def embeddingCoverage(docs: DataFrame, e: DataFrame): DataFrame = {
+    val ids = docs.select(col("doc_id"))
+      .join(e.select(col("vec_id")), col("doc_id") === col("vec_id"),
+        "full_outer")
+    def cnt(cond: Column): Column =
+      coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L))
+    val idAgg = ids.agg(
+      count(col("doc_id")).as("docs_total"),
+      count(col("vec_id")).as("embeddings_total"),
+      cnt(col("vec_id").isNull).as("missing_embedding"),
+      cnt(col("doc_id").isNull).as("orphan_embedding"))
+    val nrm = dot(vCol(col("embedding")), vCol(col("embedding")))
+    // zero_norm excludes empty arrays (wrong_dim catches those; the
+    // oracle's list_sum([]) is NULL, so the engines agree).
+    val health = e.select(col("embedding"), nrm.as("nrm")).agg(
+      cnt(col("embedding").isNull).as("null_embedding"),
+      cnt(col("embedding").isNotNull && size(col("embedding")) =!= Dim)
+        .as("wrong_dim"),
+      cnt(isnan(col("nrm")) || col("nrm") === Double.PositiveInfinity)
+        .as("nonfinite_values"),
+      cnt(col("nrm") === 0.0 && size(col("embedding")) > 0)
+        .as("zero_norm"))
+    // Two independent 1-row branches, each pivoted to (issue, n) and
+    // unioned — no join between them (a cross-join of the 1-row frames
+    // would plan as a nested-loop join, which the registry bans).
+    idAgg.selectExpr(
+      """stack(4,
+        |  'docs_total', docs_total,
+        |  'embeddings_total', embeddings_total,
+        |  'missing_embedding', missing_embedding,
+        |  'orphan_embedding', orphan_embedding) AS (issue, n)""".stripMargin)
+      .unionByName(health.selectExpr(
+        """stack(4,
+          |  'null_embedding', null_embedding,
+          |  'wrong_dim', wrong_dim,
+          |  'nonfinite_values', nonfinite_values,
+          |  'zero_norm', zero_norm) AS (issue, n)""".stripMargin))
+      .orderBy("issue")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Cap observability for [[MaxNearDupBucket]] and [[MaxSemCell]]
     // (caps must never truncate silently — same audit contract as
@@ -632,7 +695,10 @@ object Similarity {
     "sim_centroid_outliers" -> ((s, dir) =>
       centroidOutliers(emb(s, dir)).orderBy("label", "rank")),
     "sim_quantize_audit" -> ((s, dir) =>
-      quantizeAudit(emb(s, dir)).orderBy("vec_id"))
+      quantizeAudit(emb(s, dir)).orderBy("vec_id")),
+    "sim_embedding_coverage" -> ((s, dir) =>
+      embeddingCoverage(
+        s.read.parquet(s"$dir/documents.parquet"), emb(s, dir)))
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -940,6 +1006,42 @@ object Similarity {
          |         / CAST($Dim.0 AS DOUBLE) AS mse,
          |       ${dotSql("v", "deq")}
          |         / (sqrt(${dotSql("v", "v")}) * sqrt(${dotSql("deq", "deq")})) AS cos_recon
-         |FROM d ORDER BY vec_id""".stripMargin
+         |FROM d ORDER BY vec_id""".stripMargin,
+    // Same audit conditions per category; the self-dot uses the ACTUAL
+    // array length on both engines (list_sum here, graft_dot there), so
+    // wrong-dim-but-finite vectors land in wrong_dim only. All counts
+    // cast to BIGINT (DuckDB sums ints into HUGEINT).
+    "sim_embedding_coverage" ->
+      s"""WITH ij AS (
+         |  SELECT d.doc_id, e.vec_id
+         |  FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id
+         |), ida AS (
+         |  SELECT count(doc_id) AS docs_total,
+         |         count(vec_id) AS embeddings_total,
+         |         CAST(coalesce(sum(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS missing_embedding,
+         |         CAST(coalesce(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS orphan_embedding
+         |  FROM ij
+         |), en AS (
+         |  SELECT embedding,
+         |         list_sum(list_transform(embedding,
+         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+         |  FROM embeddings
+         |), h AS (
+         |  SELECT CAST(coalesce(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS null_embedding,
+         |         CAST(coalesce(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) <> $Dim THEN 1 ELSE 0 END), 0) AS BIGINT) AS wrong_dim,
+         |         CAST(coalesce(sum(CASE WHEN isnan(nrm) OR nrm = CAST('inf' AS DOUBLE) THEN 1 ELSE 0 END), 0) AS BIGINT) AS nonfinite_values,
+         |         CAST(coalesce(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS zero_norm
+         |  FROM en
+         |)
+         |SELECT issue, n FROM (
+         |  SELECT 'docs_total' AS issue, docs_total AS n FROM ida
+         |  UNION ALL SELECT 'embeddings_total', embeddings_total FROM ida
+         |  UNION ALL SELECT 'missing_embedding', missing_embedding FROM ida
+         |  UNION ALL SELECT 'orphan_embedding', orphan_embedding FROM ida
+         |  UNION ALL SELECT 'null_embedding', null_embedding FROM h
+         |  UNION ALL SELECT 'wrong_dim', wrong_dim FROM h
+         |  UNION ALL SELECT 'nonfinite_values', nonfinite_values FROM h
+         |  UNION ALL SELECT 'zero_norm', zero_norm FROM h
+         |) ORDER BY issue""".stripMargin
   )
 }

@@ -259,4 +259,36 @@ class SimilaritySpec extends SparkSpec {
       spark, "/root/testdata/sf0.001").count()
     assert(fx > 0 && fx < 444, s"threshold must bind on the fixture ($fx)")
   }
+
+  test("embedding coverage: every injected defect lands in exactly its row") {
+    val s = spark; import s.implicits._
+    val dim = Similarity.Dim
+    def vec(x: Double): Array[Float] = Array.fill(dim)(x.toFloat)
+    val docs = Seq(0L, 1L, 2L, 3L, 4L, 5L, 10L).toDF("doc_id")
+    val e = Seq(
+      (0L, vec(1.0), 0),                          // healthy
+      (1L, vec(0.5), 1),                          // healthy
+      (2L, null.asInstanceOf[Array[Float]], 2),   // null_embedding
+      (3L, Array(1.0f, 2.0f), 3),                 // wrong_dim (finite)
+      (4L, { val v = vec(1.0); v(7) = Float.NaN; v }, 4), // nonfinite
+      (5L, vec(0.0), 5),                          // zero_norm
+      (99L, vec(2.0), 6)                          // orphan_embedding
+    ).toDF("vec_id", "embedding", "label")
+    // doc 10 has no vector → missing_embedding
+    val got = Similarity.embeddingCoverage(docs, e).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      "docs_total" -> 7L, "embeddings_total" -> 7L,
+      "missing_embedding" -> 1L, "orphan_embedding" -> 1L,
+      "null_embedding" -> 1L, "wrong_dim" -> 1L,
+      "nonfinite_values" -> 1L, "zero_norm" -> 1L))
+    // fixture: ids align 1:1 and every vector is healthy — all-zero
+    // defect rows are still EMITTED (asserted zeros, not absent rows)
+    val fx = Similarity.queries("sim_embedding_coverage")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fx("docs_total") === 500L && fx("embeddings_total") === 500L)
+    assert(Seq("missing_embedding", "orphan_embedding", "null_embedding",
+      "wrong_dim", "nonfinite_values", "zero_norm").forall(fx(_) === 0L))
+  }
 }
