@@ -163,6 +163,33 @@ object Relational {
         .select("o_custkey", "o_orderkey", "order_seq",
           "running_spend", "trailing3_spend")
         .orderBy("o_custkey", "order_seq")
+    }),
+    // TPC-H Q17-shaped CORRELATED subquery — "lineitems ordering less
+    // than 20% of that part's average quantity" — decorrelated into a
+    // partition window instead of the naive per-part-average self-join:
+    // sum/count over (PARTITION BY l_partkey) gives every row its
+    // part's aggregate in the SAME single pass, so lineitem is scanned
+    // once and shuffled once (the self-join form scans it twice and
+    // shuffles both copies — 2× the I/O and exchange volume at 100 TB;
+    // RelationalSpec pins the one-scan shape). The 20%-of-average
+    // predicate is evaluated entirely in exact integer-valued DECIMAL
+    // (qty < 0.2·sum/cnt ⟺ 5·qty·cnt < sum — no division, no doubles,
+    // so the filter is bit-portable by construction). The part join is
+    // unhinted: AQE broadcasts it at fixture scale; at full scale a
+    // shuffle join on the already-partitioned key is the right plan.
+    "rel_small_qty_revenue" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_partkey"))
+      val qd = col("l_quantity").cast("decimal(12,4)")
+      val li = t(s, dir, "lineitem")
+        .withColumn("qty_sum", sum(qd).over(w))
+        .withColumn("qty_cnt", count(lit(1)).over(w))
+        .filter(qd * lit(5) * col("qty_cnt") < col("qty_sum"))
+      li.join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          (dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+          count(lit(1)).as("n_small"))
+        .orderBy("p_brand")
     })
   )
 
@@ -258,6 +285,25 @@ object Relational {
         |    (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS trailing3_spend
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        |ORDER BY o_custkey, order_seq""".stripMargin
+        |ORDER BY o_custkey, order_seq""".stripMargin,
+    // Same decorrelated-window shape; the 5·qty·cnt < sum predicate is
+    // exact DECIMAL on both engines (quantities are integer-valued), so
+    // no float enters until the final revenue sum's VARCHAR-hop cast.
+    "rel_small_qty_revenue" ->
+      """WITH q AS (
+        |  SELECT l_partkey, l_extendedprice,
+        |         CAST(l_quantity AS DECIMAL(12,4)) AS qd,
+        |         sum(CAST(l_quantity AS DECIMAL(12,4)))
+        |           OVER (PARTITION BY l_partkey) AS qty_sum,
+        |         count(*) OVER (PARTITION BY l_partkey) AS qty_cnt
+        |  FROM lineitem
+        |)
+        |SELECT p_brand,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  count(*) AS n_small
+        |FROM q JOIN part ON l_partkey = p_partkey
+        |WHERE qd * 5 * qty_cnt < qty_sum
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin
   )
 }

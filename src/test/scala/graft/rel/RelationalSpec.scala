@@ -81,4 +81,37 @@ class RelationalSpec extends SparkSpec {
     assert(ordersScans === 1,
       s"orders must be scanned once, saw $ordersScans:\n${p.take(2000)}")
   }
+
+  test("rel_small_qty_revenue: decorrelation scans lineitem once, shuffles it once") {
+    val p = plan("rel_small_qty_revenue")
+    val liScans = p.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("lineitem.parquet"))
+    assert(liScans === 1,
+      s"the window decorrelation must not self-join (one lineitem scan), saw $liScans:\n${p.take(2500)}")
+    val liShuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(l_partkey"))
+    assert(liShuffles === 1,
+      s"one l_partkey exchange feeds both window aggregates, saw $liShuffles:\n${p.take(2500)}")
+  }
+
+  test("rel_small_qty_revenue matches the naive per-part-average self-join") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val part = spark.read.parquet(s"$dir/part.parquet")
+    // reference: the textbook decorrelation (aggregate + join back);
+    // exact long arithmetic (quantities are integer-valued), so the
+    // boundary qty = 0.2·avg can't flake on double rounding
+    val avgs = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("l_quantity").cast("long")).as("qsum"),
+        count(lit(1)).as("qcnt"))
+    val ref = li.join(avgs, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity").cast("long") * lit(5L) * col("qcnt") < col("qsum"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand").agg(count(lit(1)).as("n_small"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Relational.queries("rel_small_qty_revenue")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got === ref, "window form must keep exactly the naive form's rows")
+    assert(got.values.sum > 0, "predicate must bind on the fixture")
+  }
 }
