@@ -54,7 +54,9 @@ object PlanDump {
     "text_unigram_logprob" ->
       "Linear chain, ONE corpus tokenization: the token stream collapses map-side into (doc, term) tf rows; corpus counts attach via a sum window over term (same single-materialization argument as tfidf's df window); the grand total broadcasts (1-row cross). The portable log2 is the native codegen'd graft_log2 expression (the Column-HOF fold form defeated whole-stage codegen and cost ~120 µs/row interpreted — 14 s of the sf0.1 stage; bit parity with the oracle's list_reduce fold is spec-pinned), evaluated per tf row — never per token instance — and the per-doc sum folds tf·log2p in term order off the collected per-doc struct list.",
     "text_filter_funnel" ->
-      "One corpus scan computes the shared quality features map-side; the first-failing-stage CASE collapses into a 4-group aggregate; the dense stage grid left-joins it (broadcast, 4 rows) and the share window runs over the grid, never the corpus.")
+      "One corpus scan computes the shared quality features map-side; the first-failing-stage CASE collapses into a 4-group aggregate; the dense stage grid left-joins it (broadcast, 4 rows) and the share window runs over the grid, never the corpus.",
+    "rel_small_qty_revenue" ->
+      "Correlated subquery (qty < 0.2x the part's avg) decorrelated into sum/count windows over ONE l_partkey exchange - lineitem is scanned once where the textbook aggregate+join-back scans and shuffles it twice (RelationalSpec pins the one-scan shape); the predicate stays in exact integer-valued DECIMAL (5*qty*cnt < sum), and the part join is unhinted so AQE broadcasts at fixture scale / shuffles on the already-partitioned key at full scale.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -620,6 +620,14 @@ object Dedup {
       .join(broadcast(evalKeys), Seq("shk"), "left_semi")
   }
 
+  /** Distinct oracle-mode (md5) eval-set shingle keys — the side input
+    * [[graft.streaming.StreamingDecontam]] collects to flag arriving
+    * docs without a join (the scalar path is md5-only, same precedent
+    * as StreamingNearDup's signature chain).
+    */
+  private[graft] def decontamEvalKeys(evalDocs: DataFrame): DataFrame =
+    decontamKeys(evalDocs, production = false).select("shk").distinct()
+
   /** Benchmark decontamination: drop every corpus doc sharing at least
     * one [[DecontamShingle]]-gram (60-bit hashed, both engines) with the
     * evaluation set — the standard guard against test-set leakage into

@@ -175,7 +175,7 @@ object StreamingSessionize {
         (uid: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
           if (state.hasTimedOut) {
             // watermark passed start-of-gap: the open session is final
-            val out = state.getOption.map(close(uid, _)).toIterator
+            val out = state.getOption.map(close(uid, _)).iterator
             state.remove()
             out
           } else {
@@ -363,5 +363,77 @@ object StreamingNearDup {
             (inBatch ++ cross).iterator
           }
       }
+  }
+}
+
+/** Streaming benchmark decontamination — the on-arrival twin of
+  * [[graft.dedup.Dedup.decontaminate]] / `decontaminationReport`: every
+  * arriving doc is flagged with whether (and how many of) its hashed
+  * [[graft.dedup.Dedup.DecontamShingle]]-gram keys appear in the static
+  * evaluation set, so test-set leakage is caught at INGEST time instead
+  * of in the nightly batch pass.
+  *
+  * Shape: completely STATELESS — a typed map over the stream. The eval
+  * side is a benchmark (tiny by construction), so its distinct keys are
+  * collected ONCE on the driver by the batch chain
+  * ([[graft.dedup.Dedup.decontamEvalKeys]]) and ride into the executors
+  * as a closure-captured Set — the stopword-class side input, the same
+  * bounded-side-input discipline as StreamingAnomaly's stats frame. No
+  * state store, no watermark, no shuffle; per-record cost is the n-gram
+  * scan of the doc. If an eval set ever outgrows driver memory, the
+  * batch broadcast semi-join surface is the fallback — this scalar path
+  * deliberately trades that generality for zero-latency verdicts.
+  *
+  * Parity: [[keysOf]] is the scalar mirror of the batch column chain
+  * (lower → \s+ split → non-empty → DecontamShingle-gram → md5-prefix
+  * 60-bit key); a one-batch replay's verdicts equal the batch
+  * `decontaminate` (kept set) and `decontaminationReport`
+  * (n_shared_keys per contaminated doc) exactly — StreamingDecontamSpec
+  * pins both plus the scalar/column key equality. Oracle-mode (md5)
+  * hashing only, the StreamingNearDup precedent: the production
+  * xxhash64 flag governs batch candidate generation, while a real
+  * streaming deployment would switch this scalar path wholesale.
+  */
+object StreamingDecontam {
+
+  case class Doc(doc_id: Long, text: String)
+  case class Verdict(doc_id: Long, contaminated: Boolean,
+      n_shared_keys: Long)
+
+  import graft.dedup.Dedup.DecontamShingle
+
+  /** Distinct 60-bit decontamination keys of one document — scalar
+    * mirror of the batch `decontamKeys` chain. Docs too short to
+    * shingle (or with null text) have no keys, matching the batch
+    * chain's empty explode.
+    */
+  def keysOf(text: String): Set[Long] = {
+    if (text == null) return Set.empty
+    val toks = text.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty)
+    if (toks.length < DecontamShingle) return Set.empty
+    toks.sliding(DecontamShingle).map { w =>
+      graft.functions.Md5Prefix64.hash64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          w.mkString(" "))) >>> 4
+    }.toSet
+  }
+
+  /** The static eval-set key side input: batch-chain distinct keys,
+    * collected. Benchmark-sized by construction (document the bound
+    * when deploying: |keys| ≈ eval tokens).
+    */
+  def evalKeySet(evalDocs: org.apache.spark.sql.DataFrame): Set[Long] =
+    graft.dedup.Dedup.decontamEvalKeys(evalDocs)
+      .collect().map(_.getLong(0)).toSet
+
+  /** Per-arrival contamination verdicts — stateless, append-mode. */
+  def verdicts(docs: Dataset[Doc], evalKeys: Set[Long]): Dataset[Verdict] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.map { d =>
+      val shared = keysOf(d.text).count(evalKeys.contains)
+      Verdict(d.doc_id, shared > 0, shared.toLong)
+    }
   }
 }
