@@ -106,6 +106,14 @@ object GraftFunctions {
   /** Column-API form of [[GramStats]]. */
   def graftGramStats(toks: Column, n: Column): Column =
     call_function("graft_gram_stats", toks, n)
+
+  /** Column-API form of [[Winnow]]. */
+  def graftWinnow(shingles: Column, k: Column): Column =
+    call_function("graft_winnow", shingles, k)
+
+  /** Column-API form of [[WinnowGrams]]. */
+  def graftWinnowGrams(toks: Column, n: Column, k: Column): Column =
+    call_function("graft_winnow_grams", toks, n, k)
 }
 
 /** Function injection: add `.withExtensions(new GraftExtensions)` to the
@@ -137,5 +145,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("graft_gram_stats"),
         new ExpressionInfo(classOf[GramStats].getName, "graft_gram_stats"),
         (children: Seq[Expression]) => GramStats(children(0), children(1))))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_winnow"),
+        new ExpressionInfo(classOf[Winnow].getName, "graft_winnow"),
+        (children: Seq[Expression]) => Winnow(children(0), children(1))))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_winnow_grams"),
+        new ExpressionInfo(classOf[WinnowGrams].getName, "graft_winnow_grams"),
+        (children: Seq[Expression]) =>
+          WinnowGrams(children(0), children(1), children(2))))
   }
 }

@@ -186,16 +186,28 @@ object Analysis {
     *    order-insensitive exact-dedup key;
     *  - `winnow_fp`: concat of the `WinnowK` smallest shingle md5s — a
     *    locality-sensitive sketch (shared shingles → shared minima),
-    *    computed entirely map-side from the shingle array.
+    *    computed entirely map-side straight off the TOKEN array by the
+    *    native [[graft.functions.WinnowGrams]] kernel: window bytes
+    *    stream into the digest (no gram string, no shingle array, no
+    *    HOF transform), a bounded k-array keeps the minima, and only
+    *    the winners hex-encode. The HOF form md5'd and hex-materialized
+    *    EVERY shingle then fully sorted the strings; [[winnowFpHof]]
+    *    keeps it for AnalysisSpec's equality pin.
     */
   def fingerprints(d: DataFrame): DataFrame =
     d.select(col("doc_id"), toksCol.as("toks"))
-      .select(col("doc_id"), col("toks"), shingleOf(col("toks")).as("shingles"))
       .select(
         col("doc_id"),
         md5(concat_ws(" ", array_sort(array_distinct(col("toks"))))).as("bow_fp"),
-        concat_ws("", slice(array_sort(transform(col("shingles"), s => md5(s))),
-          1, WinnowK)).as("winnow_fp"))
+        graft.functions.GraftFunctions.graftWinnowGrams(col("toks"),
+          lit(FpShingleSize), lit(WinnowK)).as("winnow_fp"))
+
+  /** Reference HOF formulation of the winnow sketch (the oracle SQL's
+    * literal shape) — spec-pinned equal to the kernel.
+    */
+  def winnowFpHof(shingles: Column): Column =
+    concat_ws("", slice(array_sort(transform(shingles, s => md5(s))),
+      1, WinnowK))
 
   // ---- n-gram language-model counts --------------------------------------
 
