@@ -190,8 +190,46 @@ object Relational {
           (dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
           count(lit(1)).as("n_small"))
         .orderBy("p_brand")
-    })
+    }),
+    // Join-key skew profile of the fact table — the pre-flight audit
+    // that decides whether a planned 100 TB join needs salting
+    // (graft.ops.Salted) or AQE skew-join before you commit to it.
+    "rel_key_skew" -> ((s, dir) =>
+      keySkew(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey")))
   )
+
+  /** Per-key frequency skew statistics for each candidate join key:
+    * total rows, distinct keys, max/p99/mean per-key frequency, and the
+    * heaviest key's share of all rows. max ≫ p99 (or top1_share ≫
+    * 1/n_keys) is the signature of a key that will straggle a shuffle
+    * join — mitigate with [[graft.ops.Salted]] or AQE's skew-join
+    * splitting. Zeros/odd shapes are visible, never silent: every
+    * audited column emits exactly one row.
+    *
+    * Scale notes: each branch is exactly the exchange the real join
+    * would perform — but carrying ONLY (key, count) after map-side
+    * partial aggregation, so the audit costs a fraction of the join it
+    * de-risks; the per-key table then collapses to one stats row
+    * (percentile is an exact single-column aggregate over n_keys rows,
+    * not corpus rows). Branches are independent and run in parallel;
+    * each scan prunes to its single key column.
+    */
+  def keySkew(d: DataFrame, keys: Seq[String]): DataFrame =
+    keys.map { kc =>
+      d.groupBy(col(kc).as("k")).agg(count(lit(1)).as("n"))
+        .agg(
+          sum(col("n")).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max(col("n")).as("max_freq"),
+          percentile(col("n"), lit(0.99)).as("p99_freq"))
+        .select(lit(kc).as("key_col"), col("n_rows"), col("n_keys"),
+          col("max_freq"), col("p99_freq"),
+          (col("n_rows").cast("double") / col("n_keys").cast("double"))
+            .as("avg_freq"),
+          (col("max_freq").cast("double") / col("n_rows").cast("double"))
+            .as("top1_share"))
+    }.reduce(_ unionByName _).orderBy("key_col")
 
   def oracleSql: Map[String, String] = Map(
     "rel_pricing_summary" ->
@@ -304,6 +342,28 @@ object Relational {
         |FROM q JOIN part ON l_partkey = p_partkey
         |WHERE qd * 5 * qty_cnt < qty_sum
         |GROUP BY p_brand
-        |ORDER BY p_brand""".stripMargin
+        |ORDER BY p_brand""".stripMargin,
+    // quantile_cont ≡ Spark percentile (interpolating, proven by
+    // text_length_quantiles); counts cast to BIGINT (DuckDB sums into
+    // HUGEINT); the two shares are single double divisions over exact
+    // integer aggregates in both engines.
+    "rel_key_skew" -> {
+      def branch(kc: String) =
+        s"""SELECT '$kc' AS key_col,
+           |       CAST(sum(n) AS BIGINT) AS n_rows,
+           |       count(*) AS n_keys,
+           |       max(n) AS max_freq,
+           |       quantile_cont(n, CAST(0.99 AS DOUBLE)) AS p99_freq,
+           |       CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_freq,
+           |       CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS top1_share
+           |FROM (SELECT $kc AS k, count(*) AS n FROM lineitem GROUP BY 1)""".stripMargin
+      s"""SELECT * FROM (
+         |${branch("l_orderkey")}
+         |UNION ALL
+         |${branch("l_partkey")}
+         |UNION ALL
+         |${branch("l_suppkey")}
+         |) ORDER BY key_col""".stripMargin
+    }
   )
 }

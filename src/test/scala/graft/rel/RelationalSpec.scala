@@ -114,4 +114,30 @@ class RelationalSpec extends SparkSpec {
     assert(got === ref, "window form must keep exactly the naive form's rows")
     assert(got.values.sum > 0, "predicate must bind on the fixture")
   }
+
+  test("key skew: hand-built frequencies produce exact stats") {
+    val s = spark; import s.implicits._
+    // key 1 ×4, key 2 ×1, key 3 ×1 → 6 rows, 3 keys, max 4, mean 2.0
+    val d = Seq(1L, 1L, 1L, 1L, 2L, 3L).toDF("k1")
+      .withColumn("k2", org.apache.spark.sql.functions.monotonically_increasing_id())
+    val rows = Relational.keySkew(d, Seq("k1", "k2")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val k1 = rows("k1")
+    assert(k1.getLong(1) === 6L && k1.getLong(2) === 3L &&
+      k1.getLong(3) === 4L)
+    assert(k1.getDouble(5) === 2.0 && k1.getDouble(6) === 4.0 / 6.0)
+    val k2 = rows("k2") // unique key: every frequency is 1
+    assert(k2.getLong(1) === 6L && k2.getLong(2) === 6L &&
+      k2.getLong(3) === 1L && k2.getDouble(4) === 1.0 &&
+      k2.getDouble(6) === 1.0 / 6.0)
+    // fixture sanity: one row per audited column, orderkey is the
+    // densest key (multiple lines per order), shares well-formed
+    val fx = Relational.queries("rel_key_skew")(spark, dir).collect()
+    assert(fx.map(_.getString(0)).toSeq ===
+      Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    fx.foreach { r =>
+      assert(r.getLong(3) >= 1L && r.getDouble(4) <= r.getLong(3).toDouble &&
+        r.getDouble(6) > 0.0 && r.getDouble(6) <= 1.0, r.toString)
+    }
+  }
 }
