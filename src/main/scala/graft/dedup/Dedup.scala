@@ -93,7 +93,7 @@ object Dedup {
   /** (doc_id, toks): the bound token-array projection — the ONE
     * corpus-scanning step every dedup method shares.
     */
-  private def toksOf(d: DataFrame): DataFrame =
+  private[dedup] def toksOf(d: DataFrame): DataFrame =
     d.select(col("doc_id"), toksCol.as("toks"))
 
   /** (doc_id, s): per-document DISTINCT shingles (set semantics). */
@@ -265,16 +265,34 @@ object Dedup {
   private def simhashSignaturesWithChunks(d: DataFrame): DataFrame =
     simhashChunksFromToks(toksOf(d))
 
-  private def simhashChunksFromToks(toks: DataFrame): DataFrame = {
-    // Per-OCCURRENCE bit contributions, ONE shuffle: sum(±1) over raw
-    // token occurrences ≡ sum(±1 · cnt) over per-(doc, term) counts
-    // (integer sums are order-independent), so the (doc_id, t) count
-    // exchange the textbook formulation starts with is pure overhead —
-    // the per-doc partial sums collapse map-side before the single
-    // doc_id exchange either way. Cost shift: md5 runs once per token
-    // occurrence instead of once per distinct (doc, term) (~1.3× more
-    // hashes for one fewer full shuffle — the same trade the minhash
-    // path makes, measured a win both times).
+  private[dedup] def simhashChunksFromToks(toks: DataFrame): DataFrame = {
+    // The whole signature stage is ONE narrow map: the native
+    // graft_simhash kernel folds the ±1 bit votes per doc straight off
+    // the token array — no per-occurrence explode, no 64-column
+    // aggregate, and NO doc_id exchange (the column chain's one corpus
+    // shuffle, kept as [[simhashChunksHof]] and spec-pinned equal in
+    // both hash modes). The empty-token filter mirrors the chain's
+    // explode dropping zero-token docs.
+    val production = graft.functions.PortableHash.enabled(toks)
+    toks.filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.graftSimhash(col("toks"),
+          lit(production)).as("sh"))
+      .select(col("doc_id"), col("sh.simhash").as("simhash"),
+        col("sh.ci0").as("ci0"), col("sh.ci1").as("ci1"),
+        col("sh.ci2").as("ci2"), col("sh.ci3").as("ci3"))
+  }
+
+  /** Column-chain reference form of [[simhashChunksFromToks]] —
+    * per-OCCURRENCE bit contributions, one doc_id shuffle: sum(±1)
+    * over raw token occurrences ≡ sum(±1 · cnt) over per-(doc, term)
+    * counts (integer sums are order-independent), so the (doc_id, t)
+    * count exchange the textbook formulation starts with is pure
+    * overhead — the per-doc partial sums collapse map-side before the
+    * single doc_id exchange either way. Kept for DedupSpec's
+    * kernel-equality pin (both hash modes).
+    */
+  private[dedup] def simhashChunksHof(toks: DataFrame): DataFrame = {
     val occ = toks.select(col("doc_id"), explode(col("toks")).as("t"))
     // 64 hash bits per term, extracted by the same shift/mask in both
     // modes — only the hash long differs. Oracle mode: the first 16 hex

@@ -114,6 +114,10 @@ object GraftFunctions {
   /** Column-API form of [[WinnowGrams]]. */
   def graftWinnowGrams(toks: Column, n: Column, k: Column): Column =
     call_function("graft_winnow_grams", toks, n, k)
+
+  /** Column-API form of [[Simhash]]. */
+  def graftSimhash(toks: Column, production: Column): Column =
+    call_function("graft_simhash", toks, production)
 }
 
 /** Function injection: add `.withExtensions(new GraftExtensions)` to the
@@ -154,5 +158,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[WinnowGrams].getName, "graft_winnow_grams"),
         (children: Seq[Expression]) =>
           WinnowGrams(children(0), children(1), children(2))))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_simhash"),
+        new ExpressionInfo(classOf[Simhash].getName, "graft_simhash"),
+        (children: Seq[Expression]) => Simhash(children(0), children(1))))
   }
 }

@@ -109,6 +109,29 @@ class DedupSpec extends SparkSpec {
     assert(pairs((0L, 1L)) === 0L)
   }
 
+  test("simhash kernel equals the explode+aggregate chain in both hash modes") {
+    import org.apache.spark.sql.functions.{col, size}
+    val toks = Dedup.toksOf(corpus)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(rows(Dedup.simhashChunksFromToks(toks)) ===
+      rows(Dedup.simhashChunksHof(toks)), "oracle-mode kernel diverged")
+    spark.conf.set(graft.functions.PortableHash.ConfKey, "true")
+    try assert(rows(Dedup.simhashChunksFromToks(toks)) ===
+      rows(Dedup.simhashChunksHof(toks)), "production-mode kernel diverged")
+    finally spark.conf.set(graft.functions.PortableHash.ConfKey, "false")
+    // fixture-wide oracle-mode equality, incl. the empty-toks drop rule
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("text").isNotNull &&
+        org.apache.spark.sql.functions.length(col("text")) > 0)
+    val ft = Dedup.toksOf(d)
+    assert(rows(Dedup.simhashChunksFromToks(ft)) ===
+      rows(Dedup.simhashChunksHof(ft)), "fixture kernel/chain divergence")
+    assert(Dedup.simhashChunksFromToks(ft).count() ===
+      ft.filter(size(col("toks")) > 0).count(),
+      "kernel path must drop zero-token docs exactly like the explode")
+  }
+
   test("ngram jaccard: identical docs score 1.0; near-dup scores |∩|/|∪|") {
     val jac = Dedup.ngramJaccard(corpus, threshold = 0.0)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
