@@ -119,13 +119,12 @@ object Dedup {
     * rather than wrapping, so this bound is correctness, not style).
     */
   val MinHashP = 2147483647L
-  lazy val minHashCoeffs: IndexedSeq[(Long, Long)] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def h(s: String): Long =
-      md.digest(s.getBytes("UTF-8")).take(4)
-        .foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
-    (0 until NumHashes).map(i => (h(s"a$i") % (MinHashP - 1) + 1, h(s"b$i") % MinHashP))
-  }
+  /** Canonical coefficient family — ONE derivation, shared with the
+    * [[graft.functions.MinHashSig]] kernel and the streaming scalar
+    * twin (the kernel object owns it).
+    */
+  lazy val minHashCoeffs: IndexedSeq[(Long, Long)] =
+    graft.functions.MinHashSig.coeffs(NumHashes)
 
   /** (doc_id, h0..h{k-1}): MinHash signature, one groupBy. */
   def minhashSignatures(sh: DataFrame): DataFrame =
@@ -144,6 +143,25 @@ object Dedup {
     withBase.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Kernel-path signatures: (doc_id, h0..h{k-1}) straight off the
+    * token array via the native [[graft.functions.MinHashSig]]
+    * expression — ONE narrow map, no shingle explode, no doc_id
+    * exchange (the column chain [[minhashSignatures]] keeps that shape
+    * and DedupSpec pins the two bit-equal in both hash modes). Docs
+    * too short to shingle return NULL from the kernel and are filtered
+    * here, mirroring the chain's empty explode.
+    */
+  private[dedup] def minhashSignaturesKernel(toks: DataFrame): DataFrame = {
+    val production = graft.functions.PortableHash.enabled(toks)
+    val sig = toks.select(col("doc_id"),
+        graft.functions.GraftFunctions.graftMinhash(col("toks"),
+          lit(ShingleSize), lit(NumHashes), lit(production)).as("sig"))
+      .filter(col("sig").isNotNull)
+    sig.select(col("doc_id") +:
+      (0 until NumHashes).map(i =>
+        element_at(col("sig"), i + 1).as(s"h$i")): _*)
+  }
+
   /** (doc_id, band, sig): banded LSH buckets from the signature. */
   def lshBuckets(mh: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { b =>
@@ -160,14 +178,10 @@ object Dedup {
     */
   def minhashCandidates(d: DataFrame,
       maxBucketSize: Int = MaxBucketSize): DataFrame = {
-    // raw (non-distinct) shingles: min is duplicate-insensitive, so the
-    // signatures are identical and the (doc_id, s)-distinct exchange is
-    // skipped — map-side partial mins collapse repeats before the
-    // one tiny per-doc shuffle
-    val toks = toksOf(d)
-    val buckets = lshBuckets(minhashFromBase(rawShingles(toks)
-      .select(col("doc_id"), graft.functions.PortableHash.base28(col("s"),
-        graft.functions.PortableHash.enabled(d)).as("hbase"))))
+    // kernel-path signatures: the whole signature stage is one narrow
+    // map (no shingle explode, no doc_id exchange) — the first shuffle
+    // anywhere in this query is now the (band, sig) bucket aggregate
+    val buckets = lshBuckets(minhashSignaturesKernel(toksOf(d)))
     bucketPairs(buckets, maxBucketSize)
   }
 
@@ -558,27 +572,25 @@ object Dedup {
           coalesce(sum(col("sz")), lit(0L)).as("dropped_postings"))
         .select(lit(method).as("method"),
           col("dropped_buckets"), col("dropped_postings"))
-    // NO persist, NO distinct: every branch consumes the raw shingle
-    // multiset through a duplicate-insensitive aggregate, so the
-    // (doc_id, s)-distinct exchange and the materialized shingle table
-    // (r5 persisted toks+sh: 15.9 s; r6 persisted sh only: 9.9 s) are
-    // both gone — the audit is three independent one-shuffle
-    // aggregation branches collected in ONE job, running in parallel:
-    //  - minhash: min over a multiset ≡ min over its distinct support,
-    //    so signatures come straight off the raw explode (map-side
-    //    partial mins collapse duplicates before the tiny per-doc
-    //    shuffle);
-    //  - jaccard: count(DISTINCT doc_id) per hashed key ≡ the
-    //    inverted-index posting-set sizes [[ngramJaccard]] caps on,
-    //    fusing dedup + count into one fixed-width aggregation;
-    //  - simhash: token-level chain, unchanged.
+    // NO persist, NO distinct: the audit is three independent
+    // one-shuffle aggregation branches collected in ONE job, running
+    // in parallel (r5 persisted toks+sh: 15.9 s; r6 persisted sh only:
+    // 9.9 s — both gone):
+    //  - minhash: per-doc KERNEL signatures (graft_minhash narrow map,
+    //    no shingle explode at all) feed the (band, sig) size count;
+    //  - jaccard: count(DISTINCT doc_id) per hashed key off the raw
+    //    shingle multiset ≡ the inverted-index posting-set sizes
+    //    [[ngramJaccard]] caps on, fusing dedup + count into one
+    //    fixed-width aggregation (min/count-distinct are duplicate-
+    //    insensitive, so no (doc_id, s)-distinct exchange);
+    //  - simhash: per-doc kernel chain, zero-shuffle until the chunk
+    //    size count.
     // 100 TB posture: three column-pruned corpus scans, fully
     // pipelined, zero cached state — re-tokenizing per branch beats
     // materializing a corpus-sized table that would spill to disk.
     val production = graft.functions.PortableHash.enabled(d)
     val raw = rawShingles(toksOf(d))
-    val mhSizes = lshBuckets(minhashFromBase(raw.select(col("doc_id"),
-        graft.functions.PortableHash.base28(col("s"), production).as("hbase"))))
+    val mhSizes = lshBuckets(minhashSignaturesKernel(toksOf(d)))
       .groupBy("band", "sig").agg(count(lit(1)).as("sz"))
     val chunkStructs = (0 until 4).map(c =>
       struct(lit(c).as("chunk_id"), col(s"ci$c").as("chunk")))

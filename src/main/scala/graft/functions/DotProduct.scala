@@ -118,6 +118,11 @@ object GraftFunctions {
   /** Column-API form of [[Simhash]]. */
   def graftSimhash(toks: Column, production: Column): Column =
     call_function("graft_simhash", toks, production)
+
+  /** Column-API form of [[MinHashSig]]. */
+  def graftMinhash(toks: Column, n: Column, k: Column,
+      production: Column): Column =
+    call_function("graft_minhash", toks, n, k, production)
 }
 
 /** Function injection: add `.withExtensions(new GraftExtensions)` to the
@@ -162,5 +167,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("graft_simhash"),
         new ExpressionInfo(classOf[Simhash].getName, "graft_simhash"),
         (children: Seq[Expression]) => Simhash(children(0), children(1))))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_minhash"),
+        new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+        (children: Seq[Expression]) =>
+          MinHashSig(children(0), children(1), children(2), children(3))))
   }
 }

@@ -132,6 +132,27 @@ class DedupSpec extends SparkSpec {
       "kernel path must drop zero-token docs exactly like the explode")
   }
 
+  test("minhash kernel equals the explode+aggregate chain in both hash modes") {
+    import org.apache.spark.sql.functions.col
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    def chain(d: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignatures(Dedup.shingles(d))
+    val toks = Dedup.toksOf(corpus)
+    assert(rows(Dedup.minhashSignaturesKernel(toks)) === rows(chain(corpus)),
+      "oracle-mode kernel diverged")
+    spark.conf.set(graft.functions.PortableHash.ConfKey, "true")
+    try assert(rows(Dedup.minhashSignaturesKernel(toks)) === rows(chain(corpus)),
+      "production-mode kernel diverged")
+    finally spark.conf.set(graft.functions.PortableHash.ConfKey, "false")
+    // fixture-wide, incl. the too-short-to-shingle drop rule
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("text").isNotNull &&
+        org.apache.spark.sql.functions.length(col("text")) > 0)
+    assert(rows(Dedup.minhashSignaturesKernel(Dedup.toksOf(d))) ===
+      rows(chain(d)), "fixture kernel/chain divergence")
+  }
+
   test("ngram jaccard: identical docs score 1.0; near-dup scores |∩|/|∪|") {
     val jac = Dedup.ngramJaccard(corpus, threshold = 0.0)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
