@@ -14,7 +14,7 @@ object PlanDump {
     "chi2_top_terms" ->
       "One explode feeds the shared termCat exchange (ReusedExchange in the AQE final plan); category totals and N broadcast; WindowGroupLimit bounds the top-k shuffle.",
     "dedup_minhash_candidates" ->
-      "Single groupBy(doc_id) computes all 16 affine minima straight off the raw (non-distinct) shingle explode — min is duplicate-insensitive, so the (doc_id, s)-distinct exchange is skipped; pair expansion is in-bucket with the oversized-bucket guard upstream.",
+      "Signature stage is ONE narrow map: the native graft_minhash kernel folds all 16 affine minima per doc straight off the token array (no shingle explode, no doc_id exchange — the column chain kept that shape and is spec-pinned bit-equal in both hash modes); the first shuffle in the whole query is the (band, sig) bucket aggregate, and pair expansion stays in-bucket with the oversized-bucket guard upstream.",
     "dedup_ngram_jaccard" ->
       "Linear single-consumer chain: ONE corpus scan, zero joins, by construction (NgramPlanSpec). Per-doc kept hash sets are built once (collect_set straight off the raw shingle multiset — no string-distinct exchange), only PPJoin prefixes re-enter the candidate index, and verification (array_intersect on the carried sets) runs inside the pair expansion — the candidate stream shrinks ~25x vs the exhaustive posting-pair expansion. Disclosed trade: the prefix-index shuffle carries each doc's set ~(1-t)*n times; for very large per-doc n, switch to indexing (doc_id, n, shk) and joining candidates back to the docsets table.",
     "sim_cosine_ann_lsh" ->
