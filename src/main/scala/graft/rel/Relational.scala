@@ -196,8 +196,56 @@ object Relational {
     // (graft.ops.Salted) or AQE skew-join before you commit to it.
     "rel_key_skew" -> ((s, dir) =>
       keySkew(t(s, dir, "lineitem"),
-        Seq("l_orderkey", "l_partkey", "l_suppkey")))
+        Seq("l_orderkey", "l_partkey", "l_suppkey"))),
+    // Referential-integrity audit over the warehouse FK graph — the
+    // relational sibling of sim_embedding_coverage: an inner join at
+    // scale silently DROPS orphan children, so count them first. One
+    // row per FK edge, zeros explicit.
+    "rel_fk_audit" -> ((s, dir) => {
+      def edge(fk: String, child: DataFrame, ck: String,
+          parent: DataFrame, pk: String) =
+        fkEdgeAudit(fk, child, ck, parent, pk)
+      edge("customer.c_nationkey->nation", t(s, dir, "customer"),
+          "c_nationkey", t(s, dir, "nation"), "n_nationkey")
+        .unionByName(edge("lineitem.l_orderkey->orders",
+          t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey"))
+        .unionByName(edge("lineitem.l_partkey->part",
+          t(s, dir, "lineitem"), "l_partkey", t(s, dir, "part"), "p_partkey"))
+        .unionByName(edge("lineitem.l_suppkey->supplier",
+          t(s, dir, "lineitem"), "l_suppkey",
+          t(s, dir, "supplier"), "s_suppkey"))
+        .unionByName(edge("orders.o_custkey->customer",
+          t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey"))
+        .orderBy("fk")
+    })
   )
+
+  /** One FK edge of [[queries]]' `rel_fk_audit`: child rows referencing
+    * each key collapse map-side to (key, cnt) BEFORE the one full-outer
+    * join against the parent key set, so the join carries |distinct
+    * child keys| + |parents| rows, never child-table volume. Emitted
+    * per edge: total child rows, orphan child rows (no parent — the
+    * rows an inner join would silently drop), parent key count, and
+    * parents never referenced (dead dimension rows — broadcast-size
+    * intel for dimension pruning).
+    */
+  def fkEdgeAudit(fk: String, child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame = {
+    val ck = child.groupBy(col(childKey).as("k")).agg(count(lit(1)).as("cnt"))
+    val pk = parent.select(col(parentKey).as("p"))
+    ck.join(pk, col("k") === col("p"), "full_outer")
+      .agg(
+        coalesce(sum(col("cnt")), lit(0L)).as("child_rows"),
+        coalesce(sum(when(col("p").isNull, col("cnt")).otherwise(0L)), lit(0L))
+          .as("orphan_rows"),
+        count(col("p")).as("parent_keys"),
+        coalesce(sum(when(col("p").isNotNull && col("cnt").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("unreferenced_parents"))
+      .select(lit(fk).as("fk"), col("child_rows"), col("orphan_rows"),
+        col("parent_keys"), col("unreferenced_parents"))
+  }
 
   /** Per-key frequency skew statistics for each candidate join key:
     * total rows, distinct keys, max/p99/mean per-key frequency, and the
@@ -364,6 +412,31 @@ object Relational {
          |UNION ALL
          |${branch("l_suppkey")}
          |) ORDER BY key_col""".stripMargin
+    },
+    // Same pre-aggregated full-outer shape per edge; counts cast to
+    // BIGINT (DuckDB sums into HUGEINT). NULL child keys never match a
+    // parent in either engine, so they land in orphan_rows identically.
+    "rel_fk_audit" -> {
+      def edge(fk: String, child: String, ck: String,
+          parent: String, pk: String) =
+        s"""SELECT '$fk' AS fk,
+           |  CAST(coalesce(sum(cnt), 0) AS BIGINT) AS child_rows,
+           |  CAST(coalesce(sum(CASE WHEN p IS NULL THEN cnt ELSE 0 END), 0) AS BIGINT) AS orphan_rows,
+           |  count(p) AS parent_keys,
+           |  CAST(coalesce(sum(CASE WHEN p IS NOT NULL AND cnt IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS unreferenced_parents
+           |FROM (SELECT $ck AS k, count(*) AS cnt FROM $child GROUP BY 1) c
+           |FULL OUTER JOIN (SELECT $pk AS p FROM $parent) pt ON c.k = pt.p""".stripMargin
+      s"""SELECT * FROM (
+         |${edge("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey")}
+         |UNION ALL
+         |${edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey")}
+         |UNION ALL
+         |${edge("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey")}
+         |UNION ALL
+         |${edge("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey")}
+         |UNION ALL
+         |${edge("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey")}
+         |) ORDER BY fk""".stripMargin
     }
   )
 }

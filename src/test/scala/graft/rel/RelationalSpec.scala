@@ -140,4 +140,26 @@ class RelationalSpec extends SparkSpec {
         r.getDouble(6) > 0.0 && r.getDouble(6) <= 1.0, r.toString)
     }
   }
+
+  test("fk audit: injected orphans, null keys, and dead parents are counted") {
+    val s = spark; import s.implicits._
+    // children: 2 rows → parent 10, 1 row → parent 20 (missing), 1 row
+    // with NULL key; parents: 10 and 99 (99 never referenced)
+    val child = Seq(Some(10L), Some(10L), Some(20L), None).toDF("ck")
+    val parent = Seq(10L, 99L).toDF("pk")
+    val r = Relational.fkEdgeAudit("child.ck->parent", child, "ck",
+      parent, "pk").collect().head
+    assert(r.getString(0) === "child.ck->parent")
+    assert(r.getLong(1) === 4L, "child_rows counts every child row")
+    assert(r.getLong(2) === 2L, "orphans = the key-20 row + the NULL-key row")
+    assert(r.getLong(3) === 2L)
+    assert(r.getLong(4) === 1L, "parent 99 is never referenced")
+    // fixture: all five FK edges hold (driver generates consistent keys)
+    val fx = Relational.queries("rel_fk_audit")(spark, dir).collect()
+    assert(fx.length === 5)
+    fx.foreach { e =>
+      assert(e.getLong(2) === 0L, s"unexpected orphans on ${e.getString(0)}")
+      assert(e.getLong(1) > 0L && e.getLong(3) > 0L, e.toString)
+    }
+  }
 }
