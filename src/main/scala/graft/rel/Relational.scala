@@ -219,8 +219,40 @@ object Relational {
           t(s, dir, "orders"), "o_custkey",
           t(s, dir, "customer"), "c_custkey"))
         .orderBy("fk")
-    })
+    }),
+    // TPC-H Q12-shaped conditional aggregation: order→ship lag bands ×
+    // priority-class CASE counts (the fixture has no l_shipmode /
+    // l_receiptdate, so the band key is the lag itself).
+    "rel_ship_lag" -> ((s, dir) =>
+      shipLag(t(s, dir, "lineitem"), t(s, dir, "orders")))
   )
+
+  /** TPC-H Q12 shape for [[queries]]' `rel_ship_lag`: one fact-fact
+    * equi-join (inherent to the question — the lag needs a column from
+    * each side; both inputs are pruned to the 2–3 surviving columns
+    * before the exchange), then CASE counts per lag band. The band key
+    * has cardinality 4, so the post-join aggregate collapses map-side;
+    * the only wide shuffle is the join itself, which AQE is free to
+    * plan as sort-merge at scale. The priority→class predicate is
+    * evaluated on the orders side BEFORE the join, so the exchange
+    * carries a boolean, not the priority string.
+    */
+  def shipLag(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val o = orders.select(col("o_orderkey"), col("o_orderdate"),
+      (col("o_orderpriority") === "1-URGENT" ||
+        col("o_orderpriority") === "2-HIGH").as("is_high"))
+    val li = lineitem.select("l_orderkey", "l_shipdate")
+    val lag = datediff(col("l_shipdate").cast("date"),
+      col("o_orderdate").cast("date"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(when(lag <= 30, "0-30").when(lag <= 60, "31-60")
+        .when(lag <= 90, "61-90").otherwise("90+").as("lag_band"),
+        col("is_high"))
+      .groupBy("lag_band")
+      .agg(sum(when(col("is_high"), 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!col("is_high"), 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy("lag_band")
+  }
 
   /** One FK edge of [[queries]]' `rel_fk_audit`: child rows referencing
     * each key collapse map-side to (key, cnt) BEFORE the one full-outer
@@ -437,6 +469,19 @@ object Relational {
          |UNION ALL
          |${edge("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey")}
          |) ORDER BY fk""".stripMargin
-    }
+    },
+    // Same band edges; day lag via date-truncated difference in both
+    // engines; counts cast to BIGINT (DuckDB sums into HUGEINT).
+    "rel_ship_lag" ->
+      """SELECT
+        |  CASE WHEN lag <= 30 THEN '0-30' WHEN lag <= 60 THEN '31-60'
+        |       WHEN lag <= 90 THEN '61-90' ELSE '90+' END AS lag_band,
+        |  CAST(sum(CASE WHEN is_high THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN is_high THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM (
+        |  SELECT date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lag,
+        |         o_orderpriority IN ('1-URGENT', '2-HIGH') AS is_high
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

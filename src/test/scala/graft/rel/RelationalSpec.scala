@@ -162,4 +162,33 @@ class RelationalSpec extends SparkSpec {
       assert(e.getLong(1) > 0L && e.getLong(3) > 0L, e.toString)
     }
   }
+
+  test("ship lag: band edges are inclusive and priority classes split exactly") {
+    val s = spark; import s.implicits._
+    val base = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    def plus(days: Int) = new java.sql.Timestamp(
+      base.getTime + days * 86400000L)
+    // one line per band edge: lags 30 (0-30), 31 and 60 (31-60),
+    // 90 (61-90), 91 (90+); order 2 is low-priority at lag 30
+    val li = Seq((1L, plus(30)), (1L, plus(31)), (1L, plus(60)),
+      (1L, plus(90)), (1L, plus(91)), (2L, plus(30)))
+      .toDF("l_orderkey", "l_shipdate")
+    val o = Seq((1L, base, "1-URGENT"), (2L, base, "5-LOW"))
+      .toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    val r = Relational.shipLag(li, o).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r === Array(("0-30", 1L, 1L), ("31-60", 2L, 0L),
+      ("61-90", 1L, 0L), ("90+", 1L, 0L)))
+  }
+
+  test("rel_ship_lag prunes both scans and aggregates map-side after the join") {
+    val p = plan("rel_ship_lag")
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!reads.contains("l_quantity") && !reads.contains("o_totalprice") &&
+      !reads.contains("o_custkey"), reads)
+    // partial aggregate must sit between the join and the single exchange
+    // that carries only the 4-row band key
+    assert("HashAggregate.*partial_sum".r.findFirstIn(p.replace('\n', ' ')).isDefined
+      || p.contains("partial_sum") || p.contains("Partial"), p.take(3000))
+  }
 }
