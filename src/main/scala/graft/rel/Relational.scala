@@ -224,8 +224,98 @@ object Relational {
     // priority-class CASE counts (the fixture has no l_shipmode /
     // l_receiptdate, so the band key is the lag itself).
     "rel_ship_lag" -> ((s, dir) =>
-      shipLag(t(s, dir, "lineitem"), t(s, dir, "orders")))
+      shipLag(t(s, dir, "lineitem"), t(s, dir, "orders"))),
+    // TPC-H Q4-shaped correlated EXISTS: orders per priority with at
+    // least one line shipped >90 days after the order date (the fixture
+    // has no l_commitdate/l_receiptdate, so ship lag stands in for
+    // "committed late").
+    "rel_late_orders" -> ((s, dir) =>
+      lateOrders(t(s, dir, "orders"), t(s, dir, "lineitem"))),
+    // TPC-H Q13-shaped distribution: customers per order count,
+    // INCLUDING the zero-order customers an inner join would drop.
+    "rel_order_count_dist" -> ((s, dir) =>
+      orderCountDist(t(s, dir, "customer"), t(s, dir, "orders"))),
+    // TPC-H Q22-shaped anti-join + scalar subquery: per nation, the
+    // customers with above-average positive balance and no recent orders.
+    "rel_idle_rich_customers" -> ((s, dir) =>
+      idleRichCustomers(t(s, dir, "customer"), t(s, dir, "orders")))
   )
+
+  /** TPC-H Q4 shape for [[queries]]' `rel_late_orders`, decorrelated:
+    * the spec's correlated `EXISTS (line with lag > 90)` collapses to
+    * `max(l_shipdate) lag > 90` because o_orderdate is constant within
+    * an order — so instead of a semi-join probing full lineitem volume,
+    * lineitem pre-aggregates map-side to ONE (orderkey, last_ship) row
+    * per order before its only exchange. The orders join is then 1:1
+    * (orderkey is the orders primary key), the lag filter runs on the
+    * joined row, and the final 5-row priority aggregate collapses
+    * map-side. The DuckDB oracle keeps the naive correlated-EXISTS
+    * form, so the rewrite's equivalence is hash-checked, not assumed.
+    */
+  def lateOrders(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val lastShip = lineitem.select("l_orderkey", "l_shipdate")
+      .groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("last_ship"))
+    orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
+      .join(lastShip, col("o_orderkey") === col("l_orderkey"))
+      .filter(datediff(col("last_ship").cast("date"),
+        col("o_orderdate").cast("date")) > 90)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q13 shape for [[queries]]' `rel_order_count_dist`: the
+    * "how many customers placed k orders" histogram, zero bucket
+    * included. Orders collapse map-side to (custkey, n) before the one
+    * wide exchange (distinct custkeys, never order volume); the LEFT
+    * join keeps order-less customers with n=0 (the rows an inner join
+    * silently drops — same audit stance as [[fkEdgeAudit]]); the final
+    * aggregate's key space is the max per-customer order count, so it
+    * collapses map-side.
+    */
+  def orderCountDist(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val perCust = orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    customer.select("c_custkey")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n"), lit(0L)).as("n_orders"))
+      .groupBy("n_orders")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("n_orders")
+  }
+
+  /** Recent-order cutoff for [[idleRichCustomers]]: Q22's "no orders in
+    * N years" clock, pinned against the fixture's 1995–2001 date range
+    * so the anti-join leg is non-trivial at every SF.
+    */
+  val IdleCutoff = "2000-01-01"
+
+  /** TPC-H Q22 shape for [[queries]]' `rel_idle_rich_customers`: per
+    * nation, customers whose balance exceeds the global positive-balance
+    * average and who have placed no orders since [[IdleCutoff]]. The
+    * scalar subquery is a 1-row broadcast (the
+    * [[graft.stats.Contingency]] global-N pattern); the average is
+    * exact-decimal sum ÷ count — one deterministic double division, so
+    * the > threshold compares bit-identical doubles in both engines.
+    * NOT EXISTS is a left_anti against the distinct RECENT-buyer key
+    * projection — the cutoff predicate pushes into the orders scan and
+    * the anti-join build side carries distinct buyer keys, never order
+    * volume; this is the plan a correlated NOT EXISTS decorrelates to
+    * anyway. The nation aggregate sums balances as exact DECIMAL
+    * (file-header cross-engine rule).
+    */
+  def idleRichCustomers(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val avgBal = customer.filter(col("c_acctbal") > 0.0)
+      .agg((dsum(col("c_acctbal")) / count(lit(1)).cast("double")).as("avg_bal"))
+    val buyers = orders
+      .filter(col("o_orderdate") >= lit(IdleCutoff).cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    customer.join(buyers, col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_custs"), dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy("c_nationkey")
+  }
 
   /** TPC-H Q12 shape for [[queries]]' `rel_ship_lag`: one fact-fact
     * equi-join (inherent to the question — the lag needs a column from
@@ -482,6 +572,39 @@ object Relational {
         |  SELECT date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lag,
         |         o_orderpriority IN ('1-URGENT', '2-HIGH') AS is_high
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Naive correlated EXISTS on purpose — an independent implementation
+    // of the max-shipdate decorrelation (see lateOrders scaladoc).
+    "rel_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_late_orders
+        |FROM orders o
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o.o_orderkey
+        |    AND date_diff('day', CAST(o.o_orderdate AS DATE),
+        |                  CAST(l_shipdate AS DATE)) > 90)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rel_order_count_dist" ->
+      """SELECT n_orders, count(*) AS n_customers FROM (
+        |  SELECT CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+        |  FROM customer
+        |  LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1) o
+        |    ON c_custkey = o_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Same exact-decimal average (VARCHAR-hop, one double division) and
+    // balance sum; NOT EXISTS mirrors the left_anti.
+    "rel_idle_rich_customers" ->
+      """WITH a AS (
+        |  SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0.0
+        |)
+        |SELECT c_nationkey, count(*) AS n_custs,
+        |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS total_bal
+        |FROM customer, a
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

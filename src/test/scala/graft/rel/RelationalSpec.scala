@@ -181,6 +181,70 @@ class RelationalSpec extends SparkSpec {
       ("61-90", 1L, 0L), ("90+", 1L, 0L)))
   }
 
+  test("late orders: max-shipdate decorrelation matches EXISTS semantics") {
+    val s = spark; import s.implicits._
+    val base = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    def plus(days: Int) = new java.sql.Timestamp(
+      base.getTime + days * 86400000L)
+    // order 1: one late line among on-time ones → counted once;
+    // order 2: all lines on time → excluded; order 3: exactly 90 days
+    // → excluded (strict >); order 4 has no lines → excluded
+    val o = Seq((1L, base, "1-URGENT"), (2L, base, "2-HIGH"),
+      (3L, base, "1-URGENT"), (4L, base, "3-MEDIUM"))
+      .toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Seq((1L, plus(5)), (1L, plus(91)), (2L, plus(89)),
+      (3L, plus(90))).toDF("l_orderkey", "l_shipdate")
+    val r = Relational.lateOrders(o, li).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(r === Array(("1-URGENT", 1L)))
+  }
+
+  test("order count distribution includes the zero-order bucket") {
+    val s = spark; import s.implicits._
+    // customers 1 (2 orders), 2 (1), 3 and 4 (0)
+    val c = Seq(1L, 2L, 3L, 4L).toDF("c_custkey")
+    val o = Seq((10L, 1L), (11L, 1L), (12L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+    val r = Relational.orderCountDist(c, o).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(r === Array((0L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("idle rich customers: above positive-average balance, no recent orders") {
+    val s = spark; import s.implicits._
+    // positive balances 100, 200, 300, 300 → avg 225; the -50 row is
+    // outside the average. cust 2 (300) bought AFTER the cutoff →
+    // excluded; cust 3 (300) only ever bought BEFORE it → still idle,
+    // qualifies; cust 1 (100) and 4 (200) are not above average.
+    val c = Seq((1L, 1, 100.0), (2L, 1, 300.0), (3L, 2, 300.0),
+      (4L, 2, 200.0), (5L, 3, -50.0))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+    val o = Seq(
+      (10L, 2L, java.sql.Timestamp.valueOf("2000-06-01 00:00:00")),
+      (11L, 3L, java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val r = Relational.idleRichCustomers(c, o).collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getDouble(2)))
+    assert(r === Array((2, 1L, 300.0)))
+  }
+
+  test("rel_late_orders pre-aggregates lineitem before its exchange") {
+    val p = plan("rel_late_orders")
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!reads.contains("l_quantity") && !reads.contains("l_partkey"),
+      reads)
+    // the lineitem side must collapse to (orderkey, max) map-side: a
+    // partial max aggregate appears below the shuffle
+    assert(p.contains("partial_max") || p.contains("Partial"), p.take(3000))
+  }
+
+  test("rel_idle_rich_customers plans an anti-join and a 1-row broadcast") {
+    val p = plan("rel_idle_rich_customers")
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(3000))
+  }
+
   test("rel_ship_lag prunes both scans and aggregates map-side after the join") {
     val p = plan("rel_ship_lag")
     val reads = p.linesIterator.filter(_.contains("ReadSchema")).mkString
