@@ -61,6 +61,18 @@ object Similarity {
     */
   val SemDedupThreshold = 0.4
 
+  /** Product quantization: [[PqM]] subspaces of [[PqSubDim]] dims, each
+    * with a [[PqK]]-codeword codebook trained by [[PqLloydIters]] L2
+    * Lloyd steps over the SAME deterministic `vec_id < TrainN` sample
+    * the IVF quantizer trains on (one collect feeds both). 16 codewords
+    * per 8-dim subspace is fixture-sized; the production shape is 256
+    * codewords (one byte per subspace) — the construction is identical.
+    */
+  val PqM = 8
+  val PqSubDim: Int = Dim / PqM
+  val PqK = 16
+  val PqLloydIters = 2
+
   /** [[embDecontaminate]]'s pseudo-eval set (label 0 — the embedding
     * fixture's analogue of decontamination's `src0`) and its cosine
     * bar. 0.4 BINDS on the fixtures (sf0.001: 14 of 444 corpus vectors
@@ -246,6 +258,144 @@ object Similarity {
       }.sortBy(_._1)
     }
     cents.map { case (id, cv, cn) => (id, cv.toSeq, cn) }
+  }
+
+  /** Per-subspace PQ codebooks on the driver, mirrored
+    * operation-for-operation by the oracle's pq CTE chain: subspace m of
+    * a vector is dims [m·PqSubDim, (m+1)·PqSubDim); seeds are the
+    * sample's `vec_id < PqK` subvectors (code_id = vec_id, the
+    * [[trainedCentroids]] convention); assignment is L2 — argmin of
+    * cn − 2·dot(x,c), a monotone rewrite of ‖x−c‖² that never divides
+    * (so zero subvectors can't NaN, unlike cosine) — with ties to the
+    * smaller code_id; the mean update is the vec_id-ordered in-order
+    * fold [[lloydDriver]] uses; empty codewords drop. Result per
+    * subspace is code_id-ascending, so a codeword's LIST POSITION is the
+    * portable dense index the Spark plan stores as the code
+    * ([[pqCodesCol]]) while the oracle joins on code_id — same codeword
+    * either way.
+    */
+  private[sim] def pqTrainDriver(sample: Seq[(Long, Array[Double])])
+      : IndexedSeq[IndexedSeq[(Long, Seq[Double], Double)]] = {
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    (0 until PqM).map { m =>
+      val sub = sample.map { case (id, v) =>
+        (id, v.slice(m * PqSubDim, (m + 1) * PqSubDim))
+      }
+      var cents: Seq[(Long, Array[Double], Double)] =
+        sub.filter(_._1 < PqK).map { case (id, sv) => (id, sv, dotD(sv, sv)) }
+      for (_ <- 1 to PqLloydIters) {
+        val assigned = sub.map { case (id, sv) =>
+          // first strict win over code_id-ascending cents ≡ row_number 1
+          // under (d ASC, code_id ASC)
+          var bestCid = -1L; var bestD = Double.PositiveInfinity
+          for ((cid, cv, cn) <- cents) {
+            val d = cn - 2.0 * dotD(sv, cv)
+            if (d < bestD) { bestD = d; bestCid = cid }
+          }
+          (bestCid, id, sv)
+        }
+        cents = assigned.groupBy(_._1).toSeq.map { case (cid, vs) =>
+          val sorted = vs.sortBy(_._2)
+          val acc = Array.fill(PqSubDim)(0.0)
+          sorted.foreach { case (_, _, sv) =>
+            var i = 0; while (i < PqSubDim) { acc(i) = acc(i) + sv(i); i += 1 }
+          }
+          val cv = acc.map(x => x / sorted.size)
+          (cid, cv, dotD(cv, cv))
+        }.sortBy(_._1)
+      }
+      cents.map { case (id, cv, cn) => (id, cv.toSeq, cn) }.toIndexedSeq
+    }
+  }
+
+  /** Subspace m of a double-array column (1-based slice). */
+  private def subCol(v: Column, m: Int): Column =
+    slice(v, m * PqSubDim + 1, PqSubDim)
+
+  private def litArr(cv: Seq[Double]): Column = array(cv.map(lit): _*)
+
+  /** Per-row PQ codes: for each subspace, the 1-based LIST POSITION of
+    * the L2-nearest codeword — a narrow map (PqM·PqK literal
+    * [[PqSubDim]]-dim dots + PqM sorts of PqK structs per row), zero
+    * shuffle, exactly the [[probeCells]] pattern. The struct sorts on
+    * (d, code_id), so ties break to the smaller code_id like the oracle.
+    */
+  private[sim] def pqCodesCol(
+      cb: IndexedSeq[IndexedSeq[(Long, Seq[Double], Double)]]): Column =
+    array((0 until PqM).map { m =>
+      val sub = subCol(col("v"), m)
+      element_at(array_sort(array(cb(m).zipWithIndex.map {
+        case ((id, cv, cn), p) =>
+          struct((lit(cn) - lit(2.0) * dot(sub, litArr(cv))).as("d"),
+            lit(id).as("code_id"), lit(p + 1).as("pos"))
+      }: _*)), 1).getField("pos")
+    }: _*)
+
+  /** Per-query ADC lookup tables: lut[m][pos] = dot(query subspace m,
+    * codeword pos of subspace m) — PqM·PqK literal dots, computed once
+    * per QUERY row (NumQueries of them), never per candidate.
+    */
+  private def pqLutCol(
+      cb: IndexedSeq[IndexedSeq[(Long, Seq[Double], Double)]]): Column =
+    array((0 until PqM).map { m =>
+      array(cb(m).map { case (_, cv, _) => dot(subCol(col("v"), m), litArr(cv)) }: _*)
+    }: _*)
+
+  /** ‖reconstruction‖² of a coded row: subspaces are orthogonal
+    * coordinate blocks, so the cross terms vanish and the norm is the
+    * in-order sum of the per-subspace codeword norms (literals indexed
+    * by the stored position).
+    */
+  private def pqNormCol(cb: IndexedSeq[IndexedSeq[(Long, Seq[Double], Double)]],
+      codes: Column): Column =
+    (0 until PqM).map { m =>
+      element_at(litArr(cb(m).map(_._3)), element_at(codes, m + 1))
+    }.foldLeft(lit(0.0))(_ + _)
+
+  /** IVF+PQ ANN with asymmetric-distance scoring: coarse cells prune
+    * candidates exactly as [[ivfTopK]]; the score is the PQ
+    * approximation dot(q, x̂) = Σ_m lut[m][code_m] against the
+    * reconstructed norm, NOT an exact cosine — so the probe join's
+    * candidate side carries (cell_id, vec_id, 8 codes, anrm) ≈ 40
+    * bytes instead of the 512-byte double vector. THAT is the 100 TB
+    * story: past the one encode pass (narrow, zero-shuffle, fused with
+    * coarse assignment on the same scan), no full-precision vector ever
+    * moves again — candidate scoring is PqM table lookups + adds per
+    * pair, and memory per candidate shrinks ~13×. Training reuses the
+    * ONE collected [[TrainN]] sample (eager-at-build, docs/PLANS.md).
+    * The DuckDB oracle retrains both quantizers from scratch in SQL and
+    * joins codewords by code_id instead of position — an independent
+    * reconstruction of the whole chain, hash-compared.
+    */
+  private def pqTopK(s: SparkSession, dir: String): DataFrame = {
+    val c = prepared(s, dir, withBucket = false)
+    val sample = collectSample(c)
+    val coarse = probeCells(lloydDriver(sample))
+    val cb = pqTrainDriver(sample)
+    val assign = c.withColumn("cells", coarse)
+      .withColumn("codes", pqCodesCol(cb))
+      .select(element_at(col("cells"), 1).getField("cell_id").as("cell_id"),
+        col("vec_id"), col("codes"),
+        pqNormCol(cb, col("codes")).as("anrm"))
+    val q = c.filter(col("vec_id") < NumQueries)
+      .withColumn("cells", coarse)
+      .select(explode(slice(col("cells"), 1, NProbe)).as("pc"),
+        col("vec_id").as("query_id"), pqLutCol(cb).as("qlut"),
+        col("nrm").as("qn"))
+      .select(col("pc.cell_id").as("cell_id"), col("query_id"),
+        col("qlut"), col("qn"))
+    val adc = (0 until PqM).map { m =>
+      element_at(element_at(col("qlut"), m + 1), element_at(col("codes"), m + 1))
+    }.foldLeft(lit(0.0))(_ + _)
+    val pairs = assign.join(broadcast(q), Seq("cell_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (adc / (sqrt(col("qn")) * sqrt(col("anrm")))).as("cos"))
+    rankTopK(pairs, TopK).withColumnRenamed("cos", "adc_cos")
   }
 
   /** Exact top-k: broadcast query batch × corpus scan, window top-k. */
@@ -641,6 +791,7 @@ object Similarity {
     "sim_cosine_topk" -> (exactTopK _),
     "sim_cosine_ann_lsh" -> (lshTopK _),
     "sim_cosine_ann_ivf" -> (ivfTopK _),
+    "sim_cosine_ann_pq" -> (pqTopK _),
     // Recall@k of each ANN variant against the exact scan — the number
     // a user tunes NProbe/NumPlanes with. One row per (variant, query):
     // hits = |ANN top-k ∩ exact top-k|, recall = hits/k. The exact
@@ -793,6 +944,95 @@ object Similarity {
        |  FROM ip
        |)""".stripMargin
 
+  /** [[dotSql]] over one PQ subspace ([[PqSubDim]] dims). */
+  private def dotSubSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, ${PqSubDim + 1}), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
+
+  /** One PQ Lloyd step over ALL subspaces at once (rows tagged by m):
+    * L2 assignment (d = cn − 2·dot, ties to smaller code_id), then the
+    * vec_id-ordered in-order mean per (m, code_id) — the
+    * [[lloydCtesSql]] construction with the subspace tag joined through.
+    */
+  private def pqLloydCtesSql(it: Int): String =
+    s""", psc$it AS (
+       |  SELECT s.m, s.vec_id, s.sv, c.code_id,
+       |         c.cn - 2 * ${dotSubSql("s.sv", "c.cv")} AS d
+       |  FROM psamp s JOIN pc${it - 1} c ON s.m = c.m
+       |), pas$it AS (
+       |  SELECT m, vec_id, sv, code_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY m, vec_id
+       |      ORDER BY d ASC, code_id ASC) AS crank
+       |    FROM psc$it) WHERE crank = 1
+       |), pcm$it AS (
+       |  SELECT m, code_id, list_transform(sv2, s -> s / cnt) AS cv
+       |  FROM (
+       |    SELECT m, code_id,
+       |           list_reduce(list(sv ORDER BY vec_id),
+       |             (a, x) -> list_transform(range(1, ${PqSubDim + 1}), i -> a[i] + x[i])) AS sv2,
+       |           count(*) AS cnt
+       |    FROM pas$it GROUP BY m, code_id)
+       |), pc$it AS (
+       |  SELECT m, code_id, cv, ${dotSubSql("cv", "cv")} AS cn FROM pcm$it
+       |)""".stripMargin
+
+  /** PQ training + corpus encode + ADC scoring chain, ending in ppr.
+    * Appended after eCte+ivfCtes (reuses samp for training and
+    * iassign/iqcells for the coarse probe; codewords join by code_id —
+    * the Spark plan's positional codes resolve to the same codeword
+    * because [[pqTrainDriver]] returns them code_id-ascending).
+    */
+  private val pqCtes: String =
+    s""", msq AS (
+       |  SELECT unnest(generate_series(0, ${PqM - 1})) AS m
+       |), psamp AS (
+       |  SELECT s.vec_id, msq.m,
+       |         s.v[msq.m * $PqSubDim + 1 : msq.m * $PqSubDim + $PqSubDim] AS sv
+       |  FROM samp s, msq
+       |), pc0 AS (
+       |  SELECT m, vec_id AS code_id, sv AS cv, ${dotSubSql("sv", "sv")} AS cn
+       |  FROM psamp WHERE vec_id < $PqK
+       |)${(1 to PqLloydIters).map(pqLloydCtesSql).mkString}, pcorp AS (
+       |  SELECT n.vec_id, msq.m,
+       |         n.v[msq.m * $PqSubDim + 1 : msq.m * $PqSubDim + $PqSubDim] AS sv
+       |  FROM n, msq
+       |), pencode AS (
+       |  SELECT vec_id, m, code_id, cn FROM (
+       |    SELECT p.vec_id, p.m, c.code_id, c.cn,
+       |           row_number() OVER (PARTITION BY p.vec_id, p.m
+       |             ORDER BY c.cn - 2 * ${dotSubSql("p.sv", "c.cv")} ASC, c.code_id ASC) AS crank
+       |    FROM pcorp p JOIN pc$PqLloydIters c ON p.m = c.m) WHERE crank = 1
+       |), panrm AS (
+       |  SELECT vec_id, list_reduce(list(cn ORDER BY m), (a, x) -> a + x) AS anrm
+       |  FROM pencode GROUP BY vec_id
+       |), pquery AS (
+       |  SELECT q.cell_id, q.query_id, q.qn, msq.m,
+       |         q.qv[msq.m * $PqSubDim + 1 : msq.m * $PqSubDim + $PqSubDim] AS qsv
+       |  FROM iqcells q, msq
+       |), ppair AS (
+       |  SELECT pq2.query_id, a.vec_id, pq2.m, ${dotSubSql("pq2.qsv", "k.cv")} AS t
+       |  FROM iassign a
+       |  JOIN pquery pq2 ON a.cell_id = pq2.cell_id AND pq2.query_id <> a.vec_id
+       |  JOIN pencode e ON e.vec_id = a.vec_id AND e.m = pq2.m
+       |  JOIN pc$PqLloydIters k ON k.m = e.m AND k.code_id = e.code_id
+       |), padc AS (
+       |  SELECT query_id, vec_id,
+       |         list_reduce(list(t ORDER BY m), (a, x) -> a + x) AS adc
+       |  FROM ppair GROUP BY query_id, vec_id
+       |), pqn AS (
+       |  SELECT DISTINCT query_id, qn FROM pquery
+       |), pscore AS (
+       |  SELECT p.query_id, p.vec_id,
+       |         p.adc / (sqrt(q2.qn) * sqrt(pn.anrm)) AS adc_cos
+       |  FROM padc p
+       |  JOIN pqn q2 ON q2.query_id = p.query_id
+       |  JOIN panrm pn ON pn.vec_id = p.vec_id
+       |), ppr AS (
+       |  SELECT query_id, vec_id, adc_cos,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY adc_cos DESC, vec_id ASC) AS INT) AS rank
+       |  FROM pscore
+       |)""".stripMargin
+
   /** Shared CTEs for the exact-centroid queries: per-(label, dim)
     * decimal-exact mean (see [[labelCentroids]] for the portability
     * argument).
@@ -894,6 +1134,10 @@ object Similarity {
     "sim_cosine_ann_ivf" ->
       s"""$eCte$ivfCtes
          |SELECT query_id, vec_id, cos, rank FROM ir WHERE rank <= $TopK
+         |ORDER BY query_id, rank""".stripMargin,
+    "sim_cosine_ann_pq" ->
+      s"""$eCte$ivfCtes$pqCtes
+         |SELECT query_id, vec_id, adc_cos, rank FROM ppr WHERE rank <= $TopK
          |ORDER BY query_id, rank""".stripMargin,
     "sim_ann_recall" ->
       s"""$bCte$ivfCtes, xp AS (

@@ -23,6 +23,7 @@ class RegistrySpec extends SparkSpec {
     "dedup_source_overlap", // ≤|sources|² co-occurrence counts, grid re-entered locally
     "sim_ann_recall",       // 50-row exact top-k side input
     "sim_cosine_ann_ivf",   // ≤256-row training sample for driver Lloyd
+    "sim_cosine_ann_pq",    // same sample, feeding coarse + PQ codebook training
     "sim_semdedup",         // same ≤256-row sample (literal-embedded quantizer)
     "sim_bucket_stats"      // same sample, for the ivf_cell cap-audit row
   )

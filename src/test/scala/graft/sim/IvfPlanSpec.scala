@@ -75,4 +75,40 @@ class IvfPlanSpec extends graft.SparkSpec {
     assert(fin.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,"),
       s"query-batch filter not pushed to scan:\n$fin")
   }
+
+  test("pq codes are the L2-argmin codeword position per subspace") {
+    val c = prepared
+    val cb = Similarity.pqTrainDriver(Similarity.collectSample(c))
+    val got = c.withColumn("codes", Similarity.pqCodesCol(cb))
+      .filter(col("vec_id") < 50).select("vec_id", "v", "codes").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val v = r.getSeq[Double](1).toArray
+      val codes = r.getSeq[Int](2)
+      for (m <- 0 until Similarity.PqM) {
+        val d = Similarity.PqSubDim
+        val sub = v.slice(m * d, (m + 1) * d)
+        def dotD(a: Array[Double], b: Array[Double]) =
+          a.zip(b).map { case (x, y) => x * y }.sum
+        val exp = cb(m).zipWithIndex.minBy { case ((id, cv, cn), _) =>
+          (cn - 2.0 * dotD(sub, cv.toArray), id)
+        }._2 + 1
+        assert(codes(m) == exp,
+          s"vec ${r.getLong(0)} subspace $m: got ${codes(m)}, want $exp")
+      }
+    }
+  }
+
+  test("pq executed plan: same narrow shape as ivf — one window, broadcast probe, no corpus shuffle") {
+    val df = graft.SparkEntry.queries("sim_cosine_ann_pq")(spark, dir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    def cnt(re: String): Int = re.r.findAllIn(fin).size
+    assert(cnt("Window \\[") == 1, s"expected 1 Window node:\n$fin")
+    assert(cnt("Exchange hashpartitioning") == 1, s"corpus-side shuffle appeared:\n$fin")
+    assert(cnt("Scan parquet") == 2, s"expected exactly 2 parquet scans:\n$fin")
+    assert(cnt("BroadcastHashJoin") == 1 && cnt("SortMergeJoin") == 0 &&
+      cnt("BroadcastNestedLoopJoin") == 0, s"probe join shape changed:\n$fin")
+  }
 }
