@@ -813,6 +813,7 @@ object Similarity {
             (col("hits").cast("double") / lit(TopK)).as("recall"))
       rec(ivfTopK(s, dir), "ivf")
         .unionByName(rec(lshTopK(s, dir), "lsh"))
+        .unionByName(rec(pqTopK(s, dir), "pq"))
         .orderBy("variant", "query_id")
     }),
     // Corpus-level near-dup pairs: per-bucket self-join + exact rescore.
@@ -1140,7 +1141,7 @@ object Similarity {
          |SELECT query_id, vec_id, adc_cos, rank FROM ppr WHERE rank <= $TopK
          |ORDER BY query_id, rank""".stripMargin,
     "sim_ann_recall" ->
-      s"""$bCte$ivfCtes, xp AS (
+      s"""$bCte$ivfCtes$pqCtes, xp AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
          |         ${dotSql("q.v", "c.v")} / (sqrt(q.nrm) * sqrt(c.nrm)) AS cos
          |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
@@ -1164,6 +1165,8 @@ object Similarity {
          |    FROM lp) WHERE rank <= $TopK
          |), ivf_t AS (
          |  SELECT query_id, vec_id FROM ir WHERE rank <= $TopK
+         |), pq_t AS (
+         |  SELECT query_id, vec_id FROM ppr WHERE rank <= $TopK
          |)
          |SELECT variant, query_id, hits,
          |       CAST(hits AS DOUBLE) / $TopK AS recall
@@ -1177,6 +1180,12 @@ object Similarity {
          |  SELECT 'lsh' AS variant, x.query_id AS query_id,
          |         count(t.vec_id) AS hits
          |  FROM xt x LEFT JOIN lt t
+         |    ON x.query_id = t.query_id AND x.vec_id = t.vec_id
+         |  GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT 'pq' AS variant, x.query_id AS query_id,
+         |         count(t.vec_id) AS hits
+         |  FROM xt x LEFT JOIN pq_t t
          |    ON x.query_id = t.query_id AND x.vec_id = t.vec_id
          |  GROUP BY 1, 2
          |) ORDER BY variant, query_id""".stripMargin,

@@ -76,9 +76,9 @@ class SimilaritySpec extends SparkSpec {
     val rows = Similarity.queries("sim_ann_recall")(spark, "/root/testdata/sf0.001")
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-    // one row per (variant, query), both variants, all queries
-    assert(rows.length === 2 * Similarity.NumQueries)
-    assert(rows.map(_._1).distinct.sorted === Seq("ivf", "lsh"))
+    // one row per (variant, query), all three variants, all queries
+    assert(rows.length === 3 * Similarity.NumQueries)
+    assert(rows.map(_._1).distinct.sorted === Seq("ivf", "lsh", "pq"))
     for ((v, q, hits, recall) <- rows) {
       assert(hits >= 0 && hits <= Similarity.TopK, s"$v/$q hits=$hits")
       assert(recall === hits.toDouble / Similarity.TopK, s"$v/$q")
@@ -93,6 +93,16 @@ class SimilaritySpec extends SparkSpec {
     // visible instead of folklore.
     val ivfMean = rows.filter(_._1 == "ivf").map(_._4).sum / Similarity.NumQueries
     assert(ivfMean >= 0.7, s"ivf mean recall $ivfMean")
+    // PQ re-ranks the SAME probed candidates by the ADC approximation,
+    // so its recall is bounded by IVF's and drops with quantization
+    // error — 16-codeword/8-dim fixture codebooks on near-isotropic
+    // synthetic vectors land ~0.44 (observed). The floor pins "the ADC
+    // ranking is genuinely informative" (random top-5 from ~1/16 of the
+    // corpus would sit near 0.1), not production accuracy — production
+    // uses 256-codeword codebooks on clustered real embeddings.
+    val pqMean = rows.filter(_._1 == "pq").map(_._4).sum / Similarity.NumQueries
+    assert(pqMean >= 0.3, s"pq mean recall $pqMean")
+    assert(pqMean <= ivfMean + 1e-12, s"pq recall $pqMean above ivf $ivfMean")
   }
 
   test("brute-force and ANN agree on shared candidates") {
