@@ -487,6 +487,67 @@ object Dedup {
       .filter(jac >= threshold)
   }
 
+  /** Containment bar for [[containment]]: the fraction of the SMALLER
+    * doc's shingle set that must reappear in the other doc.
+    */
+  val ContainmentThreshold = 0.9
+
+  /** Asymmetric containment pairs: ix / min(|A|,|B|) ≥
+    * [[ContainmentThreshold]] — the doc-inclusion / quote / boilerplate
+    * detector symmetric Jaccard is blind to (a page embedded verbatim in
+    * a 10× larger page has containment 1.0 but Jaccard ≈ 0.1, far under
+    * any dedup bar). Jaccard rides along for contrast.
+    *
+    * Candidate generation stays lossless WITHOUT all-pairs via the
+    * asymmetric form of prefix filtering: if containment(X→partner) ≥ t
+    * then X's first |X| − ⌊t·|X|⌋ + 1 keys (any fixed global order —
+    * here the sorted hashes, as in [[ngramJaccardPairsRaw]]) must hit
+    * the partner's FULL set — pigeonhole on X's side alone, no bound on
+    * the partner's size needed. So each doc's prefix probes the full
+    * df-capped inverted index; a qualifying pair is found when its
+    * smaller side probes, whichever side that is. Unlike the Jaccard
+    * chain, the probed side cannot be prefix-trimmed (the partner's
+    * required overlap t·|X| is unknown while indexing) — the df cap is
+    * the scale lever on that side, and the verification join back to
+    * the per-doc sets is candidate-sized and key-partitioned.
+    */
+  def containment(d: DataFrame,
+      threshold: Double = ContainmentThreshold,
+      maxShingleDf: Int = MaxShingleDf): DataFrame = {
+    val production = graft.functions.PortableHash.enabled(d)
+    val posts = rawShingles(toksOf(d)).select(
+      graft.functions.PortableHash.key64(col("s"), production).as("shk"),
+      col("doc_id"))
+    val idx = posts.groupBy("shk").agg(collect_set(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) <= maxShingleDf)
+    val docsets = idx.select(col("shk"), explode(col("docs")).as("doc_id"))
+      .groupBy("doc_id").agg(array_sort(collect_set(col("shk"))).as("ks"))
+      .select(col("doc_id"), col("ks"), size(col("ks")).as("n"))
+    // probe prefix: floor (not ⌈·⌉) keeps the prefix ≥ required under
+    // float rounding of t·n — at most one element longer, never shorter
+    val plen = size(col("ks")) - floor(size(col("ks")) * lit(threshold)).cast("int") + 1
+    val cands = docsets
+      .select(col("doc_id"), explode(slice(col("ks"), lit(1), plen)).as("shk"))
+      .join(idx, Seq("shk"))
+      .select(col("doc_id").as("da"), explode(col("docs")).as("db"))
+      .filter(col("da") =!= col("db"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"))
+      .distinct()
+    val a = docsets.select(col("doc_id").as("doc_a"), col("ks").as("ka"),
+      col("n").as("na"))
+    val b = docsets.select(col("doc_id").as("doc_b"), col("ks").as("kb"),
+      col("n").as("nb"))
+    val ix = size(array_intersect(col("ka"), col("kb")))
+    val cont = col("ix").cast("double") / least(col("na"), col("nb")).cast("double")
+    val jac = col("ix").cast("double") / (col("na") + col("nb") - col("ix")).cast("double")
+    cands.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"), ix.as("ix"))
+      .select(col("doc_a"), col("doc_b"), cont.as("containment"), jac.as("jaccard"))
+      .filter(col("containment") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Min-label propagation rounds for [[nearDupClusters]]. Converges
     * exactly for components of diameter ≤ ClusterRounds; near-dup
     * clusters are shallow in practice (dup families share most
@@ -789,6 +850,7 @@ object Dedup {
       simhashPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       ngramJaccard(docs(s, dir)).orderBy("doc_a", "doc_b")),
+    "dedup_containment" -> ((s, dir) => containment(docs(s, dir))),
     // The end-to-end NEAR-dedup apply a pipeline actually runs:
     // candidates → Jaccard-verified pairs → connected components →
     // keep min doc_id per cluster, drop the rest. The verified pair
@@ -1164,6 +1226,31 @@ object Dedup {
          |JOIN sizes na ON na.doc_id = doc_a
          |JOIN sizes nb ON nb.doc_id = doc_b
          |WHERE CAST(ix AS DOUBLE) / CAST(na.n + nb.n - ix AS DOUBLE) >= $JaccardThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Naive all-shared-pairs form on purpose — an independent
+    // implementation of the asymmetric prefix-probe candidate scheme.
+    "dedup_containment" ->
+      s"""$shCte, shh AS (
+         |  SELECT DISTINCT doc_id, $jaccardHashSql AS s
+         |  FROM (SELECT doc_id, substr(md5(s), 1, 15) AS hx FROM sh)
+         |), rare AS (
+         |  SELECT s FROM shh GROUP BY s HAVING count(*) <= $MaxShingleDf
+         |), shf AS (
+         |  SELECT shh.* FROM shh JOIN rare USING (s)
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS n FROM shf GROUP BY 1
+         |), inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ix
+         |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b,
+         |       CAST(ix AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE) AS containment,
+         |       CAST(ix AS DOUBLE) / CAST(na.n + nb.n - ix AS DOUBLE) AS jaccard
+         |FROM inter
+         |JOIN sizes na ON na.doc_id = doc_a
+         |JOIN sizes nb ON nb.doc_id = doc_b
+         |WHERE CAST(ix AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE) >= $ContainmentThreshold
          |ORDER BY doc_a, doc_b""".stripMargin,
     // keep = admitted docs that are either unpaired or their cluster's
     // min doc_id (lbl converges to the component min within

@@ -168,10 +168,30 @@ class DedupSpec extends SparkSpec {
     assert(filtered === Set((0L, 1L), (0L, 2L), (1L, 2L)))
   }
 
+  test("containment flags a doc embedded in a 10x larger one that Jaccard misses") {
+    val s = spark; import s.implicits._
+    val small = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val filler = (1 to 100).map(i => s"w$i").mkString(" ")
+    val corpus2 = Seq(
+      (1L, small),                  // 12 tokens, 10 trigrams
+      (2L, s"$small $filler"),      // contains doc 1 verbatim + 100 tokens
+      (3L, "nothing shared here at all with anyone else ever truly")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containment(corpus2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(x => (x._1, x._2)).toSeq === Seq((1L, 2L)))
+    val (_, _, cont, jac) = got.head
+    assert(cont === 1.0, s"containment $cont")   // every doc-1 trigram is in doc 2
+    assert(jac < 0.5, s"jaccard $jac")           // far under any dedup bar
+    // and the symmetric Jaccard query is indeed blind to this pair
+    assert(Dedup.ngramJaccard(corpus2).collect().isEmpty)
+  }
+
   test("no pair generator ever plans a cartesian product or NL join") {
     for (df <- Seq(Dedup.minhashCandidates(corpus),
                    Dedup.simhashPairs(corpus),
-                   Dedup.ngramJaccard(corpus))) {
+                   Dedup.ngramJaccard(corpus),
+                   Dedup.containment(corpus))) {
       val plan = physicalPlan(df)
       assert(!plan.contains("CartesianProduct"), plan.take(2000))
       assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
