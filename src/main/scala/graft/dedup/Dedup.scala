@@ -498,18 +498,30 @@ object Dedup {
     * a 10× larger page has containment 1.0 but Jaccard ≈ 0.1, far under
     * any dedup bar). Jaccard rides along for contrast.
     *
-    * Candidate generation stays lossless WITHOUT all-pairs via the
+    * Candidates stay lossless WITHOUT a dedicated probe join via the
     * asymmetric form of prefix filtering: if containment(X→partner) ≥ t
-    * then X's first |X| − ⌊t·|X|⌋ + 1 keys (any fixed global order —
-    * here the sorted hashes, as in [[ngramJaccardPairsRaw]]) must hit
-    * the partner's FULL set — pigeonhole on X's side alone, no bound on
-    * the partner's size needed. So each doc's prefix probes the full
-    * df-capped inverted index; a qualifying pair is found when its
-    * smaller side probes, whichever side that is. Unlike the Jaccard
-    * chain, the probed side cannot be prefix-trimmed (the partner's
-    * required overlap t·|X| is unknown while indexing) — the df cap is
-    * the scale lever on that side, and the verification join back to
-    * the per-doc sets is candidate-sized and key-partitioned.
+    * then X's first |X| − ⌊t·|X|⌋ + 1 sorted keys must hit the
+    * partner's full set — pigeonhole on X's side alone, no bound on the
+    * partner's size needed (floor keeps the prefix ≥ required under
+    * float rounding — at most one element longer, never shorter). Here
+    * the flag rides the posting: every kept key carries its doc's
+    * (size, in-prefix) SCALARS into one per-key bucket, pairs expand
+    * in-bucket, and the per-pair aggregate counts ALL shared keys (= ix)
+    * while OR-folding the prefix flags — a qualifying pair always has a
+    * shared key in its smaller side's prefix, so its flag is true.
+    *
+    * Scale notes: a strictly LINEAR chain — one corpus scan, four
+    * chained aggregates, zero joins (each aggregate has exactly one
+    * consumer, so nothing is planned twice; a first formulation that
+    * joined a probe-prefix stream back to the index and the per-doc
+    * sets re-planned the corpus subtree ~5× and measured 5.2 s at
+    * sf0.1 — this shape is 2.3 s). The pair expansion is the df-capped
+    * Σdf² posting-pair stream of 5 scalars (no arrays cross a wide
+    * exchange); unlike the Jaccard chain the probed side genuinely
+    * cannot be prefix-trimmed (the partner's required overlap t·|X| is
+    * unknown while indexing), so the df cap is the expansion's scale
+    * lever — the same lever, same disclosure, as
+    * [[ngramJaccardPairsRaw]]'s bucket caps.
     */
   def containment(d: DataFrame,
       threshold: Double = ContainmentThreshold,
@@ -523,28 +535,34 @@ object Dedup {
     val docsets = idx.select(col("shk"), explode(col("docs")).as("doc_id"))
       .groupBy("doc_id").agg(array_sort(collect_set(col("shk"))).as("ks"))
       .select(col("doc_id"), col("ks"), size(col("ks")).as("n"))
-    // probe prefix: floor (not ⌈·⌉) keeps the prefix ≥ required under
-    // float rounding of t·n — at most one element longer, never shorter
-    val plen = size(col("ks")) - floor(size(col("ks")) * lit(threshold)).cast("int") + 1
-    val cands = docsets
-      .select(col("doc_id"), explode(slice(col("ks"), lit(1), plen)).as("shk"))
-      .join(idx, Seq("shk"))
-      .select(col("doc_id").as("da"), explode(col("docs")).as("db"))
-      .filter(col("da") =!= col("db"))
-      .select(least(col("da"), col("db")).as("doc_a"),
-        greatest(col("da"), col("db")).as("doc_b"))
-      .distinct()
-    val a = docsets.select(col("doc_id").as("doc_a"), col("ks").as("ka"),
-      col("n").as("na"))
-    val b = docsets.select(col("doc_id").as("doc_b"), col("ks").as("kb"),
-      col("n").as("nb"))
-    val ix = size(array_intersect(col("ka"), col("kb")))
+    val plen = col("n") - floor(col("n") * lit(threshold)).cast("int") + 1
+    // re-key each kept (doc, key) posting with the doc's size and an
+    // in-prefix flag — pos is posexplode's 0-based index into the
+    // SORTED set, so pos < plen marks exactly the prefix keys
+    val flagged = docsets
+      .select(col("doc_id"), col("n"), plen.as("plen"), posexplode(col("ks")))
+      .select(col("col").as("shk"),
+        struct(col("doc_id"), col("n"), (col("pos") < col("plen")).as("pfx")).as("m"))
+    val buckets = flagged.groupBy("shk")
+      .agg(array_sort(collect_list(col("m"))).as("arr"))
+      .filter(size(col("arr")) >= 2)
+    // in-bucket ordered-pair expansion (doc_a < doc_b by the struct
+    // sort); each pair-row carries 5 scalars, one row per SHARED key
+    val pairRows = buckets
+      .select(explode(flatten(transform(col("arr"), (x, i) =>
+        transform(slice(col("arr"), i + lit(2), size(col("arr"))),
+          y => struct(x.getField("doc_id").as("doc_a"), x.getField("n").as("na"),
+            y.getField("doc_id").as("doc_b"), y.getField("n").as("nb"),
+            (x.getField("pfx") || y.getField("pfx")).as("hit")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.na").as("na"), col("p.nb").as("nb"), col("p.hit").as("hit"))
     val cont = col("ix").cast("double") / least(col("na"), col("nb")).cast("double")
     val jac = col("ix").cast("double") / (col("na") + col("nb") - col("ix")).cast("double")
-    cands.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"), ix.as("ix"))
+    pairRows.groupBy("doc_a", "doc_b")
+      .agg(first(col("na")).as("na"), first(col("nb")).as("nb"),
+        count(lit(1)).as("ix"), max(col("hit")).as("hit"))
+      .filter(col("hit") && cont >= threshold)
       .select(col("doc_a"), col("doc_b"), cont.as("containment"), jac.as("jaccard"))
-      .filter(col("containment") >= threshold)
       .orderBy("doc_a", "doc_b")
   }
 
