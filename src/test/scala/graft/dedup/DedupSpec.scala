@@ -187,11 +187,38 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.ngramJaccard(corpus2).collect().isEmpty)
   }
 
+  test("incremental dedup routes each delta doc; delta-delta pairs never count") {
+    val s = spark; import s.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    // delta = doc_id % DeltaMod == DeltaMod-1 (4, 9, 14, 19); rest corpus
+    val d = Seq(
+      (0L, base),                                  // corpus original
+      (1L, "totally unrelated corpus content words here and there today"),
+      (4L, base),                                  // delta: exact dup of 0
+      (9L, base.replace(" mu", " nu")),            // delta: near-dup of 0
+      (14L, "fresh never seen before material with no overlap at all"),
+      (19L, "hi")                                  // delta: too short to shingle
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(d)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got.keySet === Set(4L, 9L, 14L, 19L), "one row per delta doc")
+    // doc 4: identical text → exact verdict wins over its near hits
+    assert(got(4L)._1 && got(4L)._3 == "exact_dup")
+    // doc 9: one word changed → LSH near hit on corpus doc 0 ONLY —
+    // delta sibling 4 shares its buckets but must not be counted
+    assert(got(9L) === ((false, 1L, "near_candidate")))
+    assert(got(14L) === ((false, 0L, "new")))
+    // 1 token < shingle size: no signature, exact arm still admits it
+    assert(got(19L) === ((false, 0L, "new")))
+  }
+
   test("no pair generator ever plans a cartesian product or NL join") {
     for (df <- Seq(Dedup.minhashCandidates(corpus),
                    Dedup.simhashPairs(corpus),
                    Dedup.ngramJaccard(corpus),
-                   Dedup.containment(corpus))) {
+                   Dedup.containment(corpus),
+                   Dedup.incrementalDedup(corpus))) {
       val plan = physicalPlan(df)
       assert(!plan.contains("CartesianProduct"), plan.take(2000))
       assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
