@@ -238,7 +238,12 @@ object Relational {
     // TPC-H Q22-shaped anti-join + scalar subquery: per nation, the
     // customers with above-average positive balance and no recent orders.
     "rel_idle_rich_customers" -> ((s, dir) =>
-      idleRichCustomers(t(s, dir, "customer"), t(s, dir, "orders")))
+      idleRichCustomers(t(s, dir, "customer"), t(s, dir, "orders"))),
+    // TPC-H Q21-shaped double-correlated quantifier: suppliers who were
+    // the sole late shipper in a multi-supplier order.
+    "rel_sole_late_supplier" -> ((s, dir) =>
+      soleLateSupplier(t(s, dir, "lineitem"), t(s, dir, "orders"),
+        t(s, dir, "supplier")))
   )
 
   /** TPC-H Q4 shape for [[queries]]' `rel_late_orders`, decorrelated:
@@ -315,6 +320,49 @@ object Relational {
       .groupBy("c_nationkey")
       .agg(count(lit(1)).as("n_custs"), dsum(col("c_acctbal")).as("total_bal"))
       .orderBy("c_nationkey")
+  }
+
+  /** TPC-H Q21 shape for [[queries]]' `rel_sole_late_supplier`:
+    * suppliers who were the ONLY late shipper (ship lag > 90 days — the
+    * fixture's stand-in for Q21's receipt-after-commit, as in
+    * [[lateOrders]]) in an order involving MORE THAN ONE supplier. The
+    * spec's double-correlated form — EXISTS(another supplier's line)
+    * AND NOT EXISTS(another supplier's late line), each a probe over
+    * full lineitem volume — decorrelates into ONE two-level aggregate:
+    * (a) per (order, supplier): any-late, collapsing line volume
+    * map-side on the composite key; (b) per order: supplier count,
+    * late-supplier count, and the sole late supplier's key via
+    * max(when(late, suppkey)) — well-defined exactly when the
+    * late-count filter (= 1) holds, bounded rows per order. An order
+    * qualifies iff n_supp > 1 ∧ n_late = 1; a qualifying order then
+    * contributes one wait to its sole late supplier. No correlated
+    * probe survives: the only fact-volume exchanges are the
+    * orders⋈lineitem join (lag needs a column from each side, as in
+    * [[shipLag]]) and the (order, supplier) collapse; the supplier-name
+    * attach is a broadcast onto the per-supplier counts. The DuckDB
+    * oracle keeps the naive EXISTS/NOT-EXISTS form, so the rewrite's
+    * equivalence is hash-checked, not assumed.
+    */
+  def soleLateSupplier(lineitem: DataFrame, orders: DataFrame,
+      supplier: DataFrame): DataFrame = {
+    val o = orders.select("o_orderkey", "o_orderdate")
+    val li = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    val late = datediff(col("l_shipdate").cast("date"),
+      col("o_orderdate").cast("date")) > 90
+    val perSupp = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(late).as("late"))
+    val perOrder = perSupp.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+        max(when(col("late"), col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supp") > 1 && col("n_late") === 1)
+    perOrder.groupBy("late_supp")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier.select("s_suppkey", "s_name")),
+        col("late_supp") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(desc("numwait"), col("s_suppkey"))
   }
 
   /** TPC-H Q12 shape for [[queries]]' `rel_ship_lag`: one fact-fact
@@ -605,6 +653,27 @@ object Relational {
         |WHERE c_acctbal > avg_bal
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Naive double-correlated EXISTS/NOT-EXISTS on purpose — an
+    // independent implementation of the two-level-aggregate
+    // decorrelation (see soleLateSupplier scaladoc).
+    "rel_sole_late_supplier" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         date_diff('day', CAST(o_orderdate AS DATE),
+        |                   CAST(l_shipdate AS DATE)) > 90 AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late) l1
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE EXISTS (
+        |    SELECT 1 FROM li l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM li l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        |GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey""".stripMargin
   )
 }

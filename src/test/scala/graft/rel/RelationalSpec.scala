@@ -228,6 +228,29 @@ class RelationalSpec extends SparkSpec {
     assert(r === Array((2, 1L, 300.0)))
   }
 
+  test("sole late supplier: only multi-supplier orders with exactly one late shipper count") {
+    val s = spark; import s.implicits._
+    val base = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    def plus(days: Int) = new java.sql.Timestamp(
+      base.getTime + days * 86400000L)
+    // order 1: supps 10 (late twice — dedups to one wait) and 11 on
+    // time → supp 10 counted. order 2: single-supplier, late →
+    // excluded (no other supplier waited). order 3: supps 10 AND 12
+    // both late → excluded (blame is ambiguous). order 4: nobody late.
+    val li = Seq(
+      (1L, 10L, plus(95)), (1L, 10L, plus(100)), (1L, 11L, plus(5)),
+      (2L, 10L, plus(95)),
+      (3L, 10L, plus(95)), (3L, 12L, plus(95)), (3L, 11L, plus(5)),
+      (4L, 10L, plus(5)), (4L, 11L, plus(6)))
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val o = (1L to 4L).map(k => (k, base)).toDF("o_orderkey", "o_orderdate")
+    val sup = Seq((10L, "Supp#10"), (11L, "Supp#11"), (12L, "Supp#12"))
+      .toDF("s_suppkey", "s_name")
+    val r = Relational.soleLateSupplier(li, o, sup).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    assert(r === Array((10L, "Supp#10", 1L)))
+  }
+
   test("rel_late_orders pre-aggregates lineitem before its exchange") {
     val p = plan("rel_late_orders")
     val reads = p.linesIterator.filter(_.contains("ReadSchema")).mkString
