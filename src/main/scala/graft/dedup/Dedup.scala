@@ -830,6 +830,46 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count_distinct(col("shk")).as("n_shared_keys"))
 
+  /** Bloom capacity for [[decontaminateBloom]]'s eval-key sketch: a
+    * FIXED build bound (no extra counting job), 10 bits/key ≈ 1% false
+    * positives at capacity. A production run sizes this from the known
+    * eval-suite volume; the aggregate errors loudly past Spark's
+    * 4M-item guard rather than silently degrading.
+    */
+  val DecontamBloomKeys = 1L << 20
+
+  /** [[decontaminate]]'s exact result behind a bloom PRE-filter — the
+    * 100 TB variant for when the eval side outgrows a comfortable
+    * broadcast hash set. The bloom sketch over the eval keys costs ~10
+    * bits/key (vs the semi-join build side's 8-byte key + hash-map
+    * overhead, an order of magnitude more), ships to every executor as
+    * one binary literal, and discards the overwhelmingly-clean corpus
+    * postings in a codegen'd scan predicate; only the ~1%
+    * might-contain survivors reach the exact semi-join that removes
+    * bloom false positives. False negatives don't exist in a bloom
+    * filter, so the result is hash-checked IDENTICAL to
+    * [[decontaminate]] (same oracle SQL, no weaker gate). Eager at
+    * build (documented registry entry): the sketch is collected from
+    * the tiny benchmark side — bounded by [[DecontamBloomKeys]]·10
+    * bits ≈ 1.3 MB — and re-entered as a literal, the stopword
+    * side-input discipline.
+    */
+  def decontaminateBloom(corpus: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val production = graft.functions.PortableHash.enabled(corpus)
+    val evalKeys = decontamKeys(evalDocs, production).select("shk").distinct()
+    val bloom = evalKeys.agg(graft.functions.GraftFunctions
+        .graftBloomAgg(col("shk"), lit(DecontamBloomKeys),
+          lit(DecontamBloomKeys * 10)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val contaminated = decontamKeys(corpus, production)
+      .filter(graft.functions.GraftFunctions
+        .graftMightContain(lit(bloom), col("shk")))
+      .join(broadcast(evalKeys), Seq("shk"), "left_semi")
+      .select("doc_id").distinct()
+    corpus.join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
   /** Cross-source duplication matrix on hashed [[DecontamShingle]]-gram
     * key SETS: for every source pair, the distinct keys each side holds,
     * how many they share, and the Jaccard of the two sets — the corpus
@@ -975,6 +1015,15 @@ object Dedup {
     "dedup_decontaminate_report" -> ((s, dir) => {
       val d = docs(s, dir)
       decontaminationReport(
+        d.filter(col("source") =!= lit(DecontamEvalSource)),
+        d.filter(col("source") === lit(DecontamEvalSource)))
+        .orderBy("doc_id")
+    }),
+    // Same result as dedup_decontaminate (same oracle) behind the bloom
+    // pre-filter — eager at build (the collected eval-key sketch).
+    "dedup_decontaminate_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      decontaminateBloom(
         d.filter(col("source") =!= lit(DecontamEvalSource)),
         d.filter(col("source") === lit(DecontamEvalSource)))
         .orderBy("doc_id")
@@ -1177,6 +1226,20 @@ object Dedup {
        |), ev AS (
        |  SELECT DISTINCT shk FROM keyed WHERE source = '$DecontamEvalSource'
        |)""".stripMargin
+
+  /** Shared by `dedup_decontaminate` and its bloom-prefiltered twin:
+    * the sketch only PRE-filters, the exact semi-join decides, so both
+    * registry entries are hash-identical to this one SQL.
+    */
+  private val decontaminateOracle: String =
+    s"""$decontamCtes, hits AS (
+       |  SELECT DISTINCT keyed.doc_id FROM keyed JOIN ev USING (shk)
+       |  WHERE source <> '$DecontamEvalSource'
+       |)
+       |SELECT dd.doc_id, dd.lang, dd.source, dd.n_chars
+       |FROM dd LEFT JOIN hits ON hits.doc_id = dd.doc_id
+       |WHERE dd.source <> '$DecontamEvalSource' AND hits.doc_id IS NULL
+       |ORDER BY dd.doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -1386,15 +1449,8 @@ object Dedup {
     // collision with the eval set drops the doc on both engines). Both
     // decontamination oracles graft onto [[decontamCtes]], the mirror of
     // the shared contaminatedPostings chain.
-    "dedup_decontaminate" ->
-      s"""$decontamCtes, hits AS (
-         |  SELECT DISTINCT keyed.doc_id FROM keyed JOIN ev USING (shk)
-         |  WHERE source <> '$DecontamEvalSource'
-         |)
-         |SELECT dd.doc_id, dd.lang, dd.source, dd.n_chars
-         |FROM dd LEFT JOIN hits ON hits.doc_id = dd.doc_id
-         |WHERE dd.source <> '$DecontamEvalSource' AND hits.doc_id IS NULL
-         |ORDER BY dd.doc_id""".stripMargin,
+    "dedup_decontaminate" -> decontaminateOracle,
+    "dedup_decontaminate_bloom" -> decontaminateOracle,
     "dedup_decontaminate_report" ->
       s"""$decontamCtes
          |SELECT doc_id, count(DISTINCT keyed.shk) AS n_shared_keys

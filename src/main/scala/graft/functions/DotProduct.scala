@@ -123,6 +123,22 @@ object GraftFunctions {
   def graftMinhash(toks: Column, n: Column, k: Column,
       production: Column): Column =
     call_function("graft_minhash", toks, n, k, production)
+
+  /** Spark's native `BloomFilterAggregate` (the engine behind runtime
+    * join pruning), surfaced through the registry because core leaves
+    * it SQL-unregistered: builds a bloom sketch (binary) over a LONG
+    * key column. `est` bounds the expected distinct keys, `bits` the
+    * sketch size — ~10 bits/key ≈ 1% false-positive rate.
+    */
+  def graftBloomAgg(key: Column, est: Column, bits: Column): Column =
+    call_function("graft_bloom_agg", key, est, bits)
+
+  /** Spark's native `BloomFilterMightContain` over a bloom sketch
+    * (binary, must be foldable — a collected side input) and a LONG
+    * key: false ⇒ definitely absent, true ⇒ verify exactly.
+    */
+  def graftMightContain(bloom: Column, key: Column): Column =
+    call_function("graft_might_contain", bloom, key)
 }
 
 /** Function injection: add `.withExtensions(new GraftExtensions)` to the
@@ -172,5 +188,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
         (children: Seq[Expression]) =>
           MinHashSig(children(0), children(1), children(2), children(3))))
+    // Spark-native bloom expressions (used for runtime join pruning
+    // internally) that core does not expose in the SQL registry.
+    ext.injectFunction(
+      (FunctionIdentifier("graft_bloom_agg"),
+        new ExpressionInfo(
+          classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+          "graft_bloom_agg"),
+        (children: Seq[Expression]) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+            children(0), children(1), children(2))))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_might_contain"),
+        new ExpressionInfo(
+          classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+          "graft_might_contain"),
+        (children: Seq[Expression]) =>
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            children(0), children(1))))
   }
 }

@@ -21,6 +21,7 @@ class RegistrySpec extends SparkSpec {
     "dedup_near_apply",     // cap-bounded verified-pair edge list, re-entered locally
     "dedup_cluster_sizes",  // same collected pair stream, histogram re-entered locally
     "dedup_source_overlap", // ≤|sources|² co-occurrence counts, grid re-entered locally
+    "dedup_decontaminate_bloom", // ~1.3 MB eval-key bloom sketch, re-entered as a literal
     "sim_ann_recall",       // 50-row exact top-k side input
     "sim_cosine_ann_ivf",   // ≤256-row training sample for driver Lloyd
     "sim_cosine_ann_pq",    // same sample, feeding coarse + PQ codebook training

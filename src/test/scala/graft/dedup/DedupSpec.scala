@@ -253,6 +253,19 @@ class DedupSpec extends SparkSpec {
     assert(report === Map(1L -> 1L))
   }
 
+  test("bloom-prefiltered decontamination is row-identical to the exact chain") {
+    // The sketch only pre-filters (no false negatives); the exact
+    // semi-join removes bloom false positives, so the results must
+    // match doc-for-doc — the property the shared oracle SQL relies on.
+    val dir = "/root/testdata/sf0.001"
+    val exact = graft.SparkEntry.queries("dedup_decontaminate")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val bloom = graft.SparkEntry.queries("dedup_decontaminate_bloom")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(bloom === exact)
+    assert(exact.nonEmpty)
+  }
+
   test("decontamination plans broadcast joins only — the corpus never shuffles to be tested") {
     val dir = "/root/testdata/sf0.001"
     for (name <- Seq("dedup_decontaminate", "dedup_decontaminate_report")) {
