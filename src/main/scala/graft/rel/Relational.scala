@@ -243,7 +243,25 @@ object Relational {
     // the sole late shipper in a multi-supplier order.
     "rel_sole_late_supplier" -> ((s, dir) =>
       soleLateSupplier(t(s, dir, "lineitem"), t(s, dir, "orders"),
-        t(s, dir, "supplier")))
+        t(s, dir, "supplier"))),
+    // TPC-H Q2-shaped per-group arg-min: cheapest supplier per small part.
+    "rel_min_price_supplier" -> ((s, dir) =>
+      minPriceSupplier(t(s, dir, "lineitem"), t(s, dir, "part"),
+        t(s, dir, "supplier"))),
+    // TPC-H Q15-shaped max-over-aggregate with ties preserved.
+    "rel_top_supplier" -> ((s, dir) =>
+      topSupplier(t(s, dir, "lineitem"), t(s, dir, "supplier"))),
+    // TPC-H Q18-shaped HAVING-sum membership join back to detail rows.
+    "rel_big_orders" -> ((s, dir) =>
+      bigOrders(t(s, dir, "lineitem"), t(s, dir, "orders"),
+        t(s, dir, "customer"))),
+    // TPC-H Q11-shaped fraction-of-total HAVING over a grouped aggregate.
+    "rel_important_parts" -> ((s, dir) =>
+      importantParts(t(s, dir, "lineitem"))),
+    // TPC-H Q20-shaped nested half-sum quantifier: per-cell dominant
+    // suppliers.
+    "rel_dominant_supplier" -> ((s, dir) =>
+      dominantSupplier(t(s, dir, "lineitem"), t(s, dir, "supplier")))
   )
 
   /** TPC-H Q4 shape for [[queries]]' `rel_late_orders`, decorrelated:
@@ -363,6 +381,202 @@ object Relational {
         col("late_supp") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("numwait"))
       .orderBy(desc("numwait"), col("s_suppkey"))
+  }
+
+  /** Part-size cutoff for [[minPriceSupplier]] — keeps the dimension
+    * filter selective (~30% of parts) so the broadcast semi-reduction
+    * below it is visibly load-bearing at every SF.
+    */
+  val MinPricePartSize = 15
+
+  /** TPC-H Q2 shape for [[queries]]' `rel_min_price_supplier`: for each
+    * small part (`p_size` ≤ [[MinPricePartSize]]), the supplier whose
+    * line offered it cheapest (ties on price broken by the smaller
+    * suppkey — Q2's `ORDER BY s_suppkey LIMIT 1` stance, made total).
+    * The spec's correlated `= (SELECT min(price) …)` probe decorrelates
+    * into ONE aggregate: `min(struct(price, suppkey))` — struct
+    * ordering is lexicographic, so a single map-side-collapsing min
+    * yields the arg-min WITH its deterministic tie-break, no join-back
+    * against the fact table and no second fact scan. Join order matters
+    * at scale: the fact scan is semi-reduced through the broadcast
+    * filtered part dimension BEFORE the aggregate, so the exchange
+    * carries only small-part offer rows; the supplier-name attach is a
+    * broadcast onto the per-part result (|parts| rows, never fact
+    * volume). Prices compare raw (no arithmetic), so double equality is
+    * exact cross-engine; the DuckDB oracle keeps the naive
+    * doubly-correlated form (min price, then min suppkey at that
+    * price), so the rewrite's equivalence is hash-checked, not assumed.
+    */
+  def minPriceSupplier(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame): DataFrame = {
+    val p = part.filter(col("p_size") <= MinPricePartSize)
+      .select("p_partkey", "p_name")
+    lineitem.select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_partkey", "p_name")
+      .agg(min(struct(col("l_extendedprice"), col("l_suppkey"))).as("best"))
+      .select(col("p_partkey"), col("p_name"),
+        col("best.l_extendedprice").as("min_price"),
+        col("best.l_suppkey").as("best_supp"))
+      .join(broadcast(supplier.select("s_suppkey", "s_name")),
+        col("best_supp") === col("s_suppkey"))
+      .select("p_partkey", "p_name", "min_price", "s_suppkey", "s_name")
+      .orderBy("p_partkey")
+  }
+
+  /** Revenue window for [[topSupplier]] — one quarter, as in Q15. */
+  val TopSupplierFrom = "1996-01-01"
+  val TopSupplierUntil = "1996-04-01"
+
+  /** TPC-H Q15 shape for [[queries]]' `rel_top_supplier`: the
+    * supplier(s) with the maximum revenue in one quarter, ALL ties
+    * preserved — the shape where `ORDER BY … LIMIT 1` is wrong (it
+    * drops tied winners nondeterministically) and a rank window over
+    * an unpartitioned frame is wasteful (it sorts every supplier to
+    * keep one rank). Instead the per-supplier aggregate is computed
+    * once, its 1-row max re-enters as a broadcast (the
+    * [[graft.stats.Contingency]] global-N pattern), and an equality
+    * filter keeps every argmax row. Revenue stays DECIMAL through the
+    * max AND the tie comparison — exact, order-independent in both
+    * engines — and only the output column casts to double
+    * (file-header rule). The date predicate pushes into the scan.
+    */
+  def topSupplier(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    // The explicit suppkey null-filter makes the aggregate subtree
+    // IDENTICAL under both consumers (the argmax equality join would
+    // otherwise push an IsNotNull into its branch only), so AQE plans
+    // the per-supplier exchange once and the max branch reads it as a
+    // ReusedExchange — one fact scan, not two (plan-pinned in
+    // RelationalSpec).
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit(TopSupplierFrom).cast("timestamp") &&
+        col("l_shipdate") < lit(TopSupplierUntil).cast("timestamp") &&
+        col("l_suppkey").isNotNull)
+      .groupBy("l_suppkey")
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(28,10)")).as("revd"))
+    val mx = rev.agg(max(col("revd")).as("mxd"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("revd") === col("mxd"))
+      .join(broadcast(supplier.select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("revd").cast("double").as("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Per-order quantity threshold for [[bigOrders]] — ≈ the p98–p99 of
+    * the fixture's per-order quantity sum at every SF (the distribution
+    * is SF-invariant), so the filter is selective but never empty.
+    */
+  val BigOrderQty = 250
+
+  /** TPC-H Q18 shape for [[queries]]' `rel_big_orders`: detail rows for
+    * orders whose total line quantity exceeds [[BigOrderQty]]. The
+    * spec's `IN (… GROUP BY … HAVING sum > N)` membership probe IS the
+    * aggregate result — lineitem collapses map-side to one (orderkey,
+    * qty-sum) row per order before its only exchange, the HAVING filter
+    * cuts that to the top ~1–2% of orders, and the join back to orders
+    * is 1:1 on the orders primary key. The top-100 cut
+    * (TakeOrderedAndProject — per-partition heaps, 100 rows to the
+    * driver, deterministic under the (totalprice DESC, orderkey)
+    * tie-break) runs BEFORE the customer attach, since the ordering
+    * uses no customer column — so the broadcast side of the name
+    * attach is exactly 100 rows, not the threshold-qualified order
+    * set (which at 100 TB is ~1% of all orders — far past any
+    * broadcast threshold). Quantity sums stay DECIMAL through the
+    * threshold compare (exact — quantities are integer-valued). The
+    * DuckDB oracle keeps the naive IN + re-correlated scalar sum form.
+    */
+  def bigOrders(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame): DataFrame = {
+    val top = lineitem.select("l_orderkey", "l_quantity")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("decimal(28,10)")).as("qd"))
+      .filter(col("qd") > BigOrderQty)
+      .join(orders.select("o_orderkey", "o_custkey", "o_orderdate",
+        "o_totalprice"), col("l_orderkey") === col("o_orderkey"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(100)
+    customer.select("c_custkey", "c_name")
+      .join(broadcast(top), col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        col("qd").cast("double").as("sum_qty"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+  }
+
+  /** TPC-H Q11 shape for [[queries]]' `rel_important_parts`: parts whose
+    * revenue exceeds 1.5× the mean per-part revenue. Q11's fixed
+    * `HAVING sum > fraction · total` only stays non-trivial at one
+    * scale factor; anchoring the threshold to the mean (1.5 ×
+    * total/n_parts) makes it scale-free — the global scalar is still
+    * ONE 1-row broadcast (total + part count in the same row, the
+    * [[graft.stats.Contingency]] global-N pattern), and the grouped
+    * aggregate it gates collapses map-side on the part key. Revenue
+    * accumulates as exact DECIMAL; the threshold compare then runs in
+    * DOUBLE with one multiply and one divide in a pinned order, on
+    * correctly-rounded decimal→double casts (Spark's
+    * BigDecimal.doubleValue; the oracle VARCHAR-hops per the
+    * file-header rule) — identical IEEE inputs and operation order,
+    * so the predicate is bit-deterministic cross-engine.
+    */
+  def importantParts(lineitem: DataFrame): DataFrame = {
+    val pr = lineitem.groupBy("l_partkey")
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(28,10)")).as("revd"))
+    val tot = pr.agg(sum(col("revd")).as("totd"),
+      count(lit(1)).as("n_parts"))
+    pr.crossJoin(broadcast(tot))
+      .filter(col("revd").cast("double") >
+        lit(1.5) * (col("totd").cast("double") / col("n_parts").cast("double")))
+      .select(col("l_partkey").as("p_partkey"),
+        col("revd").cast("double").as("revenue"),
+        (col("revd").cast("double") / col("totd").cast("double"))
+          .as("rev_share"))
+      .orderBy(desc("revenue"), col("p_partkey"))
+  }
+
+  /** TPC-H Q20 shape for [[queries]]' `rel_dominant_supplier`: per
+    * supplier, the number of (part, ship-year) cells where that
+    * supplier shipped MORE THAN HALF the cell's quantity while at least
+    * one other supplier shipped it too — the sourcing-concentration
+    * audit (who could squeeze a part's supply). Q20's nested
+    * `qty > 0.5 · (SELECT sum …)` quantifier decorrelates into a pure
+    * TWO-LEVEL aggregate (the [[soleLateSupplier]] shape, not a
+    * window): a cell's dominant supplier — if one exists — is
+    * necessarily its quantity arg-max (x > sum−x forces x strictly
+    * maximal, and symmetrically rules out arg-max ties whenever the
+    * predicate holds), so per (part, year) ONE aggregate carries
+    * total, supplier count, and `max(struct(qty, suppkey))`, and the
+    * half-sum test runs on the arg-max row alone. Every exchange has
+    * map-side partial aggregation — (part, year, supplier) collapses
+    * line volume, (part, year) collapses cells — where a window
+    * formulation over the cell stream would re-sort and re-shuffle the
+    * cells with no partial collapse (a 2-key window partition is NOT
+    * satisfied by the 3-key aggregate partitioning). The half-sum
+    * predicate is `2·max_sq > total` in exact DECIMAL (quantities are
+    * integer-valued) — no float anywhere in the query. The DuckDB
+    * oracle keeps the naive doubly-correlated form (per-cell count and
+    * sum probes), so the rewrite is hash-checked, not assumed.
+    */
+  def dominantSupplier(lineitem: DataFrame,
+      supplier: DataFrame): DataFrame = {
+    val cells = lineitem
+      .select(col("l_partkey"), year(col("l_shipdate")).as("yr"),
+        col("l_suppkey"), col("l_quantity").cast("decimal(28,10)").as("qd"))
+      .groupBy("l_partkey", "yr", "l_suppkey")
+      .agg(sum(col("qd")).as("sq"))
+    cells.groupBy("l_partkey", "yr")
+      .agg(sum(col("sq")).as("tq"), count(lit(1)).as("ns"),
+        max(struct(col("sq"), col("l_suppkey"))).as("best"))
+      .filter(col("ns") > 1 && col("best.sq") * lit(2) > col("tq"))
+      .groupBy(col("best.l_suppkey").as("l_suppkey"))
+      .agg(count(lit(1)).as("n_dominated"))
+      .join(broadcast(supplier.select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "n_dominated")
+      .orderBy(desc("n_dominated"), col("s_suppkey"))
   }
 
   /** TPC-H Q12 shape for [[queries]]' `rel_ship_lag`: one fact-fact
@@ -674,6 +888,95 @@ object Relational {
         |    SELECT 1 FROM li l3
         |    WHERE l3.l_orderkey = l1.l_orderkey
         |      AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
-        |GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey""".stripMargin
+        |GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey""".stripMargin,
+    // Naive doubly-correlated arg-min on purpose (min price, then min
+    // suppkey at that price) — an independent implementation of the
+    // min(struct) decorrelation (see minPriceSupplier scaladoc).
+    // DISTINCT because several lines may repeat the winning
+    // (price, supplier) pair; prices compare raw, so double equality
+    // is exact.
+    "rel_min_price_supplier" ->
+      s"""SELECT DISTINCT p.p_partkey, p.p_name,
+         |  l.l_extendedprice AS min_price, s.s_suppkey, s.s_name
+         |FROM part p
+         |JOIN lineitem l ON l.l_partkey = p.p_partkey
+         |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         |WHERE p.p_size <= $MinPricePartSize
+         |  AND l.l_extendedprice = (
+         |    SELECT min(l2.l_extendedprice) FROM lineitem l2
+         |    WHERE l2.l_partkey = p.p_partkey)
+         |  AND l.l_suppkey = (
+         |    SELECT min(l3.l_suppkey) FROM lineitem l3
+         |    WHERE l3.l_partkey = p.p_partkey
+         |      AND l3.l_extendedprice = l.l_extendedprice)
+         |ORDER BY p_partkey""".stripMargin,
+    // Max + ties via a scalar subquery over the same CTE; revenue stays
+    // DECIMAL through the equality and VARCHAR-hops only on output.
+    "rel_top_supplier" ->
+      s"""WITH r AS (
+         |  SELECT l_suppkey,
+         |         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS revd
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '$TopSupplierFrom'
+         |    AND l_shipdate < TIMESTAMP '$TopSupplierUntil'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name,
+         |  CAST(CAST(revd AS VARCHAR) AS DOUBLE) AS total_rev
+         |FROM r JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE revd = (SELECT max(revd) FROM r)
+         |ORDER BY s_suppkey""".stripMargin,
+    // Naive Q18 form on purpose: IN-membership over the HAVING
+    // aggregate plus a re-correlated scalar sum for the output column —
+    // an independent implementation of the aggregate-once join-back
+    // plan (see bigOrders scaladoc).
+    "rel_big_orders" ->
+      s"""SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+         |  CAST(CAST((SELECT sum(CAST(l_quantity AS DECIMAL(28,10)))
+         |             FROM lineitem WHERE l_orderkey = o_orderkey)
+         |       AS VARCHAR) AS DOUBLE) AS sum_qty
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |WHERE o_orderkey IN (
+         |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+         |  HAVING sum(CAST(l_quantity AS DECIMAL(28,10))) > $BigOrderQty)
+         |ORDER BY o_totalprice DESC, o_orderkey
+         |LIMIT 100""".stripMargin,
+    // The threshold compare mirrors the Spark side operation-for-
+    // operation in DOUBLE (one multiply, one divide, correctly-rounded
+    // decimal→double via the VARCHAR hop), so the predicate is
+    // bit-deterministic cross-engine.
+    "rel_important_parts" ->
+      """WITH pr AS (
+        |  SELECT l_partkey AS p_partkey,
+        |         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS revd
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(CAST(sum(revd) AS VARCHAR) AS DOUBLE) AS totd,
+        |         count(*) AS n_parts
+        |  FROM pr)
+        |SELECT p_partkey,
+        |  CAST(CAST(revd AS VARCHAR) AS DOUBLE) AS revenue,
+        |  CAST(CAST(revd AS VARCHAR) AS DOUBLE) / totd AS rev_share
+        |FROM pr, tot
+        |WHERE CAST(CAST(revd AS VARCHAR) AS DOUBLE) > 1.5 * (totd / CAST(n_parts AS DOUBLE))
+        |ORDER BY revenue DESC, p_partkey""".stripMargin,
+    // Naive doubly-correlated half-sum quantifier on purpose (per-cell
+    // count and sum probes over the ps CTE) — an independent
+    // implementation of the window decorrelation (see dominantSupplier
+    // scaladoc). 2·sq > total is exact DECIMAL in both engines.
+    "rel_dominant_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, year(l_shipdate) AS yr, l_suppkey,
+        |         sum(CAST(l_quantity AS DECIMAL(28,10))) AS sq
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |dom AS (
+        |  SELECT l_suppkey FROM ps
+        |  WHERE (SELECT count(*) FROM ps p2
+        |         WHERE p2.l_partkey = ps.l_partkey AND p2.yr = ps.yr) > 1
+        |    AND ps.sq * 2 > (SELECT sum(p3.sq) FROM ps p3
+        |                     WHERE p3.l_partkey = ps.l_partkey AND p3.yr = ps.yr))
+        |SELECT s_suppkey, s_name, count(*) AS n_dominated
+        |FROM dom JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1, 2
+        |ORDER BY n_dominated DESC, s_suppkey""".stripMargin
   )
 }

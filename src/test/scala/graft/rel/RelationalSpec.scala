@@ -278,4 +278,63 @@ class RelationalSpec extends SparkSpec {
     assert("HashAggregate.*partial_sum".r.findFirstIn(p.replace('\n', ' ')).isDefined
       || p.contains("partial_sum") || p.contains("Partial"), p.take(3000))
   }
+
+  test("min price supplier: argmin with suppkey tie-break, filter pre-reduces") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    // part 1: suppliers 7 and 3 tie at the min price 5.0 → 3 wins;
+    // part 2: unique min; part 3 (size 40) is filtered out entirely
+    val li = Seq(
+      (1L, 7L, 5.0), (1L, 3L, 5.0), (1L, 2L, 9.0),
+      (2L, 9L, 4.5), (2L, 1L, 6.0),
+      (3L, 1L, 1.0)
+    ).toDF("l_partkey", "l_suppkey", "l_extendedprice")
+    val part = Seq((1L, "p1", 10), (2L, "p2", 1), (3L, "p3", 40))
+      .toDF("p_partkey", "p_name", "p_size")
+    val supp = (1L to 9L).map(k => (k, s"S$k")).toDF("s_suppkey", "s_name")
+    val got = Relational.minPriceSupplier(li, part, supp)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 5.0, 3L), (2L, 4.5, 9L)))
+  }
+
+  test("rel_top_supplier: the max branch reuses the aggregate exchange (one fact scan)") {
+    val df = Relational.queries("rel_top_supplier")(spark, dir)
+    df.collect() // AQE reuse materializes in the final plan
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val liScans = p.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("lineitem.parquet"))
+    assert(liScans === 1,
+      s"max-over-aggregate must not re-scan the fact table, saw $liScans:\n${p.take(3000)}")
+    assert(p.contains("ReusedExchange"), p.take(3000))
+  }
+
+  test("rel_big_orders takes its top-100 before the customer attach") {
+    val p = plan("rel_big_orders")
+    // the limit must bound the broadcast build side, not run after the
+    // customer join: TakeOrderedAndProject sits under a BroadcastExchange
+    val bcast = p.indexOf("BroadcastExchange")
+    val take = p.indexOf("TakeOrderedAndProject(limit=100")
+    assert(bcast >= 0 && take > bcast,
+      s"expected TakeOrderedAndProject below a BroadcastExchange:\n${p.take(3000)}")
+  }
+
+  test("dominant supplier: strict half-sum, multi-supplier cells only") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    def ts(y: Int) = java.sql.Timestamp.valueOf(s"$y-06-01 00:00:00")
+    val li = Seq(
+      // part 1, 1995: supp 1 has 6 of 10 (> half) among 2 suppliers → dominates
+      (1L, 1L, 6.0, ts(1995)), (1L, 2L, 4.0, ts(1995)),
+      // part 1, 1996: exactly half (5 of 10) → NOT dominant (strict)
+      (1L, 1L, 5.0, ts(1996)), (1L, 2L, 5.0, ts(1996)),
+      // part 2, 1995: sole supplier → excluded (single-supplier cell)
+      (2L, 3L, 99.0, ts(1995)),
+      // part 3, 1995: supp 2 has 8 of 11 across two lines → dominates
+      (3L, 2L, 5.0, ts(1995)), (3L, 2L, 3.0, ts(1995)), (3L, 1L, 3.0, ts(1995))
+    ).toDF("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+    val supp = (1L to 3L).map(k => (k, s"S$k")).toDF("s_suppkey", "s_name")
+    val got = Relational.dominantSupplier(li, supp)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 1L), (2L, 1L)))
+  }
 }
