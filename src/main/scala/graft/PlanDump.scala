@@ -29,6 +29,14 @@ object PlanDump {
       "Time-banded self equi-join on (user, bucket): no nested-loop, exact predicate only on in-bucket candidates.",
     "dedup_decontaminate" ->
       "Eval-set shingle keys BROADCAST into a semi-join (the corpus never shuffles for the membership test); the small contaminated-id set then feeds a broadcast anti-join. Both joins degrade gracefully to shuffle joins if either side outgrows the broadcast threshold.",
+    "dedup_decontaminate_bloom" ->
+      "Same result as dedup_decontaminate behind a ~10 bits/key bloom sketch: the eval keys collapse into one binary literal (BloomFilterAggregate, collected at build), might_contain discards the clean corpus postings inside the codegen'd scan stage, and only the ~1% survivors reach the exact broadcast semi-join that removes false positives — the scale path for when the eval key set outgrows a comfortable broadcast hash set.",
+    "rel_top_supplier" ->
+      "Max-over-aggregate with ties: the per-supplier revenue exchange is planned ONCE — an explicit suppkey null-filter makes the aggregate subtree identical under both consumers, so the 1-row max branch reads a ReusedExchange instead of re-scanning the fact table; the argmax equality then joins against the broadcast max in exact DECIMAL.",
+    "rel_big_orders" ->
+      "HAVING-sum membership: lineitem collapses map-side to per-order quantity sums before its only exchange; the threshold filter cuts to ~1-2% of orders; TakeOrderedAndProject takes the top-100 BEFORE the customer attach, so the name join broadcasts exactly 100 rows rather than the full qualified set.",
+    "rel_dominant_supplier" ->
+      "Nested half-sum quantifier as a pure two-level aggregate: (part, year, supplier) collapses line volume map-side, (part, year) collapses cells — a window formulation would re-shuffle and re-sort the cell stream with no partial collapse, since a 2-key window partition is not satisfied by the 3-key aggregate partitioning. The dominant supplier is necessarily the cell argmax (x > sum-x), so max(struct) carries it through the second aggregate.",
     "events_attribution" ->
       "Horizon-banded view-purchase equi-join on (user, bucket): purchases probe two buckets, views carry one, so each qualifying pair matches exactly once — no post-join distinct, no theta-join.",
     "events_funnel" ->
@@ -80,7 +88,7 @@ object PlanDump {
         |The registry contract is lazy-at-build: constructing a query's
         |DataFrame (what `explain` does) schedules no Spark job beyond the
         |parquet footer read every `spark.read.parquet` performs. Exactly
-        |eight entries are deliberate exceptions — each runs a BOUNDED
+        |ten entries are deliberate exceptions — each runs a BOUNDED
         |collect at build time, so `explain`/`queries(name)(...)` on them
         |executes Spark work. RegistrySpec listener-counts build-time jobs
         |and fails if this table drifts in either direction.
@@ -91,8 +99,10 @@ object PlanDump {
         || `dedup_near_apply` | the Jaccard-verified pair list; the ClusterRounds label propagation then runs on the driver over those edges (propagateDriver, parity spec-pinned) and the labels broadcast into one corpus join | cap-bounded pair stream |
         || `dedup_cluster_sizes` | the same collected pair stream; labels and the component-size histogram are driver arithmetic re-entered as a local frame | cap-bounded pair stream |
         || `dedup_source_overlap` | the (src_a, src_b) presence/co-presence counts off ONE corpus scan (shk-keyed collect_set + in-array pair expansion — a distinct+self-join formulation planned the corpus subtree four times); the dense grid + Jaccard assemble on the driver | ≤ sources² rows |
+        || `dedup_decontaminate_bloom` | the bloom sketch over the eval side's distinct shingle keys, re-entered as a foldable literal predicate on the corpus scan (false positives removed by the exact semi-join, so the result is hash-identical to `dedup_decontaminate`) | DecontamBloomKeys·10 bits ≈ 1.3 MB |
         || `sim_ann_recall` | the exact top-k side input both ANN variants are scored against | NumQueries·TopK = 50 rows |
         || `sim_cosine_ann_ivf` | the `vec_id < TrainN` training sample for driver-side Lloyd (centroids re-enter the plan as literals) | ≤256 rows × 64 doubles |
+        || `sim_cosine_ann_pq` | the same IVF training sample, feeding BOTH the coarse quantizer and the 8 per-subspace PQ codebooks (all re-enter as literals) | ≤256 rows × 64 doubles |
         || `sim_semdedup` | the same IVF training sample (cell assignment embeds the trained centroids as literals) | ≤256 rows × 64 doubles |
         || `sim_bucket_stats` | the same IVF training sample, for the `ivf_cell` cap-audit row's cell assignment | ≤256 rows × 64 doubles |
         |
