@@ -96,8 +96,8 @@ object PlanDump {
         || Entry | What it collects at build | Bound |
         ||---|---|---|
         || `dedup_bucket_stats` | the 3-row cap-audit summary (result re-entered as a local frame so no state survives the return) | 3 rows |
-        || `dedup_near_apply` | the Jaccard-verified pair list; the ClusterRounds label propagation then runs on the driver over those edges (propagateDriver, parity spec-pinned) and the labels broadcast into one corpus join | cap-bounded pair stream |
-        || `dedup_cluster_sizes` | the same collected pair stream; labels and the component-size histogram are driver arithmetic re-entered as a local frame | cap-bounded pair stream |
+        || `dedup_near_apply` | NOTHING to the driver — the ClusterRounds label-propagation rounds run as Spark jobs at build (`nearDupLabels`: edges + each round's node-bounded label table materialized via eager `localCheckpoint`, because the pure-lazy fold doubles its plan per round); the final labels enter one corpus left-join lazily | ClusterRounds+1 distributed jobs; labels ≤ 2·pairs nodes |
+        || `dedup_cluster_sizes` | same distributed materialization; the histogram is two bounded aggregates on executors | same |
         || `dedup_source_overlap` | the (src_a, src_b) presence/co-presence counts off ONE corpus scan (shk-keyed collect_set + in-array pair expansion — a distinct+self-join formulation planned the corpus subtree four times); the dense grid + Jaccard assemble on the driver | ≤ sources² rows |
         || `dedup_decontaminate_bloom` | the bloom sketch over the eval side's distinct shingle keys, re-entered as a foldable literal predicate on the corpus scan (false positives removed by the exact semi-join, so the result is hash-identical to `dedup_decontaminate`) | DecontamBloomKeys·10 bits ≈ 1.3 MB |
         || `sim_ann_recall` | the exact top-k side input both ANN variants are scored against | NumQueries·TopK = 50 rows |
@@ -109,22 +109,24 @@ object PlanDump {
         |(`sim_ann_recall` composes `ivfTopK`, so it also performs the IVF
         |sample collect; its own bound is the 50-row exact result.)
         |
-        |`dedup_near_apply` collects the pair stream BEFORE the scalar
-        |distinct (`ngramJaccardPairsRaw`): label propagation is
-        |duplicate-insensitive (a repeated edge never moves a min), so the
-        |distinct exchange is skipped; duplicates are bounded by the same
-        |caps as the pair stream itself.
+        |Through r9, `dedup_near_apply` / `dedup_cluster_sizes` COLLECTED
+        |the verified pair stream and propagated labels on the driver —
+        |a driver bottleneck growing with corpus size. Since r10 the
+        |propagation is distributed; their build-time jobs materialize
+        |executor-side blocks only. They still use the pre-distinct pair
+        |stream — label propagation is duplicate-insensitive (a repeated
+        |edge never moves a min), so the distinct exchange stays skipped.
         |
         |## Rows-only registry entries
         |
-        |Every query has a DuckDB oracle EXCEPT `text_vocab_sketch`: its
-        |`vocab_approx` column is Spark's HyperLogLog++ estimate, whose
-        |register layout is engine-specific — no independent engine can
-        |reproduce the exact estimate. The driver records its weaker
-        |rows-only check; the query carries its own cross-check (the exact
-        |distinct count and the realized relative error sit beside the
-        |estimate, and AnalysisSpec bounds the error on a known corpus).
-        |RegistrySpec carries the matching allowlist.
+        |None (as of r10). Every registered query is fully oracle-hashed.
+        |Through r9 `text_vocab_sketch` was the one exception (its raw
+        |HLL++ estimate is engine-specific); its registered projection
+        |now emits `approx_ok = rel_err <= 5·rsd` instead, which DuckDB
+        |predicts as TRUE from the exact counts — an out-of-tolerance
+        |estimate hash-mismatches the row. The full-detail frame (raw
+        |estimate + realized rel_err) remains as `Analysis.vocabSketch`,
+        |bound-checked in AnalysisSpec. RegistrySpec's allowlist is empty.
         |""".stripMargin
     for ((name, note) <- Headliners) {
       val df = SparkEntry.queries(name)(spark, dir)

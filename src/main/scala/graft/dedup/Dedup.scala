@@ -663,6 +663,45 @@ object Dedup {
     }
   }
 
+  /** [[nearDupClusters]] with per-round materialization — the form the
+    * REGISTERED queries use. The pure-lazy fold above references each
+    * round's labels twice (once directly, once through the neighbor
+    * join), so its single plan doubles per round — fine for the tiny
+    * spec graphs that pin its semantics, catastrophic on a real pair
+    * stream (measured 14 s at sf0.01 vs ~1 s materialized). Here each
+    * round's (node, lbl) table — NODE-bounded, never pair- or
+    * corpus-bounded — is cut off via eager `localCheckpoint`, so round
+    * k+1 reads round k's blocks instead of replaying rounds 1..k, and
+    * the edge list materializes ONCE instead of once per round.
+    *
+    * Scale notes: this is driver-COORDINATED (ClusterRounds bounded
+    * Spark jobs at build), never driver-SIDED — no edge or label ever
+    * crosses to the driver, which is what makes it safe at 100 TB
+    * where the r9 collect-the-pairs form was not. On a real cluster,
+    * swap `localCheckpoint` (block-manager, lost on executor death)
+    * for reliable `checkpoint` under an HDFS dir; the shape is
+    * identical. Uses RDD-level blocks, not the SQL cache, so the
+    * registry's no-cached-state-after-action contract holds; blocks
+    * are freed by the ContextCleaner when the result goes out of
+    * scope.
+    */
+  def nearDupLabels(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val edges = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    val init = edges.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    (1 to ClusterRounds).foldLeft(init) { (lab, round) =>
+      val nbr = edges.join(lab.withColumnRenamed("node", "v"), "v")
+        .select(col("u").as("node"), col("lbl"))
+      val next = lab.unionByName(nbr).groupBy("node").agg(min("lbl").as("lbl"))
+      // the LAST round stays lazy: its two references to round k-1 read
+      // checkpointed blocks, so the consumer sees one plan level of
+      // duplication, not 2^rounds — and one materialization job is saved
+      if (round == ClusterRounds) next else next.localCheckpoint()
+    }
+  }
+
   /** [[nearDupClusters]] on the driver, mirroring the Spark rounds (and
     * the oracle's CTE rounds) operation-for-operation:
     * l_i(n) = min(l_{i-1}(n), min of neighbors' l_{i-1}). Used by the
@@ -973,30 +1012,24 @@ object Dedup {
     "dedup_incremental" -> ((s, dir) => incrementalDedup(docs(s, dir))),
     // The end-to-end NEAR-dedup apply a pipeline actually runs:
     // candidates → Jaccard-verified pairs → connected components →
-    // keep min doc_id per cluster, drop the rest. The verified pair
-    // stream (cap-bounded) is collected once and the ClusterRounds
-    // propagation runs on the DRIVER over those local edges
-    // ([[propagateDriver]] — parity with nearDupClusters spec-pinned);
-    // the resulting labels broadcast into one corpus left-join. This is
-    // the registry's fourth documented eager-at-build entry
-    // (RegistrySpec; docs/PLANS.md). At web scale, materialize the pair
-    // table first and call nearDupClusters on it directly.
+    // keep min doc_id per cluster, drop the rest. FULLY distributed
+    // since r10: the ClusterRounds min-label propagation runs as Spark
+    // joins over the pair table ([[nearDupLabels]], per-round
+    // materialized), so the pair stream NEVER crosses the driver —
+    // total pair count can grow with the corpus without a driver
+    // bottleneck. [[propagateDriver]] survives as the spec oracle only
+    // (DedupSpec pins distributed/driver parity). The label side of
+    // the final join is node-bounded, corpus-small; AQE picks
+    // broadcast when it fits rather than a hardcoded hint that would
+    // OOM the driver at 100 TB. Raw (pre-distinct) pair stream: label
+    // propagation is duplicate-insensitive, so the distinct exchange
+    // is skipped and the (cap-bounded, threshold-filtered) duplicates
+    // ride along.
     "dedup_near_apply" -> ((s, dir) => {
-      import s.implicits._
       val d = docs(s, dir)
-      // raw (pre-distinct) pair stream: label propagation is
-      // duplicate-insensitive, so the distinct exchange is skipped and
-      // the (cap-bounded, threshold-filtered) duplicates ride along
-      val pr = ngramJaccardPairsRaw(d).select("doc_a", "doc_b")
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-      val (labels, converged) = propagateDriverChecked(pr)
-      if (!converged)
-        org.slf4j.LoggerFactory.getLogger("graft.dedup")
-          .warn(s"near-dup label propagation not converged after " +
-            s"$ClusterRounds rounds: a component is wider than the round " +
-            s"budget and will keep one doc PER FRAGMENT, not per component")
-      val lab = labels.toDF("doc_id", "lbl")
-      d.join(broadcast(lab), Seq("doc_id"), "left")
+      val pairs = ngramJaccardPairsRaw(d).select("doc_a", "doc_b")
+      val labels = nearDupLabels(pairs).withColumnRenamed("node", "doc_id")
+      d.join(labels, Seq("doc_id"), "left")
         .filter(col("lbl").isNull || col("lbl") === col("doc_id"))
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
@@ -1030,16 +1063,16 @@ object Dedup {
     }),
     "dedup_source_overlap" -> ((s, dir) =>
       sourceOverlap(docs(s, dir)).orderBy("src_a", "src_b")),
-    // Component-size histogram over near_apply's labels: shares the
-    // collected cap-bounded pair stream and driver propagation (the
-    // registry's documented eager-at-build discipline), then bounded
-    // driver arithmetic re-entered as a local frame.
+    // Component-size histogram over near_apply's labels: same
+    // distributed composition ([[nearDupLabels]]), then two bounded
+    // aggregates — label cardinality, then size cardinality — entirely
+    // on executors.
     "dedup_cluster_sizes" -> ((s, dir) => {
-      import s.implicits._
-      val pr = ngramJaccardPairsRaw(docs(s, dir)).select("doc_a", "doc_b")
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-      clusterSizeHistogram(propagateDriver(pr))
-        .toDF("cluster_size", "n_clusters").orderBy("cluster_size")
+      val pairs = ngramJaccardPairsRaw(docs(s, dir)).select("doc_a", "doc_b")
+      nearDupLabels(pairs)
+        .groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
     })
   )
 

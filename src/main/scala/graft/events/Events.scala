@@ -21,21 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
-  /** The fixture stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects outright. Read it as raw nanos
-    * (`nanosAsLong`) and rebuild a micros timestamp — the fixture has no
-    * sub-microsecond components (verified: epoch_ns % 1000 == 0 for every
-    * row), so `div 1000` is lossless.
+  /** All `ts` normalization (nanos-as-long / TIMESTAMP_NTZ / TIMESTAMP)
+    * lives in [[graft.sources.EventSource]]; after it, `ts` is a plain
+    * session-tz TIMESTAMP and epoch extraction below is legal.
     */
-  private def ev(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$dir/events.parquet")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw // already a (micros) timestamp — nothing to rebuild
-    }
-  }
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    graft.sources.EventSource.load(s, dir)
 
   private def dsum(c: org.apache.spark.sql.Column) =
     sum(c.cast("decimal(28,10)")).cast("double")

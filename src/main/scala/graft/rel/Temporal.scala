@@ -30,15 +30,8 @@ object Temporal {
     */
   val AttributionHorizonSec = 3600L
 
-  private def ev(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$dir/events.parquet")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
-  }
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    graft.sources.EventSource.load(s, dir)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // As-of join: for every 'error' event, the most recent 'signup' of

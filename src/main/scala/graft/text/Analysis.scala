@@ -672,6 +672,19 @@ object Analysis {
     */
   val VocabSketchRsd = 0.02
 
+  /** The falsifiability bound for the REGISTERED vocab query: Spark's
+    * HLL++ estimate is deterministic for a given input set but
+    * engine-specific, so the raw estimate can't be oracle-hashed.
+    * The registered projection folds it into a verdict instead —
+    * `approx_ok = rel_err <= 5·rsd` — which DuckDB predicts as TRUE
+    * from first principles; an estimate drifting past 5× its
+    * configured rsd is a genuine regression, and the hash compare now
+    * catches it (through r9 this row carried no correctness signal at
+    * all). The full-detail frame (raw estimate + realized rel_err)
+    * stays available as [[vocabSketch]], bound-checked in AnalysisSpec.
+    */
+  val VocabApproxErrBound: Double = 5 * VocabSketchRsd
+
   def vocabSketch(d: DataFrame): DataFrame = {
     val tok = d.select(col("lang"), explode(toksCol).as("t"))
     tok.groupBy("lang")
@@ -914,7 +927,10 @@ object Analysis {
     "text_length_quantiles" -> ((s, dir) =>
       lengthQuantiles(docs(s, dir)).orderBy("source")),
     "text_vocab_sketch" -> ((s, dir) =>
-      vocabSketch(docs(s, dir)).orderBy("lang")),
+      vocabSketch(docs(s, dir))
+        .select(col("lang"), col("n_tokens"), col("vocab_exact"),
+          (col("rel_err") <= lit(VocabApproxErrBound)).as("approx_ok"))
+        .orderBy("lang")),
     "text_repetition" -> ((s, dir) =>
       repetition(docs(s, dir)).orderBy("doc_id")),
     "text_pack" -> ((s, dir) =>
@@ -1430,9 +1446,22 @@ object Analysis {
          |       CAST(coalesce(cnt.n_docs, 0) AS DOUBLE)
          |         / CAST(sum(coalesce(cnt.n_docs, 0)) OVER () AS DOUBLE) AS share
          |FROM stages s LEFT JOIN cnt USING (stage)
-         |ORDER BY stage""".stripMargin
-    // text_vocab_sketch: deliberately NO oracle — HLL++ estimates are
-    // engine-specific; the driver records its rows-only check and the
-    // query carries its own exact-vs-approx cross-check column.
+         |ORDER BY stage""".stripMargin,
+    // The exact columns are plain SQL; the HLL++ estimate enters as the
+    // `approx_ok` verdict, which DuckDB predicts TRUE from first
+    // principles (bound = 5×rsd, see VocabApproxErrBound) — so a Spark
+    // estimate drifting out of tolerance hash-mismatches this row.
+    "text_vocab_sketch" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                            t -> length(t) > 0)) AS tok
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0
+        |)
+        |SELECT lang, count(*) AS n_tokens,
+        |       count(DISTINCT tok) AS vocab_exact,
+        |       TRUE AS approx_ok
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

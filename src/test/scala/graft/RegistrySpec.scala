@@ -18,8 +18,8 @@ class RegistrySpec extends SparkSpec {
     */
   private val eagerAtBuild = Set(
     "dedup_bucket_stats",   // 3-row cap-audit summary, re-entered locally
-    "dedup_near_apply",     // cap-bounded verified-pair edge list, re-entered locally
-    "dedup_cluster_sizes",  // same collected pair stream, histogram re-entered locally
+    "dedup_near_apply",     // distributed CC rounds materialize via localCheckpoint (no driver data)
+    "dedup_cluster_sizes",  // same distributed CC materialization
     "dedup_source_overlap", // ≤|sources|² co-occurrence counts, grid re-entered locally
     "dedup_decontaminate_bloom", // ~1.3 MB eval-key bloom sketch, re-entered as a literal
     "sim_ann_recall",       // 50-row exact top-k side input
@@ -34,9 +34,10 @@ class RegistrySpec extends SparkSpec {
     * reproduce bit-for-bit. Each must carry its own in-query
     * cross-check instead.
     */
-  private val rowsOnly = Set(
-    "text_vocab_sketch" // HLL++ estimate is engine-specific; exact count rides beside it
-  )
+  private val rowsOnly = Set.empty[String]
+  // (Through r9 `text_vocab_sketch` lived here; its registered
+  // projection now folds the HLL estimate into a DuckDB-predictable
+  // `approx_ok` verdict, so every registered query is oracle-hashed.)
 
   test("every registered query has an oracle twin (column-named match)") {
     val q = SparkEntry.queries.keySet

@@ -36,6 +36,11 @@ class DedupSpec extends SparkSpec {
       Seq((10L, 11L), (11L, 12L), (12L, 13L), (20L, 21L)))
     assert(driver.toMap == lab, "driver propagation diverged from Spark rounds")
     assert(converged)
+    // the materialized form the REGISTERED queries use must match the
+    // pure-lazy rounds label-for-label
+    val labM = Dedup.nearDupLabels(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labM == lab, "nearDupLabels diverged from nearDupClusters")
     // a path wider than the round budget is flagged, labels still the
     // exact k-round result
     val longPath = (0L until 6L).sliding(2).map(w => (w(0), w(1))).toSeq

@@ -51,10 +51,7 @@ class StreamingAttributionSpec extends SparkSpec {
     val s = spark; import s.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     val dir = "/root/testdata/sf0.001"
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions
-        .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = graft.sources.EventSource.load(s, dir)
       .selectExpr("user_id", "event_id", "ts", "event_type")
     def slice(kind: String): Seq[AttribEv] =
       raw.filter(org.apache.spark.sql.functions.col("event_type") === kind)
