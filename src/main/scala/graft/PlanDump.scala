@@ -88,7 +88,7 @@ object PlanDump {
         |The registry contract is lazy-at-build: constructing a query's
         |DataFrame (what `explain` does) schedules no Spark job beyond the
         |parquet footer read every `spark.read.parquet` performs. Exactly
-        |ten entries are deliberate exceptions — each runs a BOUNDED
+        |eleven entries are deliberate exceptions — each runs a BOUNDED
         |collect at build time, so `explain`/`queries(name)(...)` on them
         |executes Spark work. RegistrySpec listener-counts build-time jobs
         |and fails if this table drifts in either direction.
@@ -96,6 +96,7 @@ object PlanDump {
         || Entry | What it collects at build | Bound |
         ||---|---|---|
         || `dedup_bucket_stats` | the 3-row cap-audit summary (result re-entered as a local frame so no state survives the return) | 3 rows |
+        || `chi2_streaming_replay` | nothing collected — the maintainer replay (NumReplayBatches mergeBatch rounds) WRITES the versioned count store (vocabulary-sized, KBs) to a temp dir at build; the returned frame then reads the maintained store | ≤ 2 vocabulary-sized snapshots |
         || `dedup_near_apply` | NOTHING to the driver — the ClusterRounds label-propagation rounds run as Spark jobs at build (`nearDupLabels`: edges + each round's node-bounded label table materialized via eager `localCheckpoint`, because the pure-lazy fold doubles its plan per round); the final labels enter one corpus left-join lazily | ClusterRounds+1 distributed jobs; labels ≤ 2·pairs nodes |
         || `dedup_cluster_sizes` | same distributed materialization; the histogram is two bounded aggregates on executors | same |
         || `dedup_source_overlap` | the (src_a, src_b) presence/co-presence counts off ONE corpus scan (shk-keyed collect_set + in-array pair expansion — a distinct+self-join formulation planned the corpus subtree four times); the dense grid + Jaccard assemble on the driver | ≤ sources² rows |

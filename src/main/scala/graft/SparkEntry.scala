@@ -21,7 +21,8 @@ object SparkEntry {
       sim.Similarity.queries ++
       text.Analysis.queries ++
       mm.Multimodal.queries ++
-      ops.Sampling.queries
+      ops.Sampling.queries ++
+      streaming.StreamingChiSquare.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
       sim.Similarity.oracleSql ++
       text.Analysis.oracleSql ++
       mm.Multimodal.oracleSql ++
-      ops.Sampling.oracleSql
+      ops.Sampling.oracleSql ++
+      streaming.StreamingChiSquare.oracleSql
 }

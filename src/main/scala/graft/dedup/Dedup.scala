@@ -596,10 +596,12 @@ object Dedup {
     * standing index you materialize once and append to per batch, so
     * the recurring cost is delta-sized.
     */
+  /** The fixture's batch-membership predicate (see [[DeltaMod]]). */
+  private[dedup] def isDelta(c: Column): Column =
+    pmod(c, lit(DeltaMod)) === lit(DeltaMod - 1)
+
   def incrementalDedup(d: DataFrame,
       maxBucketSize: Int = MaxBucketSize): DataFrame = {
-    def isDelta(c: Column): Column =
-      pmod(c, lit(DeltaMod)) === lit(DeltaMod - 1)
     val hashed = d.select(col("doc_id"),
       sha2(lower(col("text")), 256).as("text_hash"))
     val corpusH = hashed.filter(!isDelta(col("doc_id")))
@@ -615,6 +617,52 @@ object Dedup {
       .filter(size(col("delta_m")) >= 1 &&
         size(col("corpus_m")).between(1, maxBucketSize))
       .select(explode(col("delta_m")).as("doc_id"), col("corpus_m"))
+      .select(col("doc_id"), explode(col("corpus_m")).as("partner"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("partner")).as("near_partners"))
+    exact.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("exact_dup"),
+        coalesce(col("near_partners"), lit(0L)).as("near_partners"),
+        when(col("exact_dup"), lit("exact_dup"))
+          .when(coalesce(col("near_partners"), lit(0L)) > 0, lit("near_candidate"))
+          .otherwise(lit("new")).as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  /** The standing corpus-side index the daily-ingest reality needs:
+    * [[incrementalDedup]] is the right SINGLE-SHOT shape but re-signs
+    * the whole corpus on every call — at 100 TB the corpus signature
+    * pass dwarfs the delta, so repeated days must not pay it. This
+    * pair of frames IS that standing index: the corpus's distinct
+    * normalized-text hashes and its per-(band, sig) LSH member lists.
+    * Materialize both once (parquet, bucket table partitioned by
+    * band), append each admitted batch, and every subsequent
+    * [[incrementalDedupAgainst]] run touches corpus data ONLY through
+    * these two delta-joined sides.
+    */
+  case class CorpusIndex(hashes: DataFrame, buckets: DataFrame)
+
+  def corpusIndex(corpus: DataFrame): CorpusIndex = CorpusIndex(
+    corpus.select(sha2(lower(col("text")), 256).as("text_hash")).distinct(),
+    lshBuckets(minhashSignaturesKernel(toksOf(corpus)))
+      .groupBy("band", "sig").agg(collect_list(col("doc_id")).as("corpus_m")))
+
+  /** [[incrementalDedup]] against a PRECOMPUTED [[CorpusIndex]] —
+    * spec-pinned row-identical to the single-shot form on the fixture
+    * split (DedupSpec). Work is delta-sized: the delta's signatures
+    * (one kernel pass), one hash join, one (band, sig) join whose
+    * per-bucket expansion is ≤ |Δ-members|·cap.
+    */
+  def incrementalDedupAgainst(delta: DataFrame, idx: CorpusIndex,
+      maxBucketSize: Int = MaxBucketSize): DataFrame = {
+    val exact = delta.select(col("doc_id"),
+        sha2(lower(col("text")), 256).as("text_hash"))
+      .join(idx.hashes.withColumn("hit", lit(true)), Seq("text_hash"), "left")
+      .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("exact_dup"))
+    val near = lshBuckets(minhashSignaturesKernel(toksOf(delta)))
+      .join(idx.buckets
+        .filter(size(col("corpus_m")).between(1, maxBucketSize)),
+        Seq("band", "sig"))
       .select(col("doc_id"), explode(col("corpus_m")).as("partner"))
       .groupBy("doc_id")
       .agg(countDistinct(col("partner")).as("near_partners"))
@@ -1010,6 +1058,15 @@ object Dedup {
       ngramJaccard(docs(s, dir)).orderBy("doc_a", "doc_b")),
     "dedup_containment" -> ((s, dir) => containment(docs(s, dir))),
     "dedup_incremental" -> ((s, dir) => incrementalDedup(docs(s, dir))),
+    // Same verdicts through the standing-index path: corpus signatures
+    // precomputed once (corpusIndex), delta joins against them — the
+    // repeated-day shape. Shares dedup_incremental's oracle (the two
+    // forms are row-identical by construction, also spec-pinned).
+    "dedup_incremental_reuse" -> ((s, dir) => {
+      val d = docs(s, dir)
+      incrementalDedupAgainst(d.filter(isDelta(col("doc_id"))),
+        corpusIndex(d.filter(!isDelta(col("doc_id")))))
+    }),
     // The end-to-end NEAR-dedup apply a pipeline actually runs:
     // candidates → Jaccard-verified pairs → connected components →
     // keep min doc_id per cluster, drop the rest. FULLY distributed
@@ -1274,7 +1331,12 @@ object Dedup {
        |WHERE dd.source <> '$DecontamEvalSource' AND hits.doc_id IS NULL
        |ORDER BY dd.doc_id""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase +
+    // the standing-index path must reproduce the single-shot verdicts
+    // bit-for-bit, so it shares the oracle
+    ("dedup_incremental_reuse" -> oracleSqlBase("dedup_incremental"))
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT sha256(lower(text)) AS text_hash,
         |  min(doc_id) AS keep_doc_id, count(*) AS n_copies

@@ -9,12 +9,16 @@ import org.apache.spark.sql.functions._
   *
   * There is no media fixture in the test data, so [[media]] adapts the
   * `documents` table into a deterministic media table (payload = the
-  * UTF-8 text bytes, metadata derived from doc_id/n_chars). The decode
-  * step is a clearly-marked DETERMINISTIC FAKE — payload bytes are
-  * treated as pixel/sample values ([[FakeDecoder]]); a real deployment
-  * plugs a codec (JPEG/PNG/PCM) into the same seams. Everything around
-  * the fake — schemas, the binary column, the partition-batched typed
-  * path, the column-level operators, and their oracles — is real.
+  * UTF-8 text bytes, metadata derived from doc_id/n_chars), and the
+  * decode step on THAT table is a clearly-marked DETERMINISTIC FAKE —
+  * payload bytes treated as pixel/sample values ([[FakeDecoder]]).
+  * Since r10 the seam also carries a GENUINE decode path: [[Codec]]
+  * implements real BMP(24bpp)/WAV(PCM16)/PPM(P6) parsers (these
+  * uncompressed containers need no codec library), [[realMedia]]
+  * synthesizes honest files, and `mm_decode_real` oracle-checks the
+  * encode→decode round trip value-for-value, order included. A
+  * deployment with compressed formats (JPEG/PNG/Opus) plugs its codec
+  * into the same `Array[Byte] => Array[Int]` seam.
   *
   * Two execution styles, both shuffle-free (narrow maps):
   *  - Column/HOF style ([[decodeStats]], [[resize]], [[frameSample]]):
@@ -131,6 +135,73 @@ object Multimodal {
     }
   }
 
+  // ---- real-codec round trip (mm_decode_real) ---------------------------
+
+  case class RealMedia(media_id: Long, codec: String, payload: Array[Byte])
+
+  case class DecodedReal(media_id: Long, codec: String, n_vals: Long,
+      sum_vals: Long, wsum_vals: Long)
+
+  /** Deterministic synthesized pixel grid (top-down row-major, packed
+    * 0xRRGGBB): channel c of pixel i is `(id·7 + i·13 + c·5) mod 256`.
+    * Channels deliberately DIFFER (the +c·5 term), so a decoder that
+    * forgets BMP's B,G,R byte order produces different values — a
+    * grayscale fixture would hide that bug class.
+    */
+  private[mm] def synthPixels(id: Long, w: Int, h: Int): Array[Int] =
+    Array.tabulate(w * h) { i =>
+      def ch(c: Int) = ((id * 7 + i * 13 + c * 5) % 256).toInt
+      (ch(0) << 16) | (ch(1) << 8) | ch(2)
+    }
+
+  /** Deterministic PCM16 samples: `(id·31 + i·17) mod 65536 − 32768`. */
+  private[mm] def synthSamples(id: Long): Array[Short] =
+    Array.tabulate((id % 50 + 10).toInt) { i =>
+      ((id * 31 + i * 17) % 65536 - 32768).toShort
+    }
+
+  /** One REAL media file per document — BMP / WAV / PPM round-robin,
+    * honestly encoded by [[Codec]] (padded bottom-up BGR rows, RIFF
+    * chunks, netpbm header) from the deterministic content above.
+    */
+  def realMedia(s: SparkSession, dir: String): Dataset[RealMedia] = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val w = (id % 8 + 1).toInt
+      val h = (id % 6 + 1).toInt
+      (id % 3) match {
+        case 0 => RealMedia(id, "bmp",
+          Codec.encodeBmp24(w, h, synthPixels(id, w, h)))
+        case 1 => RealMedia(id, "wav", Codec.encodeWav(synthSamples(id)))
+        case _ => RealMedia(id, "ppm",
+          Codec.encodePpm(w, h, synthPixels(id, w, h)))
+      }
+    }
+  }
+
+  /** Decode stats over REAL containers via the same pluggable seam as
+    * [[decodeFeatures]]: n_vals plus an order-SENSITIVE position-
+    * weighted checksum (`Σ i·v_i`), so a decoder that reads the right
+    * bytes in the wrong order (bottom-up rows kept bottom-up, BGR kept
+    * BGR, byte-swapped samples) fails the oracle even though the plain
+    * sum would match. The oracle predicts all three stats in closed
+    * form from the synthesis formulas — the query is green only if
+    * encode→decode is the identity on content, i.e. only if the
+    * parsers actually implement the formats.
+    */
+  def decodeReal(ds: Dataset[RealMedia],
+      decoder: Array[Byte] => Array[Int] = Codec.RealDecoder): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { m =>
+        val v = decoder(m.payload)
+        var sum = 0L; var wsum = 0L; var i = 0
+        while (i < v.length) { sum += v(i); wsum += v(i).toLong * i; i += 1 }
+        DecodedReal(m.media_id, m.codec, v.length.toLong, sum, wsum)
+      }
+    }.toDF()
+  }
+
   /** Exact payload dedup per media kind: one row per distinct payload
     * with keeper = min media_id and the copy count — the first pass any
     * multimodal ingest runs (identical bytes re-crawled under different
@@ -153,7 +224,9 @@ object Multimodal {
     "mm_frame_sample" -> ((s, dir) =>
       frameSample(media(s, dir)).orderBy("media_id")),
     "mm_payload_dedup" -> ((s, dir) =>
-      payloadDedup(media(s, dir)).orderBy("kind", "payload_hash"))
+      payloadDedup(media(s, dir)).orderBy("kind", "payload_hash")),
+    "mm_decode_real" -> ((s, dir) =>
+      decodeReal(realMedia(s, dir)).orderBy("media_id"))
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -216,6 +289,38 @@ object Multimodal {
          |SELECT kind, sha256(text) AS payload_hash,
          |       min(media_id) AS keep_media_id, count(*) AS n_copies
          |FROM m GROUP BY 1, 2
-         |ORDER BY kind, payload_hash""".stripMargin
+         |ORDER BY kind, payload_hash""".stripMargin,
+    // Predicts the decoded stats in CLOSED FORM from the synthesis
+    // formulas — independent of any byte-level serialization. Spark
+    // matches only if encode→decode round-trips content exactly (order
+    // included, via the position-weighted checksum).
+    "mm_decode_real" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0
+        |), p AS (
+        |  SELECT doc_id,
+        |         CASE CAST(doc_id % 3 AS INT)
+        |           WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'ppm' END AS codec,
+        |         doc_id % 8 + 1 AS w, doc_id % 6 + 1 AS h,
+        |         doc_id % 50 + 10 AS ns
+        |  FROM d
+        |), vals AS (
+        |  SELECT doc_id, codec,
+        |         CASE WHEN codec = 'wav'
+        |           THEN list_transform(generate_series(0, CAST(ns - 1 AS BIGINT)),
+        |                  i -> (doc_id * 31 + i * 17) % 65536 - 32768)
+        |           ELSE list_transform(generate_series(0, CAST(w * h * 3 - 1 AS BIGINT)),
+        |                  q -> (doc_id * 7 + (q // 3) * 13 + (q % 3) * 5) % 256)
+        |         END AS v
+        |  FROM p
+        |)
+        |SELECT doc_id AS media_id, codec,
+        |       CAST(len(v) AS BIGINT) AS n_vals,
+        |       CAST(list_sum(v) AS BIGINT) AS sum_vals,
+        |       CAST(list_sum(list_transform(generate_series(1, len(v)),
+        |                                    i -> v[i] * (i - 1))) AS BIGINT)
+        |         AS wsum_vals
+        |FROM vals ORDER BY media_id""".stripMargin
   )
 }

@@ -138,6 +138,45 @@ object StreamingChiSquare {
       .orderBy(col("category"), col("rank"))
   }
 
+  /** Micro-batch count for [[replayTopTerms]]' deterministic replay. */
+  val NumReplayBatches = 3
+
+  /** Batch REPLAY of the maintainer, for the driver's oracle gate: the
+    * fixture is split into [[NumReplayBatches]] deterministic
+    * micro-batches (doc_id mod N — the arrival-order stand-in), each
+    * merged through [[mergeBatch]] exactly as `foreachBatch` would
+    * deliver it, and the answer comes from the maintained store via
+    * [[topTermsFromStore]]. By the view-maintenance invariant the
+    * result must equal the one-shot batch pipeline bit-for-bit (counts
+    * are exact integers; the χ² arithmetic is the same expression), so
+    * the registered query shares `chi2_top_terms`' DuckDB oracle —
+    * through r9 the maintainer was spec-covered only, with no driver
+    * correctness row.
+    *
+    * Store writes go to a fresh temp dir per invocation — the
+    * vocabulary-sized store is KBs; the build-time cost is the
+    * documented eager exception, not a hidden corpus rewrite.
+    */
+  def replayTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val store = Files.createTempDirectory("chi2-replay-").toString
+    val d = s.read.parquet(s"$dir/documents.parquet")
+    for (b <- 0 until NumReplayBatches)
+      mergeBatch(d.filter(pmod(col("doc_id"), lit(NumReplayBatches)) === b),
+        b.toLong, store, "text", "lang")
+    topTermsFromStore(s, store)
+  }
+
+  /** Driver-contract registry surface for the maintainer. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "chi2_streaming_replay" -> ((s, dir) => replayTopTerms(s, dir)))
+
+  /** The replay must reproduce the one-shot pipeline exactly, so it
+    * shares its oracle.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "chi2_streaming_replay" ->
+      graft.pipeline.ChiSquareQueries.oracleSql("chi2_top_terms"))
+
   /** Attach the maintainer to a streaming document source. The
     * checkpoint lives beside the store, so a restarted maintainer
     * resumes from the next unprocessed batch instead of replaying the

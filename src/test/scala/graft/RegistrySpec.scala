@@ -18,6 +18,7 @@ class RegistrySpec extends SparkSpec {
     */
   private val eagerAtBuild = Set(
     "dedup_bucket_stats",   // 3-row cap-audit summary, re-entered locally
+    "chi2_streaming_replay", // mergeBatch replay writes the KB-sized count store at build
     "dedup_near_apply",     // distributed CC rounds materialize via localCheckpoint (no driver data)
     "dedup_cluster_sizes",  // same distributed CC materialization
     "dedup_source_overlap", // ≤|sources|² co-occurrence counts, grid re-entered locally

@@ -216,6 +216,16 @@ class DedupSpec extends SparkSpec {
     assert(got(14L) === ((false, 0L, "new")))
     // 1 token < shingle size: no signature, exact arm still admits it
     assert(got(19L) === ((false, 0L, "new")))
+    // the standing-index path (corpus signatures precomputed, delta
+    // joins against them) must reproduce the single-shot verdicts
+    // row-for-row — the repeated-day contract
+    val viaIndex = Dedup.incrementalDedupAgainst(
+        d.filter(Dedup.isDelta(org.apache.spark.sql.functions.col("doc_id"))),
+        Dedup.corpusIndex(
+          d.filter(!Dedup.isDelta(org.apache.spark.sql.functions.col("doc_id")))))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getString(3)))).toMap
+    assert(viaIndex === got, "precomputed-index path diverged from single-shot")
   }
 
   test("no pair generator ever plans a cartesian product or NL join") {
