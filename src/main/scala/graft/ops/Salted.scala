@@ -54,4 +54,35 @@ object Salted {
       .groupBy(keyCols: _*)
       .agg(sum(col("__psum")).as("sum"), sum(col("__pcnt")).as("count"))
   }
+
+  /** Skew-resistant fact⋈dim equi-join: the fact side carries a per-row
+    * salt, the dim side is replicated across all `buckets` salt values,
+    * and the join key widens to (key, salt) — so a hot fact key's rows
+    * spread over `buckets` reduce tasks instead of stalling one.
+    * Results equal the plain inner join row-for-row (SaltedSpec pins
+    * it). Cost: the dim shuffles ×buckets — use when the dim is
+    * small-but-not-broadcastable and AQE's skew-join splitting is
+    * unavailable (AQE only splits SORT-MERGE sides; a skewed
+    * shuffle-HASH join or a non-AQE engine gets no help).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      buckets: Int = DefaultBuckets): DataFrame = {
+    val saltedFact = fact.withColumn("__salt", saltCol(buckets))
+    val replicatedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    saltedFact.join(replicatedDim, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** The audit→mitigation wire: key columns whose measured `top1_share`
+    * (from `rel_key_skew`'s [[graft.rel.Relational.keySkew]] frame)
+    * exceeds `threshold` — the ones whose hottest key would claim more
+    * than `threshold` of a reduce stage — paired with that share. Feed
+    * each returned column to [[sumCountByKey]] / [[saltedJoin]].
+    */
+  def skewedKeys(audit: DataFrame,
+      threshold: Double = 0.05): Seq[(String, Double)] =
+    audit.filter(col("top1_share") > threshold)
+      .select(col("key_col"), col("top1_share"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      .sortBy(-_._2)
 }
