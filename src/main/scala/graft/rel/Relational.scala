@@ -191,6 +191,170 @@ object Relational {
           count(lit(1)).as("n_small"))
         .orderBy("p_brand")
     }),
+    // TPC-H Q7-shaped bidirectional trade volume: revenue between two
+    // named nations by (supp_nation, cust_nation, ship year). Both
+    // nation filters semi-reduce their dimension chain BEFORE touching
+    // the fact: the 2-nation supplier subset broadcasts into lineitem
+    // (cuts it ~2/N up front) and the 2-nation customer subset
+    // semi-reduces orders; the only wide shuffle is the l_orderkey
+    // fact-fact join. The OR-of-pairs predicate runs post-join on the
+    // two tiny nation name columns.
+    "rel_nation_trade" -> ((s, dir) => {
+      val nations = Seq("NATION_18", "NATION_19")
+      val supN = t(s, dir, "supplier")
+        .join(t(s, dir, "nation").filter(col("n_name").isin(nations: _*)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val custN = t(s, dir, "customer")
+        .join(t(s, dir, "nation").filter(col("n_name").isin(nations: _*)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val ordN = t(s, dir, "orders")
+        .join(custN, col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "cust_nation")
+      t(s, dir, "lineitem")
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .join(ordN, col("l_orderkey") === col("o_orderkey"))
+        .filter((col("supp_nation") === nations(0) && col("cust_nation") === nations(1)) ||
+          (col("supp_nation") === nations(1) && col("cust_nation") === nations(0)))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("ship_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    }),
+    // TPC-H Q8-shaped market share: of all PROMO-part revenue sold to
+    // ASIA customers, the fraction supplied by one nation, per order
+    // year. The share is a ratio of two exact-DECIMAL sums in ONE
+    // aggregate (a conditional numerator beside the unconditional
+    // denominator — no second scan, no self-join), divided once in
+    // double. Dimension chains (part, supplier→nation, nation→region)
+    // broadcast; the one wide shuffle is again l_orderkey.
+    "rel_market_share" -> ((s, dir) => {
+      val promoPart = t(s, dir, "part").filter(col("p_type") === "PROMO")
+        .select("p_partkey")
+      val supN = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val asiaCust = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")
+            .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+              col("n_regionkey") === col("r_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey")
+      val asiaOrders = t(s, dir, "orders")
+        .join(asiaCust, col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_orderdate")
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      t(s, dir, "lineitem")
+        .join(broadcast(promoPart), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .join(asiaOrders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+        .agg(
+          dsum(when(col("supp_nation") === "NATION_3", rev).otherwise(lit(0.0)))
+            .as("nation_revenue"),
+          dsum(rev).as("total_revenue"))
+        .withColumn("mkt_share", col("nation_revenue") / col("total_revenue"))
+        .orderBy("order_year")
+    }),
+    // TPC-H Q9-shaped product-line profit (the fixture has no partsupp,
+    // so profit reduces to revenue): parts matching a name pattern,
+    // grouped by supplier nation × order year. The LIKE predicate is
+    // pushed into the part scan (a StringContains scan filter) and the
+    // matching-part key set broadcasts — lineitem is cut before its
+    // one orderkey shuffle.
+    "rel_product_profit" -> ((s, dir) => {
+      val redPart = t(s, dir, "part").filter(col("p_name").contains("red"))
+        .select("p_partkey")
+      val supN = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      t(s, dir, "lineitem")
+        .join(broadcast(redPart), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("order_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("nation", "order_year")
+    }),
+    // TPC-H Q14-shaped promo share: one date-windowed scan, conditional
+    // numerator beside the total in a single global aggregate, one
+    // double division. The part join is deliberately UNHINTED: part is
+    // dimension-small at fixture scale (AQE broadcasts it) but grows
+    // with SF — a hardcoded broadcast would be the 100 TB mistake.
+    "rel_promo_share" -> ((s, dir) => {
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .agg(
+          dsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)))
+            .as("promo_revenue"),
+          dsum(rev).as("total_revenue"))
+        .withColumn("promo_share",
+          col("promo_revenue") / col("total_revenue"))
+    }),
+    // TPC-H Q16-shaped supplier diversity count (lineitem stands in for
+    // the absent partsupp as the part↔supplier association): distinct
+    // suppliers per (brand, type, size) over an admitted part subset,
+    // excluding flagged suppliers. Scale moves: the fact collapses to
+    // DISTINCT (partkey, suppkey) pairs map-side-combined in its ONE
+    // exchange before any join; the flagged-supplier exclusion is a
+    // broadcast anti-join (the flag predicate selects a handful of
+    // rows); the part attach is unhinted.
+    "rel_supplier_parts" -> ((s, dir) => {
+      val sizes = Seq(1, 5, 10, 15, 20, 25, 30, 35)
+      val pairs = t(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey").distinct()
+      val flagged = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+        .select("s_suppkey")
+      val parts = t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#21" && col("p_size").isin(sizes: _*))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      pairs
+        .join(broadcast(flagged), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+          col("p_type").asc, col("p_size").asc)
+    }),
+    // TPC-H Q19-shaped disjunctive-predicate revenue: an OR of three
+    // (brand, size, quantity) conjunctions spanning BOTH join sides.
+    // Catalyst cannot factor a cross-table OR, so each side is
+    // pre-filtered with its own disjunctive hull EXPLICITLY (part: the
+    // brand∧size branches; lineitem: the quantity envelope 1..30) —
+    // both reach the scans as pushed filters (RelationalSpec pins it) —
+    // and the exact three-branch predicate runs as the post-join
+    // residual. One aggregate row out.
+    "rel_disjunctive_revenue" -> ((s, dir) => {
+      val partHull =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15))
+      val branches =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30))
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity").between(1, 30))
+        .join(broadcast(t(s, dir, "part").filter(partHull)),
+          col("l_partkey") === col("p_partkey"))
+        .filter(branches)
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
     // Join-key skew profile of the fact table — the pre-flight audit
     // that decides whether a planned 100 TB join needs salting
     // (graft.ops.Salted) or AQE skew-join before you commit to it.
@@ -779,6 +943,83 @@ object Relational {
     // text_length_quantiles); counts cast to BIGINT (DuckDB sums into
     // HUGEINT); the two shares are single double divisions over exact
     // integer aggregates in both engines.
+    "rel_nation_trade" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |       year(l_shipdate) AS ship_year,
+        |       CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE (sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
+        |   OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "rel_market_share" ->
+      """SELECT year(o_orderdate) AS order_year,
+        |       CAST(CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+        |                          THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))
+        |                          ELSE CAST(0.0 AS DECIMAL(28,10)) END) AS VARCHAR) AS DOUBLE) AS nation_revenue,
+        |       CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS total_revenue,
+        |       CAST(CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+        |                          THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))
+        |                          ELSE CAST(0.0 AS DECIMAL(28,10)) END) AS VARCHAR) AS DOUBLE)
+        |         / CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rel_product_profit" ->
+      """SELECT sn.n_name AS nation, year(o_orderdate) AS order_year,
+        |       CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "rel_promo_share" ->
+      """SELECT
+        |  CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+        |                     THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))
+        |                     ELSE CAST(0.0 AS DECIMAL(28,10)) END) AS VARCHAR) AS DOUBLE) AS promo_revenue,
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS total_revenue,
+        |  CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+        |                     THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))
+        |                     ELSE CAST(0.0 AS DECIMAL(28,10)) END) AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+    "rel_supplier_parts" ->
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#21'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "rel_disjunctive_revenue" ->
+      """SELECT
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "rel_key_skew" -> {
       def branch(kc: String) =
         s"""SELECT '$kc' AS key_col,

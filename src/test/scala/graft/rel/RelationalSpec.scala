@@ -318,6 +318,26 @@ class RelationalSpec extends SparkSpec {
       s"expected TakeOrderedAndProject below a BroadcastExchange:\n${p.take(3000)}")
   }
 
+  test("disjunctive revenue: both sides' hulls reach the scans as pushed filters") {
+    val p = plan("rel_disjunctive_revenue")
+    // the lineitem scan must carry the quantity envelope and the part
+    // scan the brand/size disjunction — a cross-table OR that Catalyst
+    // cannot factor itself, so the explicit per-side hulls are the test
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)") ||
+      p.contains("PushedFilters: [IsNotNull(l_quantity)"),
+      s"no pushed quantity filter on the lineitem scan:\n${p.take(3000)}")
+    assert("PushedFilters: \\[[^\\]]*Or\\(".r.findFirstIn(p).nonEmpty,
+      s"no pushed OR filter (brand/size hull) on the part scan:\n${p.take(3000)}")
+  }
+
+  test("supplier diversity: the fact collapses to distinct pairs before any join") {
+    val p = plan("rel_supplier_parts")
+    // the distinct (partkey, suppkey) aggregate must sit BELOW the part
+    // join — the fact never carries full rows into a join
+    val agg = p.indexOf("HashAggregate(keys=[l_partkey")
+    assert(agg >= 0, s"no distinct-pair aggregate:\n${p.take(3000)}")
+  }
+
   test("dominant supplier: strict half-sum, multi-supplier cells only") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.functions._
