@@ -11,6 +11,10 @@ import org.apache.spark.sql.SparkSession
 object PlanDump {
 
   private val Headliners = Seq(
+    "rel_disjunctive_revenue" ->
+      "The cross-table-OR showcase (TPC-H Q19 shape): Catalyst cannot factor an OR spanning both join sides, so each side carries its own explicit disjunctive hull — the part scan's PushedFilters shows the brand/size Or(...) tree and the lineitem scan the quantity envelope (RelationalSpec pins both) — and the exact three-branch predicate runs as the post-join residual. Without the hulls both scans read everything and the OR evaluates on the full join output.",
+    "dedup_near_apply" ->
+      "End-to-end near-dedup with DISTRIBUTED connected components (r10): the cap-bounded verified pair table feeds ClusterRounds min-label propagation rounds, each materialized via eager localCheckpoint (nearDupLabels) so the pure-lazy fold's per-round plan doubling never happens and no edge or label crosses to the driver; the final node-bounded label table enters one AQE-broadcast corpus left-join.",
     "chi2_top_terms" ->
       "One explode feeds the shared termCat exchange (ReusedExchange in the AQE final plan); category totals and N broadcast; WindowGroupLimit bounds the top-k shuffle.",
     "dedup_minhash_candidates" ->
