@@ -187,6 +187,52 @@ object Sampling {
           .otherwise(lit(0.0)).as("repeat_factor"))
   }
 
+  /** Temperature (α = 0.5) source resampling — the sqrt-flattening a
+    * multilingual/multi-source training mix applies so head sources
+    * stop drowning tail ones: each source's kept count targets the
+    * GEOMETRIC MEAN of its size and the smallest source's size
+    * (target_i = √(n_i·n_min), i.e. p ∝ n^0.5 anchored so the
+    * smallest source keeps 100 %). The anchor makes the arithmetic
+    * engine-exact with NO cross-row float sum: n_min is an exact
+    * BIGINT min (order-independent), the target is one correctly-
+    * rounded sqrt of a product of two exact counts, and the rate is
+    * one double division — so DuckDB reproduces keep decisions
+    * bit-for-bit, where a normalized Σ n^α denominator would be an
+    * order-dependent double accumulation.
+    *
+    * Per-row admission uses the salted portable hash over a 1e6-bucket
+    * range (fractional rates; the 100-bucket split/mix range would
+    * quantize them), salt [[TempSalt]] so a doc's temperature fate is
+    * independent of its split/mix/carve fates.
+    *
+    * Scale notes: the plan side is one tiny (source, n) aggregate + a
+    * 1-row broadcast anchor; the apply side is a broadcast join of the
+    * ≤|sources| rate table into one corpus scan — no wide shuffle.
+    */
+  val TempSalt = "temp|"
+
+  def temperaturePlan(d: DataFrame): DataFrame = {
+    val counts = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val anchor = counts.agg(min(col("n_docs")).as("n_min"))
+    counts.crossJoin(broadcast(anchor))
+      .withColumn("target_docs",
+        sqrt(col("n_docs").cast("double") * col("n_min").cast("double")))
+      .withColumn("rate",
+        least(lit(1.0), col("target_docs") / col("n_docs").cast("double")))
+      .select("source", "n_docs", "n_min", "target_docs", "rate")
+  }
+
+  def temperatureApply(d: DataFrame, keyCol: String): DataFrame = {
+    requireFresh(d, Seq("bucket", "rate", "kept"))
+    val rates = temperaturePlan(d).select("source", "rate")
+    val bucket = pmod(graft.functions.PortableHash.base28(
+      concat(lit(TempSalt), col(keyCol).cast("string")),
+      graft.functions.PortableHash.enabled(d)), lit(1000000L))
+    d.join(broadcast(rates), "source")
+      .select(col("doc_id"), col("source"), bucket.as("bucket"), col("rate"),
+        (bucket.cast("double") < col("rate") * lit(1000000.0)).as("kept"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-doc assignment: the full reproducible-split contract
     "sample_split_assign" -> ((s, dir) =>
@@ -226,6 +272,14 @@ object Sampling {
     "sample_kfold" -> ((s, dir) =>
       kfold(s.read.parquet(s"$dir/documents.parquet"), "doc_id")
         .select("doc_id", "lang", "fold")
+        .orderBy("doc_id")),
+    // sqrt-temperature source flattening: the per-source plan…
+    "sample_temperature_plan" -> ((s, dir) =>
+      temperaturePlan(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("source")),
+    // …and its per-doc admission (the apply step)
+    "sample_temperature_apply" -> ((s, dir) =>
+      temperatureApply(s.read.parquet(s"$dir/documents.parquet"), "doc_id")
         .orderBy("doc_id"))
   )
 
@@ -341,6 +395,43 @@ object Sampling {
          |  FROM documents
          |)
          |SELECT doc_id, lang, CAST(($digitsSql) % $KFolds AS BIGINT) AS fold
-         |FROM hx ORDER BY doc_id""".stripMargin
+         |FROM hx ORDER BY doc_id""".stripMargin,
+    // n_min is an exact BIGINT min; sqrt and the division are single
+    // correctly-rounded double ops — no order-dependent float sum
+    "sample_temperature_plan" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+        |), m AS (
+        |  SELECT min(n_docs) AS n_min FROM c
+        |)
+        |SELECT source, n_docs, n_min,
+        |       sqrt(CAST(n_docs AS DOUBLE) * CAST(n_min AS DOUBLE)) AS target_docs,
+        |       least(CAST(1.0 AS DOUBLE),
+        |             sqrt(CAST(n_docs AS DOUBLE) * CAST(n_min AS DOUBLE))
+        |               / CAST(n_docs AS DOUBLE)) AS rate
+        |FROM c, m ORDER BY source""".stripMargin,
+    "sample_temperature_apply" ->
+      s"""WITH c AS (
+         |  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+         |), m AS (
+         |  SELECT min(n_docs) AS n_min FROM c
+         |), p AS (
+         |  SELECT source,
+         |         least(CAST(1.0 AS DOUBLE),
+         |               sqrt(CAST(n_docs AS DOUBLE) * CAST(n_min AS DOUBLE))
+         |                 / CAST(n_docs AS DOUBLE)) AS rate
+         |  FROM c, m
+         |), hx AS (
+         |  SELECT doc_id, source,
+         |         substr(md5('temp|' || CAST(doc_id AS VARCHAR)), 1, 7) AS hx
+         |  FROM documents
+         |)
+         |SELECT doc_id, hx.source,
+         |       CAST(($digitsSql) % 1000000 AS BIGINT) AS bucket,
+         |       rate,
+         |       CAST(CAST(($digitsSql) % 1000000 AS BIGINT) AS DOUBLE)
+         |         < rate * 1000000.0 AS kept
+         |FROM hx JOIN p ON hx.source = p.source
+         |ORDER BY doc_id""".stripMargin
   )
 }

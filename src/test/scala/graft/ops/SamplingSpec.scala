@@ -161,4 +161,31 @@ class SamplingSpec extends SparkSpec {
       assert(r.getLong(3) <= r.getLong(2), "planned never exceeds target")
     }
   }
+
+  test("temperature plan: smallest source keeps all, targets are geometric means") {
+    val s = spark; import s.implicits._
+    // sources of size 4, 16, 64: targets 4, 8, 16 (√(n·4)); rates 1, .5, .25
+    val d = ((1 to 4).map(i => (i.toLong, "s_small")) ++
+      (1 to 16).map(i => (100L + i, "s_mid")) ++
+      (1 to 64).map(i => (1000L + i, "s_big"))).toDF("doc_id", "source")
+    val plan = Sampling.temperaturePlan(d)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(plan("s_small") === ((4L, 4.0, 1.0)))
+    assert(plan("s_mid") === ((16L, 8.0, 0.5)))
+    assert(plan("s_big") === ((64L, 16.0, 0.25)))
+    // apply: every smallest-source doc is kept; keep decisions are a
+    // pure function of the salted key, so two runs agree exactly
+    val a1 = Sampling.temperatureApply(d, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val a2 = Sampling.temperatureApply(d, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(a1 === a2)
+    assert((1 to 4).forall(i => a1(i.toLong)), "smallest source keeps 100%")
+    // flattening direction: the big source keeps FEWER than the mid
+    // source in expectation; with these sizes the hash realization must
+    // land well under 64 and above 0
+    val keptBig = (1 to 64).count(i => a1(1000L + i))
+    assert(keptBig > 0 && keptBig < 40, s"keptBig=$keptBig")
+  }
 }
