@@ -66,6 +66,17 @@ object ChiSquareQueries {
       ChiSquarePipeline.topTerms(
         graft.sources.ReviewSource.readReviews(s, jsonlDir),
         "reviewText", "category", K)
+    }),
+    // The same contract over headerless CSV (the other classic ingest
+    // format): explicit positional schema, DROPMALFORMED, same oracle —
+    // the scan must lose exactly the malformed rows and nothing else,
+    // and the CSV writer/reader must round-trip text verbatim (quoting
+    // included) for the hash to match.
+    "chi2_top_terms_csv" -> ((s, dir) => {
+      val csvDir = csvMirror(s, dir)
+      ChiSquarePipeline.topTerms(
+        graft.sources.ReviewSource.readReviewsCsv(s, csvDir),
+        "reviewText", "category", K)
     })
   )
 
@@ -91,6 +102,26 @@ object ChiSquareQueries {
       // bare value, and a truncated object
       java.nio.file.Files.write(out.resolve("malformed.json"),
         "this is not json\n42\n{\"reviewText\": \"unterminated\n".getBytes("UTF-8"))
+    }
+    out.toString
+  }
+
+  /** CSV twin of [[jsonlMirror]]: same write-once-per-sfDir contract,
+    * same marker discipline; the injected malformed rows are CSV's own
+    * failure modes (over-wide row, unterminated quote).
+    */
+  private def csvMirror(s: SparkSession, dir: String): String = {
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_csv",
+      dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val complete = java.nio.file.Files.exists(out.resolve("_SUCCESS")) &&
+      java.nio.file.Files.exists(out.resolve("malformed.csv"))
+    if (!complete) {
+      docs(s, dir)
+        .select(col("text").as("reviewText"), col("lang").as("category"))
+        .write.mode("overwrite").csv(out.toString)
+      java.nio.file.Files.write(out.resolve("malformed.csv"),
+        "one,two,three,four\n\"unterminated quote, oops\n".getBytes("UTF-8"))
     }
     out.toString
   }
@@ -168,6 +199,12 @@ object ChiSquareQueries {
     // identical to chi2_top_terms: the JSONL mirror + DROPMALFORMED scan
     // must be semantically invisible (only the injected junk lines drop)
     "chi2_top_terms_jsonl" ->
+      s"""$cte
+         |SELECT category, term, chi2, rank FROM ranked
+         |WHERE rank <= $K ORDER BY category, rank""".stripMargin,
+    // same contract for the CSV mirror: round-trip + malformed-drop
+    // must be semantically invisible
+    "chi2_top_terms_csv" ->
       s"""$cte
          |SELECT category, term, chi2, rank FROM ranked
          |WHERE rank <= $K ORDER BY category, rank""".stripMargin,

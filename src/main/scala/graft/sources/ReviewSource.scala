@@ -35,6 +35,18 @@ object ReviewSource {
       .option("mode", "DROPMALFORMED")
       .json(path)
 
+  /** The same permissive contract over headerless CSV — the other
+    * classic text-ingest format: explicit schema (no inference scan),
+    * DROPMALFORMED so over-wide / badly-quoted rows die in the scan.
+    * Field order is positional (reviewText, category), matching
+    * [[ReviewSchema]].
+    */
+  def readReviewsCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(ReviewSchema)
+      .option("mode", "DROPMALFORMED")
+      .csv(path)
+
   /** Stopword side file: one token per line, lowercased on load exactly
     * like the 4-stage reference variant (run_chi:44,
     * multi_jobs_hdfs.py:21); blank lines ignored (S3).
