@@ -226,7 +226,17 @@ object Multimodal {
     "mm_payload_dedup" -> ((s, dir) =>
       payloadDedup(media(s, dir)).orderBy("kind", "payload_hash")),
     "mm_decode_real" -> ((s, dir) =>
-      decodeReal(realMedia(s, dir)).orderBy("media_id"))
+      decodeReal(realMedia(s, dir)).orderBy("media_id")),
+    // The TYPED mapPartitions decode path under the driver oracle (it
+    // was spec-pinned against the column path only through r10-mid):
+    // Dataset[Media] → pluggable decoder → features, zero shuffle.
+    "mm_decode_features" -> ((s, dir) => {
+      import s.implicits._
+      decodeFeatures(media(s, dir).as[Media]).toDF()
+        .select(col("media_id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("mean_byte"), col("checksum"))
+        .orderBy("media_id")
+    })
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -290,6 +300,20 @@ object Multimodal {
          |       min(media_id) AS keep_media_id, count(*) AS n_copies
          |FROM m GROUP BY 1, 2
          |ORDER BY kind, payload_hash""".stripMargin,
+    // typed-path features: exact integer sum, one double division —
+    // the same arithmetic the mapPartitions fold performs
+    "mm_decode_features" ->
+      s"""$mCte, px AS (
+         |  SELECT media_id,
+         |         list_transform(generate_series(1, length(text)),
+         |                        i -> unicode(text[i])) AS p
+         |  FROM m
+         |)
+         |SELECT media_id,
+         |       CAST(len(p) AS BIGINT) AS n_bytes,
+         |       CAST(list_sum(p) AS DOUBLE) / CAST(len(p) AS DOUBLE) AS mean_byte,
+         |       CAST(list_sum(p) AS BIGINT) AS checksum
+         |FROM px ORDER BY media_id""".stripMargin,
     // Predicts the decoded stats in CLOSED FORM from the synthesis
     // formulas — independent of any byte-level serialization. Spark
     // matches only if encode→decode round-trips content exactly (order

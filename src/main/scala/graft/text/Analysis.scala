@@ -791,6 +791,40 @@ object Analysis {
         Ipv4Pattern, "[IP]"),
       PhonePattern, "[PHONE]")
 
+  /** Deterministic PII injection for the REGISTERED redaction query:
+    * the fixture corpus carries no digits or '@' (see pattern note
+    * above), so a redaction over raw fixture text would bind only
+    * structurally. Appending one synthetic email + IPv4 + phone per
+    * doc — pure string functions of doc_id, mirrored verbatim in the
+    * oracle — makes every row carry real matches, so the hash compare
+    * proves DETECTION (counts of 1, not 0) and REPLACEMENT (the
+    * redacted string content) rather than a no-op pass-through.
+    */
+  private def piiInjected: Column =
+    concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com via "),
+      lit("10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit("."),
+      pmod(col("doc_id"), lit(100)).cast("string"),
+      lit(" tel +41 555 010 "),
+      lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"))
+
+  /** The APPLY step beside [[piiAudit]]: per-doc match counts on the
+    * injected text plus the fully redacted string. Map-side only — a
+    * narrow projection of three codegen'd regex replaces at any scale.
+    */
+  def piiRedact(d: DataFrame): DataFrame = {
+    val inj = piiInjected
+    d.select(col("doc_id"),
+      size(regexp_extract_all(inj, lit(EmailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(inj, lit(PhonePattern), lit(0)))
+        .cast("long").as("n_phones"),
+      size(regexp_extract_all(inj, lit(Ipv4Pattern), lit(0)))
+        .cast("long").as("n_ipv4"),
+      redactPii(inj).as("redacted"))
+  }
+
   /** Per-source PII exposure report: doc counts, docs carrying any PII,
     * and per-category match totals. One narrow corpus scan (three
     * codegen'd regex counters per row) into a |sources|-row aggregate —
@@ -941,6 +975,8 @@ object Analysis {
       sourceProfile(docs(s, dir)).orderBy("source")),
     "text_pii_audit" -> ((s, dir) =>
       piiAudit(docs(s, dir)).orderBy("source")),
+    "text_pii_redact" -> ((s, dir) =>
+      piiRedact(docs(s, dir)).orderBy("doc_id")),
     "text_filter_funnel" -> ((s, dir) =>
       filterFunnel(docs(s, dir)).orderBy("stage")),
     "text_ppl_buckets" -> ((s, dir) =>
@@ -1414,6 +1450,30 @@ object Analysis {
          |       CAST(sum(p) AS BIGINT) AS n_phones,
          |       CAST(sum(i) AS BIGINT) AS n_ipv4
          |FROM pd GROUP BY source ORDER BY source""".stripMargin,
+    // injection construction mirrored verbatim; DuckDB regexp_replace
+    // needs the explicit 'g' flag to match Spark's replace-all
+    "text_pii_redact" ->
+      s"""WITH inj AS (
+         |  SELECT doc_id,
+         |         text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |           || '@example.com via '
+         |           || '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+         |           || CAST(doc_id % 100 AS VARCHAR)
+         |           || ' tel +41 555 010 '
+         |           || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS t
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND length(text) > 0
+         |)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(t, '$EmailPattern')) AS BIGINT) AS n_emails,
+         |       CAST(len(regexp_extract_all(t, '$PhonePattern')) AS BIGINT) AS n_phones,
+         |       CAST(len(regexp_extract_all(t, '$Ipv4Pattern')) AS BIGINT) AS n_ipv4,
+         |       regexp_replace(
+         |         regexp_replace(
+         |           regexp_replace(t, '$EmailPattern', '[EMAIL]', 'g'),
+         |           '$Ipv4Pattern', '[IP]', 'g'),
+         |         '$PhonePattern', '[PHONE]', 'g') AS redacted
+         |FROM inj ORDER BY doc_id""".stripMargin,
     "text_filter_funnel" ->
       s"""$dCte, feat AS (
          |  SELECT CAST(length(text) AS BIGINT) AS n_chars,
