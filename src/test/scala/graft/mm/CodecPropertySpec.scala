@@ -1,0 +1,70 @@
+package graft.mm
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based codec laws over random content — beyond CodecSpec's
+  * goldens: for ANY dimensions and pixel/sample values, encode→decode
+  * is the identity in canonical order, and the decoders never throw on
+  * arbitrary byte junk (they return empty). Pure driver-side, no Spark
+  * session.
+  */
+class CodecPropertySpec extends AnyFunSuite {
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] = {
+    val params = Gen.Parameters.default
+    Iterator.iterate(Seed(seed))(_.next)
+      .flatMap(s => g.apply(params, s))
+      .take(n).toSeq
+  }
+
+  private val imageGen: Gen[(Int, Int, Array[Int])] = for {
+    w <- Gen.choose(1, 17) // odd widths exercise BMP row padding
+    h <- Gen.choose(1, 9)
+    px <- Gen.listOfN(w * h, Gen.choose(0, 0xFFFFFF))
+  } yield (w, h, px.toArray)
+
+  private val wavGen: Gen[Array[Short]] = for {
+    n <- Gen.choose(0, 200)
+    s <- Gen.listOfN(n, Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt))
+  } yield s.map(_.toShort).toArray
+
+  private val junkGen: Gen[Array[Byte]] = for {
+    n <- Gen.choose(0, 300)
+    b <- Gen.listOfN(n, Gen.choose(-128, 127))
+  } yield b.map(_.toByte).toArray
+
+  test("BMP and PPM round-trip any image (identity in top-down RGB order)") {
+    for ((w, h, px) <- samples(imageGen, 60, 11L)) {
+      val flat = px.flatMap(p =>
+        Seq((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)).toSeq
+      assert(Codec.decodeBmp24(Codec.encodeBmp24(w, h, px)).toSeq === flat,
+        s"bmp $w x $h")
+      assert(Codec.decodePpm(Codec.encodePpm(w, h, px)).toSeq === flat,
+        s"ppm $w x $h")
+    }
+  }
+
+  test("WAV round-trips any PCM16 sample run, including empty") {
+    for (sm <- samples(wavGen, 60, 23L))
+      assert(Codec.decodeWav(Codec.encodeWav(sm)).toSeq === sm.map(_.toInt).toSeq)
+  }
+
+  test("decoders never throw on arbitrary junk; magic-less junk is empty") {
+    for (junk <- samples(junkGen, 200, 37L)) {
+      val out = Codec.RealDecoder(junk) // must not throw
+      // junk that happens to start with a magic still either parses a
+      // structurally valid container or returns empty — both fine; the
+      // law is no exception and no garbage-length explosion
+      assert(out.length <= junk.length * 2)
+    }
+    // prefix-corrupted real files: flip a byte in every position of a
+    // small valid BMP; decode must never throw
+    val bmp = Codec.encodeBmp24(2, 2, Array(1, 2, 3, 4))
+    for (i <- bmp.indices) {
+      val c = bmp.clone(); c(i) = (c(i) ^ 0x5A).toByte
+      Codec.RealDecoder(c) // no throw is the assertion
+    }
+  }
+}
