@@ -191,6 +191,43 @@ object Relational {
           count(lit(1)).as("n_small"))
         .orderBy("p_brand")
     }),
+    // TPC-H Q6-shaped forecast-revenue: the pure scan-aggregate — every
+    // predicate (date year, discount band, quantity cap) reaches the
+    // parquet scan as a pushed filter, zero joins, one 1-row aggregate.
+    // The band compares the same IEEE doubles both engines parse from
+    // the literals, so BETWEEN binds identically cross-engine.
+    "rel_filtered_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))),
+    // TPC-H Q10-shaped returned-item customer ranking: revenue lost to
+    // returns per customer in a date window, top 20. Both fact filters
+    // run BEFORE the joins (returnflag on lineitem, the date window on
+    // orders — each scan is cut first); the customer attach joins the
+    // aggregated ~|customers| rows, and the final cut is
+    // TakeOrderedAndProject (per-partition heaps), not a global sort.
+    "rel_returned_customers" -> ((s, dir) => {
+      val returned = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val winOrders = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val perCust = returned
+        .join(winOrders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+      perCust
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
     // TPC-H Q7-shaped bidirectional trade volume: revenue between two
     // named nations by (supp_nation, cust_nation, ship year). Both
     // nation filters semi-reduce their dimension chain BEFORE touching
@@ -943,6 +980,27 @@ object Relational {
     // text_length_quantiles); counts cast to BIGINT (DuckDB sums into
     // HUGEINT); the two shares are single double divisions over exact
     // integer aggregates in both engines.
+    "rel_filtered_revenue" ->
+      """SELECT
+        |  CAST(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "rel_returned_customers" ->
+      """SELECT c_custkey, c_name,
+        |       CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "rel_nation_trade" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |       year(l_shipdate) AS ship_year,
