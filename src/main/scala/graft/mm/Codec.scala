@@ -104,10 +104,14 @@ object Codec {
       return Array.empty
     val h = math.abs(hRaw)
     val bottomUp = hRaw > 0
-    val stride = ((w * 3 + 3) / 4) * 4
-    if (dataOff < 54 || dataOff + stride.toLong * h > b.length)
+    // size arithmetic in Long: header w/h are unbounded attacker input,
+    // and Int stride/pixel-count wrap for w > ~715M, which would let the
+    // bounds check pass and the copy loop throw (never-throws contract)
+    val strideL = ((w.toLong * 3 + 3) / 4) * 4
+    if (dataOff < 54 || dataOff + strideL * h > b.length)
       return Array.empty
-    val out = new Array[Int](w * h * 3)
+    val stride = strideL.toInt // <= b.length, so it fits
+    val out = new Array[Int]((w.toLong * h * 3).toInt) // < strideL*h <= length
     var y = 0
     while (y < h) {
       val srcRow = dataOff.toInt + (if (bottomUp) (h - 1 - y) else y) * stride
@@ -239,8 +243,12 @@ object Codec {
     val w = nextInt(); val h = nextInt(); val maxval = nextInt()
     if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return Array.empty
     off += 1 // exactly ONE whitespace byte after maxval, per spec
-    if (off + w * h * 3 > b.length) return Array.empty
-    val out = new Array[Int](w * h * 3)
+    // pixel count in Long: w and h can each be up to 1<<20, so w*h*3
+    // wraps Int (e.g. "P6 1048576 1000 255") — the wrapped value would
+    // pass this check and NegativeArraySizeException below
+    val n = w.toLong * h * 3
+    if (off + n > b.length) return Array.empty
+    val out = new Array[Int](n.toInt) // n <= b.length, so it fits
     var i = 0
     while (i < out.length) { out(i) = b(off + i) & 0xff; i += 1 }
     out

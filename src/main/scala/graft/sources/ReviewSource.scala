@@ -40,11 +40,21 @@ object ReviewSource {
     * DROPMALFORMED so over-wide / badly-quoted rows die in the scan.
     * Field order is positional (reviewText, category), matching
     * [[ReviewSchema]].
+    *
+    * `multiLine=true` because Spark's CSV WRITER quotes embedded
+    * newlines — without it a quoted multi-line field splits into
+    * malformed fragments that DROPMALFORMED silently drops, losing
+    * real rows (not just injected junk). The cost is per-FILE rather
+    * than per-line splitting; review-scale files (the write side
+    * controls file sizes) keep parallelism, and correctness of the
+    * lose-only-the-malformed-rows contract wins over split
+    * granularity.
     */
   def readReviewsCsv(spark: SparkSession, path: String): DataFrame =
     spark.read
       .schema(ReviewSchema)
       .option("mode", "DROPMALFORMED")
+      .option("multiLine", "true")
       .csv(path)
 
   /** Stopword side file: one token per line, lowercased on load exactly

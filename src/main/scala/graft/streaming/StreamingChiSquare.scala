@@ -153,17 +153,30 @@ object StreamingChiSquare {
     * through r9 the maintainer was spec-covered only, with no driver
     * correctness row.
     *
-    * Store writes go to a fresh temp dir per invocation — the
-    * vocabulary-sized store is KBs; the build-time cost is the
-    * documented eager exception, not a hidden corpus rewrite.
+    * The store is a pure function of the (immutable) sfDir fixture —
+    * batch split is doc_id mod N, merges are deterministic — so it is
+    * built ONCE per sfDir and reused (same write-once marker discipline
+    * as the csv/jsonl mirrors). Through r10 every invocation (explain,
+    * PlanDump, bench, oracle run) created a FRESH temp dir, re-ran the
+    * NumReplayBatches merge jobs, and leaked the directory on disk.
+    * The `_REPLAY_DONE` marker is written only after the last merge; a
+    * partial build (missing marker) is wiped and rebuilt.
     */
   def replayTopTerms(s: SparkSession, dir: String): DataFrame = {
-    val store = Files.createTempDirectory("chi2-replay-").toString
-    val d = s.read.parquet(s"$dir/documents.parquet")
-    for (b <- 0 until NumReplayBatches)
-      mergeBatch(d.filter(pmod(col("doc_id"), lit(NumReplayBatches)) === b),
-        b.toLong, store, "text", "lang")
-    topTermsFromStore(s, store)
+    val store = Paths.get(
+      sys.props("java.io.tmpdir"), "graft_chi2_replay",
+      dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val marker = store.resolve("_REPLAY_DONE")
+    if (!Files.exists(marker)) {
+      deleteRecursively(store)
+      Files.createDirectories(store)
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      for (b <- 0 until NumReplayBatches)
+        mergeBatch(d.filter(pmod(col("doc_id"), lit(NumReplayBatches)) === b),
+          b.toLong, store.toString, "text", "lang")
+      Files.write(marker, Array.emptyByteArray)
+    }
+    topTermsFromStore(s, store.toString)
   }
 
   /** Driver-contract registry surface for the maintainer. */

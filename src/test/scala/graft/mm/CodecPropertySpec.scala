@@ -67,4 +67,29 @@ class CodecPropertySpec extends AnyFunSuite {
       Codec.RealDecoder(c) // no throw is the assertion
     }
   }
+
+  test("huge-dimension headers reject cleanly (Int-overflow regression)") {
+    // PPM whose w*h*3 wraps Int: 1048576 * 1000 * 3 = -1149239296 as Int.
+    // Pre-fix this passed the bounds check and threw
+    // NegativeArraySizeException on a ~25-byte input.
+    val ppm = "P6 1048576 1000 255 ".getBytes("US-ASCII")
+    assert(Codec.decodePpm(ppm).isEmpty)
+    // pair of headers straddling the wrap point in both directions
+    assert(Codec.decodePpm("P6 1048575 1048575 255 ".getBytes("US-ASCII")).isEmpty)
+    // BMP whose stride = ((w*3+3)/4)*4 wraps Int for w > ~715M: craft a
+    // 54-byte header with w = 0x30000000 (805M), h = 4.
+    val b = Codec.encodeBmp24(1, 1, Array(0)).take(54).toArray
+    def putLE(off: Int, v: Long): Unit = {
+      b(off) = (v & 0xff).toByte
+      b(off + 1) = ((v >> 8) & 0xff).toByte
+      b(off + 2) = ((v >> 16) & 0xff).toByte
+      b(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    putLE(18, 0x30000000L) // w
+    putLE(22, 4L)          // h
+    assert(Codec.decodeBmp24(b).isEmpty)
+    // and one where w*h*3 wraps but stride stays positive
+    putLE(18, 0x10000000L); putLE(22, 16L)
+    assert(Codec.decodeBmp24(b).isEmpty)
+  }
 }

@@ -34,6 +34,61 @@ class ReferenceParitySpec extends SparkSpec {
     assert(admitted.count() === 2)
   }
 
+  test("CSV scan round-trips quoted embedded newlines (multiLine)") {
+    // Spark's CSV writer quotes embedded newlines; the reader must
+    // reassemble them instead of splitting one record into malformed
+    // fragments that DROPMALFORMED would silently drop (losing REAL
+    // rows, not just injected junk).
+    val dir = Files.createTempDirectory("graft-parity-csv").toString
+    val src = spark.createDataFrame(Seq(
+      ("line one\nline two", "X"),
+      ("plain text", "Y"),
+      ("quoted \"inner\" text,with comma", "Z"))).toDF("reviewText", "category")
+    src.coalesce(1).write.mode("overwrite").csv(dir)
+    val back = ReviewSource.readReviewsCsv(spark, dir)
+    assert(back.count() === 3)
+    assert(back.collect().map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("line one\nline two", "X"), ("plain text", "Y"),
+        ("quoted \"inner\" text,with comma", "Z")))
+  }
+
+  test("CSV scan still drops exactly the malformed rows under multiLine") {
+    val dir = Files.createTempDirectory("graft-parity-csv2")
+    Files.write(dir.resolve("good.csv"),
+      "\"multi\nline field\",X\nplain,Y\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("bad.csv"),
+      "one,two,three,four\n".getBytes("UTF-8"))
+    val back = ReviewSource.readReviewsCsv(spark, dir.toString)
+    // over-wide row from bad.csv dies in the scan; both good rows
+    // (including the multi-line one) survive
+    assert(back.collect().map(_.getString(1)).toSet === Set("X", "Y"))
+  }
+
+  test("JSONL scan tolerates a UTF-8 BOM and non-UTF8 junk lines") {
+    val dir = Files.createTempDirectory("graft-parity-bom")
+    // file 1: BOM prefix before the first record (exported-from-Windows
+    // shape) + a real record
+    val bom = Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte)
+    Files.write(dir.resolve("bom.jsonl"),
+      bom ++ """{"reviewText": "alpha beta", "category": "X"}""".getBytes("UTF-8"))
+    // file 2: a latin-1-encoded line (invalid UTF-8 bytes) between two
+    // valid records — the junk line must drop, its neighbors survive
+    val latin1 = "{\"reviewText\": \"café\", \"category\": \"Y\"}"
+      .getBytes("ISO-8859-1")
+    Files.write(dir.resolve("mixed.jsonl"),
+      ("""{"reviewText": "gamma", "category": "X"}""" + "\n").getBytes("UTF-8")
+        ++ latin1 ++ "\n".getBytes("UTF-8")
+        ++ """{"reviewText": "delta", "category": "Y"}""".getBytes("UTF-8"))
+    val rows = ReviewSource.readReviews(spark, dir.toString)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows.contains(("alpha beta", "X")), "BOM-prefixed record must parse")
+    assert(rows.contains(("gamma", "X")) && rows.contains(("delta", "Y")),
+      "records around an invalid-encoding line must survive")
+    // the latin-1 line either dropped or decoded with replacement chars —
+    // it must NOT take its neighbors down
+    assert(rows.size >= 3 && rows.size <= 4)
+  }
+
   test("stopwords file is lowercased, trimmed, deduplicated on load") {
     val path = writeTemp("stop.txt", Seq("The", " AND ", "the", "", "of"))
     assert(ReviewSource.loadStopwords(spark, path).sorted === Seq("and", "of", "the"))
