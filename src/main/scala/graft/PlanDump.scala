@@ -14,7 +14,7 @@ object PlanDump {
     "rel_disjunctive_revenue" ->
       "The cross-table-OR showcase (TPC-H Q19 shape): Catalyst cannot factor an OR spanning both join sides, so each side carries its own explicit disjunctive hull — the part scan's PushedFilters shows the brand/size Or(...) tree and the lineitem scan the quantity envelope (RelationalSpec pins both) — and the exact three-branch predicate runs as the post-join residual. Without the hulls both scans read everything and the OR evaluates on the full join output.",
     "dedup_near_apply" ->
-      "End-to-end near-dedup with DISTRIBUTED connected components (r10): the cap-bounded verified pair table feeds ClusterRounds min-label propagation rounds, each materialized via eager localCheckpoint (nearDupLabels) so the pure-lazy fold's per-round plan doubling never happens and no edge or label crosses to the driver; the final node-bounded label table enters one AQE-broadcast corpus left-join.",
+      "End-to-end near-dedup with DISTRIBUTED connected components, exact to FIXPOINT since r11: the cap-bounded verified pair table feeds min-label propagation rounds (neighbor min + pointer-doubling label-of-label hop, so convergence is O(log diameter)), each round's node-bounded label table materialized via eager localCheckpoint (or reliable checkpoint when a dir is given) with a changed-flag probe over the fresh blocks deciding convergence; no edge or label crosses the driver, the final label table enters one AQE-broadcast corpus left-join, and the label pass is shared with dedup_cluster_sizes through a per-fixture cache.",
     "chi2_top_terms" ->
       "One explode feeds the shared termCat exchange (ReusedExchange in the AQE final plan); category totals and N broadcast; WindowGroupLimit bounds the top-k shuffle.",
     "dedup_minhash_candidates" ->
@@ -91,18 +91,22 @@ object PlanDump {
         |
         |The registry contract is lazy-at-build: constructing a query's
         |DataFrame (what `explain` does) schedules no Spark job beyond the
-        |parquet footer read every `spark.read.parquet` performs. Exactly
-        |eleven entries are deliberate exceptions — each runs a BOUNDED
+        |parquet footer read every `spark.read.parquet` performs. The
+        |entries below are deliberate exceptions — each runs a BOUNDED
         |collect at build time, so `explain`/`queries(name)(...)` on them
-        |executes Spark work. RegistrySpec listener-counts build-time jobs
-        |and fails if this table drifts in either direction.
+        |executes Spark work. Three of them (`dedup_near_apply`,
+        |`dedup_cluster_sizes`, `chi2_streaming_replay`) are MEMOIZED per
+        |fixture dir: eager on the first build, zero jobs on every later
+        |build of the same fixture. RegistrySpec listener-counts
+        |build-time jobs and fails if this table drifts in either
+        |direction.
         |
         || Entry | What it collects at build | Bound |
         ||---|---|---|
         || `dedup_bucket_stats` | the 3-row cap-audit summary (result re-entered as a local frame so no state survives the return) | 3 rows |
-        || `chi2_streaming_replay` | nothing collected — the maintainer replay (NumReplayBatches mergeBatch rounds) WRITES the versioned count store (vocabulary-sized, KBs) to a temp dir at build; the returned frame then reads the maintained store | ≤ 2 vocabulary-sized snapshots |
-        || `dedup_near_apply` | NOTHING to the driver — the ClusterRounds label-propagation rounds run as Spark jobs at build (`nearDupLabels`: edges + each round's node-bounded label table materialized via eager `localCheckpoint`, because the pure-lazy fold doubles its plan per round); the final labels enter one corpus left-join lazily | ClusterRounds+1 distributed jobs; labels ≤ 2·pairs nodes |
-        || `dedup_cluster_sizes` | same distributed materialization; the histogram is two bounded aggregates on executors | same |
+        || `chi2_streaming_replay` | nothing collected — the maintainer replay (NumReplayBatches mergeBatch rounds) WRITES the versioned count store (vocabulary-sized, KBs) ONCE per fixture dir behind a completion marker; later builds read the existing store | ≤ 2 vocabulary-sized snapshots |
+        || `dedup_near_apply` | NOTHING to the driver — the FIXPOINT label-propagation rounds run as Spark jobs on first build per fixture (`nearDupLabels`: edges + each round's node-bounded label table materialized via `localCheckpoint`/reliable `checkpoint`, convergence decided by a changed-flag probe over the fresh blocks); the final labels enter one corpus left-join lazily, and the label table is cached per (app, dir) | O(log diameter)+1 distributed jobs on first build; labels ≤ 2·pairs nodes |
+        || `dedup_cluster_sizes` | the SAME cached label pass (zero extra chain work after near_apply, or vice versa); the histogram is two bounded aggregates on executors | same |
         || `dedup_source_overlap` | the (src_a, src_b) presence/co-presence counts off ONE corpus scan (shk-keyed collect_set + in-array pair expansion — a distinct+self-join formulation planned the corpus subtree four times); the dense grid + Jaccard assemble on the driver | ≤ sources² rows |
         || `dedup_decontaminate_bloom` | the bloom sketch over the eval side's distinct shingle keys, re-entered as a foldable literal predicate on the corpus scan (false positives removed by the exact semi-join, so the result is hash-identical to `dedup_decontaminate`) | DecontamBloomKeys·10 bits ≈ 1.3 MB |
         || `sim_ann_recall` | the exact top-k side input both ANN variants are scored against | NumQueries·TopK = 50 rows |
@@ -117,8 +121,11 @@ object PlanDump {
         |Through r9, `dedup_near_apply` / `dedup_cluster_sizes` COLLECTED
         |the verified pair stream and propagated labels on the driver —
         |a driver bottleneck growing with corpus size. Since r10 the
-        |propagation is distributed; their build-time jobs materialize
-        |executor-side blocks only. They still use the pre-distinct pair
+        |propagation is distributed; since r11 it iterates to FIXPOINT
+        |(exact components on any graph — the r10 fixed 4-round budget
+        |silently split components deeper than 4) with a pointer-doubling
+        |hop keeping rounds at O(log diameter), and the two queries share
+        |ONE label pass per fixture. They still use the pre-distinct pair
         |stream — label propagation is duplicate-insensitive (a repeated
         |edge never moves a min), so the distinct exchange stays skipped.
         |

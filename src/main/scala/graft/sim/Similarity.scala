@@ -12,10 +12,14 @@ import org.apache.spark.sql.functions._
   *    broadcast against the corpus scan (a bounded nested-loop: |Q|·|C|
   *    with |Q| tiny), which is exactly how a batched exact-scoring pass
   *    runs on a cluster. NOT for corpus×corpus — that's what LSH is for.
-  *  - `sim_cosine_ann_lsh`: sign-random-projection LSH (±1 hyperplanes)
-  *    → 8-bit bucket per vector; queries only score candidates in their
-  *    bucket. At 100 TB the bucket join replaces the full scan: cost
-  *    drops from |Q|·|C| to Σ_bucket |Q_b|·|C_b|.
+  *  - `sim_cosine_ann_lsh`: sign-random-projection LSH, MULTI-TABLE
+  *    ([[AnnTables]] independent tables of [[AnnPlanesPerTable]] sign
+  *    bits each — the classic OR-construction): a candidate is any
+  *    vector sharing the query's bucket in ANY table, so the miss
+  *    probability is (1−p^b)^L instead of the single-table 1−p^b
+  *    (r10's one 8-bit table had measured recall 0.00 on the fixture;
+  *    the 8×4-bit tables measure ≈0.9). At 100 TB the bucket joins
+  *    replace the full scan: cost is Σ_t Σ_bucket |Q_tb|·|C_tb|.
   *  - `sim_embedding_neardup`: corpus-level near-duplicate pairs via the
   *    same LSH buckets (self-join per bucket, never all-pairs), exact
   *    cosine rescoring, threshold filter.
@@ -35,6 +39,18 @@ object Similarity {
   val NumPlanes = 8
   val NumQueries = 10
   val TopK = 5
+  /** ANN LSH (the OR-construction): [[AnnTables]] independent hash
+    * tables of [[AnnPlanesPerTable]] sign bits each. A candidate is a
+    * vector sharing the query's bucket in ANY table; duplicates from
+    * multiple table hits collapse before ranking. For per-plane match
+    * probability p (= 1 − θ/π), recall@∞ ≈ 1 − (1−p^b)^L: at this
+    * corpus's neighbor similarity (p ≈ 0.8) that is ~0.97, vs ~0.17
+    * for the r10 single 8-bit table. More tables buy recall linearly
+    * in cost; fewer bits per table buys recall at larger buckets —
+    * the two levers a user tunes with `sim_ann_recall`.
+    */
+  val AnnTables = 8
+  val AnnPlanesPerTable = 4
   val NearDupThreshold = 0.3
   /** Near-dup buckets larger than this skip pair expansion (a bucket of
     * b members expands b·(b−1)/2 cosine evaluations). Sized not to bind
@@ -64,13 +80,17 @@ object Similarity {
   /** Product quantization: [[PqM]] subspaces of [[PqSubDim]] dims, each
     * with a [[PqK]]-codeword codebook trained by [[PqLloydIters]] L2
     * Lloyd steps over the SAME deterministic `vec_id < TrainN` sample
-    * the IVF quantizer trains on (one collect feeds both). 16 codewords
-    * per 8-dim subspace is fixture-sized; the production shape is 256
-    * codewords (one byte per subspace) — the construction is identical.
+    * the IVF quantizer trains on (one collect feeds both). 64
+    * codewords per 4-dim subspace (6 bits) is fixture-sized; the
+    * production shape is 256 per 8-dim subspace (one byte) — the
+    * construction is identical. r10 shipped 16 codewords × 8-dim on
+    * raw vectors, whose ADC ranking measured recall 0.44 at sf0.001;
+    * residual encoding + this codebook lifts it to 0.66 at the same
+    * candidate budget (IVF's probe ceiling there is 0.9).
     */
-  val PqM = 8
+  val PqM = 16
   val PqSubDim: Int = Dim / PqM
-  val PqK = 16
+  val PqK = 64
   val PqLloydIters = 2
 
   /** [[embDecontaminate]]'s pseudo-eval set (label 0 — the embedding
@@ -107,6 +127,22 @@ object Similarity {
     }
   }
 
+  /** Per-table ±1 hyperplanes for the multi-table ANN arm — a separate
+    * md5-seeded family (`"t:p,j"`) so the tables are independent of
+    * each other and of the near-dup [[planes]].
+    */
+  lazy val annPlanes: IndexedSeq[IndexedSeq[IndexedSeq[Int]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until AnnTables).map { t =>
+      (0 until AnnPlanesPerTable).map { p =>
+        (0 until Dim).map { j =>
+          val h = md.digest(s"$t:$p,$j".getBytes("UTF-8"))
+          if (((h(0) >> 4) & 1) == 1) 1 else -1
+        }
+      }
+    }
+  }
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -126,10 +162,21 @@ object Similarity {
   def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** 8-char '0'/'1' LSH bucket key from the sign of each projection. */
+  /** 8-char '0'/'1' LSH bucket key from the sign of each projection
+    * (the near-dup arm's single fine-grained table).
+    */
   def bucketCol(v: Column): Column = {
     val bits = (0 until NumPlanes).map { p =>
       val w = array(planes(p).map(x => lit(x.toDouble)): _*)
+      when(dot(v, w) >= 0, "1").otherwise("0")
+    }
+    concat(bits: _*)
+  }
+
+  /** [[AnnPlanesPerTable]]-char bucket key for ANN table `t`. */
+  def annBucketCol(v: Column, t: Int): Column = {
+    val bits = (0 until AnnPlanesPerTable).map { p =>
+      val w = array(annPlanes(t)(p).map(x => lit(x.toDouble)): _*)
       when(dot(v, w) >= 0, "1").otherwise("0")
     }
     concat(bits: _*)
@@ -318,22 +365,52 @@ object Similarity {
 
   private def litArr(cv: Seq[Double]): Column = array(cv.map(lit): _*)
 
-  /** Per-row PQ codes: for each subspace, the 1-based LIST POSITION of
-    * the L2-nearest codeword — a narrow map (PqM·PqK literal
-    * [[PqSubDim]]-dim dots + PqM sorts of PqK structs per row), zero
-    * shuffle, exactly the [[probeCells]] pattern. The struct sorts on
-    * (d, code_id), so ties break to the smaller code_id like the oracle.
+  /** Per-row PQ codes for `vec` (the raw vector, or the IVF residual —
+    * the encoder is agnostic): for each subspace, the 1-based LIST
+    * POSITION of the L2-nearest codeword — a narrow map (PqM·PqK
+    * literal [[PqSubDim]]-dim dots + PqM sorts of PqK structs per
+    * row), zero shuffle, exactly the [[probeCells]] pattern. The
+    * struct sorts on (d, code_id), so ties break to the smaller
+    * code_id like the oracle.
     */
   private[sim] def pqCodesCol(
-      cb: IndexedSeq[IndexedSeq[(Long, Seq[Double], Double)]]): Column =
+      cb: IndexedSeq[IndexedSeq[(Long, Seq[Double], Double)]],
+      vec: Column): Column =
     array((0 until PqM).map { m =>
-      val sub = subCol(col("v"), m)
+      val sub = slice(vec, m * PqSubDim + 1, PqSubDim)
       element_at(array_sort(array(cb(m).zipWithIndex.map {
         case ((id, cv, cn), p) =>
           struct((lit(cn) - lit(2.0) * dot(sub, litArr(cv))).as("d"),
             lit(id).as("code_id"), lit(p + 1).as("pos"))
       }: _*)), 1).getField("pos")
     }: _*)
+
+  /** IVF-residual training sample: each training vector minus its
+    * assigned coarse centroid (same strict-win cosine assignment rule
+    * as [[lloydDriver]] / the oracle's `iassign`). Residual PQ encodes
+    * what the coarse quantizer CANNOT express, so the per-subspace
+    * codebooks spend their 4 bits on local structure instead of
+    * re-describing cell position — the standard IVFADC construction.
+    */
+  private[sim] def residualSample(sample: Seq[(Long, Array[Double])],
+      cents: Seq[(Long, Seq[Double], Double)]): Seq[(Long, Array[Double])] = {
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val centArr = cents.map { case (id, cv, cn) => (id, cv.toArray, cn) }
+    sample.map { case (id, v) =>
+      val n = dotD(v, v)
+      var bestCv: Array[Double] = null
+      var bestNeg = Double.PositiveInfinity
+      for ((_, cv, cn) <- centArr) {
+        val neg = -(dotD(v, cv) / (math.sqrt(n) * math.sqrt(cn)))
+        if (neg < bestNeg) { bestNeg = neg; bestCv = cv }
+      }
+      (id, Array.tabulate(v.length)(i => v(i) - bestCv(i)))
+    }
+  }
 
   /** Per-query ADC lookup tables: lut[m][pos] = dot(query subspace m,
     * codeword pos of subspace m) — PqM·PqK literal dots, computed once
@@ -345,56 +422,77 @@ object Similarity {
       array(cb(m).map { case (_, cv, _) => dot(subCol(col("v"), m), litArr(cv)) }: _*)
     }: _*)
 
-  /** ‖reconstruction‖² of a coded row: subspaces are orthogonal
-    * coordinate blocks, so the cross terms vanish and the norm is the
-    * in-order sum of the per-subspace codeword norms (literals indexed
-    * by the stored position).
-    */
-  private def pqNormCol(cb: IndexedSeq[IndexedSeq[(Long, Seq[Double], Double)]],
-      codes: Column): Column =
-    (0 until PqM).map { m =>
-      element_at(litArr(cb(m).map(_._3)), element_at(codes, m + 1))
-    }.foldLeft(lit(0.0))(_ + _)
-
-  /** IVF+PQ ANN with asymmetric-distance scoring: coarse cells prune
-    * candidates exactly as [[ivfTopK]]; the score is the PQ
-    * approximation dot(q, x̂) = Σ_m lut[m][code_m] against the
-    * reconstructed norm, NOT an exact cosine — so the probe join's
-    * candidate side carries (cell_id, vec_id, 8 codes, anrm) ≈ 40
-    * bytes instead of the 512-byte double vector. THAT is the 100 TB
-    * story: past the one encode pass (narrow, zero-shuffle, fused with
-    * coarse assignment on the same scan), no full-precision vector ever
-    * moves again — candidate scoring is PqM table lookups + adds per
-    * pair, and memory per candidate shrinks ~13×. Training reuses the
-    * ONE collected [[TrainN]] sample (eager-at-build, docs/PLANS.md).
-    * The DuckDB oracle retrains both quantizers from scratch in SQL and
+  /** IVF+PQ ANN with RESIDUAL encoding and asymmetric-distance scoring
+    * (the IVFADC construction; r10 encoded raw vectors and measured
+    * recall 0.44/0.20 at sf0.001/sf0.01 — residual codebooks spend
+    * their bits on what the coarse quantizer can't express). Coarse
+    * cells prune candidates exactly as [[ivfTopK]]; each vector is
+    * encoded as codes of r = v − centroid(cell(v)), and the score is
+    * dot(q, c + r̂) = dot(q, c) + Σ_m lut[m][code_m] over the
+    * reconstructed norm ‖c + r̂‖² = cn + Σ_m (2·dot(c_m, r̂_m) +
+    * ‖r̂_m‖²) — the cross/norm terms are DRIVER-computed literals
+    * indexed by (cell, code), so the candidate side still carries just
+    * (cell_id, vec_id, PqM codes, anrm) ≈ 90 bytes instead of the
+    * 512-byte vector. THAT is the 100 TB story: past the one encode
+    * pass (narrow, zero-shuffle, fused with coarse assignment on the
+    * same scan), no full-precision vector ever moves again — candidate
+    * scoring is PqM table lookups + adds per pair. dot(q, c) rides the
+    * probe explode for free ([[probeCells]]' cdot field). Training
+    * reuses the ONE collected [[TrainN]] sample (eager-at-build,
+    * docs/PLANS.md). The DuckDB oracle retrains both quantizers from
+    * scratch in SQL, computes residuals/cross-terms at runtime, and
     * joins codewords by code_id instead of position — an independent
     * reconstruction of the whole chain, hash-compared.
     */
   private def pqTopK(s: SparkSession, dir: String): DataFrame = {
     val c = prepared(s, dir, withBucket = false)
     val sample = collectSample(c)
-    val coarse = probeCells(lloydDriver(sample))
-    val cb = pqTrainDriver(sample)
-    val assign = c.withColumn("cells", coarse)
-      .withColumn("codes", pqCodesCol(cb))
-      .select(element_at(col("cells"), 1).getField("cell_id").as("cell_id"),
-        col("vec_id"), col("codes"),
-        pqNormCol(cb, col("codes")).as("anrm"))
+    val cents = lloydDriver(sample)
+    val coarse = probeCells(cents)
+    val cb = pqTrainDriver(residualSample(sample, cents))
+    def dotD(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    // literal lookup tables over the trained constants: cell ids (for
+    // the id→position translation), centroid matrix (residual
+    // subtraction), centroid norms, and per-(m, cell, code) norm terms
+    // t = 2·dot(c_m, codeword) + ‖codeword‖²
+    val idArr = array(cents.map(ct => lit(ct._1)): _*)
+    val centMat = array(cents.map(ct => litArr(ct._2)): _*)
+    val cnArr = litArr(cents.map(_._3))
+    val tLit: IndexedSeq[Column] = (0 until PqM).map { m =>
+      array(cents.map { ct =>
+        val csub = ct._2.slice(m * PqSubDim, (m + 1) * PqSubDim)
+        litArr(cb(m).map { case (_, cv, cn) => 2.0 * dotD(csub, cv) + cn })
+      }: _*)
+    }
+    val assign = c
+      .withColumn("cell_id", element_at(coarse, 1).getField("cell_id"))
+      .withColumn("pos", array_position(idArr, col("cell_id")).cast("int"))
+      .withColumn("rv",
+        zip_with(col("v"), element_at(centMat, col("pos")), (a, b) => a - b))
+      .withColumn("codes", pqCodesCol(cb, col("rv")))
+      .select(col("cell_id"), col("vec_id"), col("codes"),
+        (element_at(cnArr, col("pos")) + (0 until PqM).map { m =>
+          element_at(element_at(tLit(m), col("pos")),
+            element_at(col("codes"), m + 1))
+        }.reduceLeft(_ + _)).as("anrm"))
     val q = c.filter(col("vec_id") < NumQueries)
       .withColumn("cells", coarse)
       .select(explode(slice(col("cells"), 1, NProbe)).as("pc"),
         col("vec_id").as("query_id"), pqLutCol(cb).as("qlut"),
         col("nrm").as("qn"))
-      .select(col("pc.cell_id").as("cell_id"), col("query_id"),
-        col("qlut"), col("qn"))
+      .select(col("pc.cell_id").as("cell_id"), col("pc.cdot").as("qcd"),
+        col("query_id"), col("qlut"), col("qn"))
     val adc = (0 until PqM).map { m =>
       element_at(element_at(col("qlut"), m + 1), element_at(col("codes"), m + 1))
     }.foldLeft(lit(0.0))(_ + _)
     val pairs = assign.join(broadcast(q), Seq("cell_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
-        (adc / (sqrt(col("qn")) * sqrt(col("anrm")))).as("cos"))
+        ((col("qcd") + adc) / (sqrt(col("qn")) * sqrt(col("anrm")))).as("cos"))
     rankTopK(pairs, TopK).withColumnRenamed("cos", "adc_cos")
   }
 
@@ -410,16 +508,30 @@ object Similarity {
     rankTopK(pairs, TopK)
   }
 
-  /** LSH ANN: same scoring, but only candidates in the query's bucket. */
+  /** LSH ANN: same scoring, but only candidates sharing the query's
+    * bucket in at least one of the [[AnnTables]] tables. The corpus
+    * side explodes to (table, bucket) rows — a NARROW ×L map, no
+    * shuffle, because the query batch broadcasts into the bucket join;
+    * a pair matching in several tables scores identically each time
+    * and collapses via one (query_id, vec_id) aggregate (min of equal
+    * doubles — the only shuffle besides the final top-k window, both
+    * candidate-bounded, never corpus-bounded).
+    */
   private def lshTopK(s: SparkSession, dir: String): DataFrame = {
-    val c = prepared(s, dir, withBucket = true)
-    val q = c.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("bucket"))
-    val pairs = c.join(broadcast(q), Seq("bucket"))
+    val c = prepared(s, dir, withBucket = false)
+    val tables = array((0 until AnnTables).map(t =>
+      struct(lit(t).as("t"), annBucketCol(col("v"), t).as("bucket"))): _*)
+    val ce = c.withColumn("tb", explode(tables))
+      .select(col("tb.t").as("t"), col("tb.bucket").as("bucket"),
+        col("vec_id"), col("v"), col("nrm"))
+    val q = ce.filter(col("vec_id") < NumQueries)
+      .select(col("t"), col("bucket"), col("vec_id").as("query_id"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val pairs = ce.join(broadcast(q), Seq("t", "bucket"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+      .groupBy("query_id", "vec_id").agg(min(col("cos")).as("cos"))
     rankTopK(pairs, TopK)
   }
 
@@ -454,13 +566,17 @@ object Similarity {
     * fixture and any L2-normalized corpus contain no zero vectors;
     * callers with unnormalized data should pre-filter `nrm > 0`.)
     * Element 1 is the vector's cell; the first NProbe are a query's
-    * probe cells.
+    * probe cells. Each struct also carries the RAW dot(v, centroid)
+    * (`cdot`) — the residual-PQ score needs it on the query side, and
+    * cell_id's uniqueness keeps the sort order unaffected by the extra
+    * field.
     */
   private def probeCells(cents: Seq[(Long, Seq[Double], Double)]): Column =
     array_sort(array(cents.map { case (id, cv, cn) =>
       val w = array(cv.map(lit): _*)
-      struct((-(dot(col("v"), w) / (sqrt(col("nrm")) * sqrt(lit(cn))))).as("neg"),
-        lit(id).as("cell_id"))
+      val d = dot(col("v"), w)
+      struct((-(d / (sqrt(col("nrm")) * sqrt(lit(cn))))).as("neg"),
+        lit(id).as("cell_id"), d.as("cdot"))
     }: _*))
 
   /** IVF ANN with a TRAINED coarse quantizer: seeded k-means centroids
@@ -871,6 +987,40 @@ object Similarity {
       s"CASE WHEN ${dotSql("v", planeSql(p))} >= 0 THEN '1' ELSE '0' END"
     }.mkString(" || ")
 
+  /** `[1, -1, ...]` literal for ANN table t, plane p. */
+  private def annPlaneSql(t: Int, p: Int): String =
+    annPlanes(t)(p).mkString("[", ", ", "]")
+
+  private def annBucketSql(t: Int): String =
+    (0 until AnnPlanesPerTable).map { p =>
+      s"CASE WHEN ${dotSql("v", annPlaneSql(t, p))} >= 0 THEN '1' ELSE '0' END"
+    }.mkString(" || ")
+
+  /** Multi-table (t, bucket) view of the corpus — one UNION ALL branch
+    * per ANN table, mirroring the Spark side's explode. Appended after
+    * a CTE chain that defines n (leading comma).
+    */
+  private val annTbCte: String =
+    ", tb AS (\n" + (0 until AnnTables).map(t =>
+      s"  SELECT $t AS t, vec_id, v, nrm, ${annBucketSql(t)} AS bucket FROM n")
+      .mkString("\n  UNION ALL\n") + "\n)"
+
+  /** The multi-table candidate → score → collapse chain ending in
+    * lp(query_id, vec_id, cos) — shared by the lsh oracle and the
+    * recall oracle's lsh arm. min() over per-table duplicate scores of
+    * the same pair collapses bit-identically (the doubles are equal).
+    */
+  private val lshPairsCtes: String =
+    s""", lp0 AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       |         ${dotSql("q.v", "c.v")} / (sqrt(q.nrm) * sqrt(c.nrm)) AS cos
+       |  FROM tb q JOIN tb c
+       |    ON q.t = c.t AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < $NumQueries
+       |), lp AS (
+       |  SELECT query_id, vec_id, min(cos) AS cos FROM lp0 GROUP BY 1, 2
+       |)""".stripMargin
+
   private val eCte: String =
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -976,55 +1126,76 @@ object Similarity {
        |  SELECT m, code_id, cv, ${dotSubSql("cv", "cv")} AS cn FROM pcm$it
        |)""".stripMargin
 
-  /** PQ training + corpus encode + ADC scoring chain, ending in ppr.
-    * Appended after eCte+ivfCtes (reuses samp for training and
-    * iassign/iqcells for the coarse probe; codewords join by code_id —
-    * the Spark plan's positional codes resolve to the same codeword
-    * because [[pqTrainDriver]] returns them code_id-ascending).
+  /** Residual PQ training + corpus encode + ADC scoring chain, ending
+    * in ppr. Appended after eCte+ivfCtes (reuses iassign for residual
+    * computation and iqcells for the coarse probe; codewords join by
+    * code_id — the Spark plan's positional codes resolve to the same
+    * codeword because [[pqTrainDriver]] returns them code_id-
+    * ascending). `rres` is each vector minus its assigned coarse
+    * centroid; codebooks train on and encode residuals, the score is
+    * dot(q, c) + Σ_m lut and the norm is cn + Σ_m (2·dot(c_m, r̂_m) +
+    * ‖r̂_m‖²) — every fold in m order via list(… ORDER BY m) to mirror
+    * the Spark expression's in-order adds.
     */
   private val pqCtes: String =
     s""", msq AS (
        |  SELECT unnest(generate_series(0, ${PqM - 1})) AS m
+       |), rres AS (
+       |  SELECT a.vec_id, a.cell_id,
+       |         list_transform(range(1, ${Dim + 1}), i -> a.v[i] - c.cv[i]) AS rv
+       |  FROM iassign a JOIN cents$LloydIters c ON c.cell_id = a.cell_id
        |), psamp AS (
-       |  SELECT s.vec_id, msq.m,
-       |         s.v[msq.m * $PqSubDim + 1 : msq.m * $PqSubDim + $PqSubDim] AS sv
-       |  FROM samp s, msq
+       |  SELECT r.vec_id, msq.m,
+       |         r.rv[msq.m * $PqSubDim + 1 : msq.m * $PqSubDim + $PqSubDim] AS sv
+       |  FROM rres r, msq WHERE r.vec_id < $TrainN
        |), pc0 AS (
        |  SELECT m, vec_id AS code_id, sv AS cv, ${dotSubSql("sv", "sv")} AS cn
        |  FROM psamp WHERE vec_id < $PqK
        |)${(1 to PqLloydIters).map(pqLloydCtesSql).mkString}, pcorp AS (
-       |  SELECT n.vec_id, msq.m,
-       |         n.v[msq.m * $PqSubDim + 1 : msq.m * $PqSubDim + $PqSubDim] AS sv
-       |  FROM n, msq
+       |  SELECT r.vec_id, msq.m,
+       |         r.rv[msq.m * $PqSubDim + 1 : msq.m * $PqSubDim + $PqSubDim] AS sv
+       |  FROM rres r, msq
        |), pencode AS (
-       |  SELECT vec_id, m, code_id, cn FROM (
-       |    SELECT p.vec_id, p.m, c.code_id, c.cn,
+       |  SELECT vec_id, m, code_id FROM (
+       |    SELECT p.vec_id, p.m, c.code_id,
        |           row_number() OVER (PARTITION BY p.vec_id, p.m
        |             ORDER BY c.cn - 2 * ${dotSubSql("p.sv", "c.cv")} ASC, c.code_id ASC) AS crank
        |    FROM pcorp p JOIN pc$PqLloydIters c ON p.m = c.m) WHERE crank = 1
        |), panrm AS (
-       |  SELECT vec_id, list_reduce(list(cn ORDER BY m), (a, x) -> a + x) AS anrm
-       |  FROM pencode GROUP BY vec_id
+       |  SELECT e.vec_id,
+       |         min(cc.cn) + list_reduce(
+       |           list(2 * ${dotSubSql(s"(cc.cv[e.m * $PqSubDim + 1 : e.m * $PqSubDim + $PqSubDim])", "k.cv")} + k.cn
+       |                ORDER BY e.m),
+       |           (a, x) -> a + x) AS anrm
+       |  FROM pencode e
+       |  JOIN rres r2 ON r2.vec_id = e.vec_id
+       |  JOIN cents$LloydIters cc ON cc.cell_id = r2.cell_id
+       |  JOIN pc$PqLloydIters k ON k.m = e.m AND k.code_id = e.code_id
+       |  GROUP BY e.vec_id
        |), pquery AS (
        |  SELECT q.cell_id, q.query_id, q.qn, msq.m,
        |         q.qv[msq.m * $PqSubDim + 1 : msq.m * $PqSubDim + $PqSubDim] AS qsv
        |  FROM iqcells q, msq
        |), ppair AS (
-       |  SELECT pq2.query_id, a.vec_id, pq2.m, ${dotSubSql("pq2.qsv", "k.cv")} AS t
+       |  SELECT pq2.query_id, a.vec_id, a.cell_id, pq2.m, ${dotSubSql("pq2.qsv", "k.cv")} AS t
        |  FROM iassign a
        |  JOIN pquery pq2 ON a.cell_id = pq2.cell_id AND pq2.query_id <> a.vec_id
        |  JOIN pencode e ON e.vec_id = a.vec_id AND e.m = pq2.m
        |  JOIN pc$PqLloydIters k ON k.m = e.m AND k.code_id = e.code_id
        |), padc AS (
-       |  SELECT query_id, vec_id,
+       |  SELECT query_id, vec_id, min(cell_id) AS cell_id,
        |         list_reduce(list(t ORDER BY m), (a, x) -> a + x) AS adc
        |  FROM ppair GROUP BY query_id, vec_id
+       |), qcd AS (
+       |  SELECT q.query_id, q.cell_id, ${dotSql("q.qv", "c.cv")} AS qcd
+       |  FROM iqcells q JOIN cents$LloydIters c ON c.cell_id = q.cell_id
        |), pqn AS (
        |  SELECT DISTINCT query_id, qn FROM pquery
        |), pscore AS (
        |  SELECT p.query_id, p.vec_id,
-       |         p.adc / (sqrt(q2.qn) * sqrt(pn.anrm)) AS adc_cos
+       |         (qc.qcd + p.adc) / (sqrt(q2.qn) * sqrt(pn.anrm)) AS adc_cos
        |  FROM padc p
+       |  JOIN qcd qc ON qc.query_id = p.query_id AND qc.cell_id = p.cell_id
        |  JOIN pqn q2 ON q2.query_id = p.query_id
        |  JOIN panrm pn ON pn.vec_id = p.vec_id
        |), ppr AS (
@@ -1119,16 +1290,11 @@ object Similarity {
          |SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= $TopK
          |ORDER BY query_id, rank""".stripMargin,
     "sim_cosine_ann_lsh" ->
-      s"""$bCte, p AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-         |         ${dotSql("q.v", "c.v")} / (sqrt(q.nrm) * sqrt(c.nrm)) AS cos
-         |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-         |  WHERE q.vec_id < $NumQueries
-         |), r AS (
+      s"""$eCte$annTbCte$lshPairsCtes, r AS (
          |  SELECT query_id, vec_id, cos,
          |         CAST(row_number() OVER (PARTITION BY query_id
          |           ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
-         |  FROM p
+         |  FROM lp
          |)
          |SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= $TopK
          |ORDER BY query_id, rank""".stripMargin,
@@ -1141,7 +1307,7 @@ object Similarity {
          |SELECT query_id, vec_id, adc_cos, rank FROM ppr WHERE rank <= $TopK
          |ORDER BY query_id, rank""".stripMargin,
     "sim_ann_recall" ->
-      s"""$bCte$ivfCtes$pqCtes, xp AS (
+      s"""$eCte$annTbCte$ivfCtes$pqCtes, xp AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
          |         ${dotSql("q.v", "c.v")} / (sqrt(q.nrm) * sqrt(c.nrm)) AS cos
          |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
@@ -1152,12 +1318,7 @@ object Similarity {
          |           row_number() OVER (PARTITION BY query_id
          |             ORDER BY cos DESC, vec_id ASC) AS rank
          |    FROM xp) WHERE rank <= $TopK
-         |), lp AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-         |         ${dotSql("q.v", "c.v")} / (sqrt(q.nrm) * sqrt(c.nrm)) AS cos
-         |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-         |  WHERE q.vec_id < $NumQueries
-         |), lt AS (
+         |)$lshPairsCtes, lt AS (
          |  SELECT query_id, vec_id FROM (
          |    SELECT query_id, vec_id,
          |           row_number() OVER (PARTITION BY query_id

@@ -18,9 +18,6 @@ class RegistrySpec extends SparkSpec {
     */
   private val eagerAtBuild = Set(
     "dedup_bucket_stats",   // 3-row cap-audit summary, re-entered locally
-    "chi2_streaming_replay", // mergeBatch replay writes the KB-sized count store at build
-    "dedup_near_apply",     // distributed CC rounds materialize via localCheckpoint (no driver data)
-    "dedup_cluster_sizes",  // same distributed CC materialization
     "dedup_source_overlap", // ≤|sources|² co-occurrence counts, grid re-entered locally
     "dedup_decontaminate_bloom", // ~1.3 MB eval-key bloom sketch, re-entered as a literal
     "sim_ann_recall",       // 50-row exact top-k side input
@@ -28,6 +25,20 @@ class RegistrySpec extends SparkSpec {
     "sim_cosine_ann_pq",    // same sample, feeding coarse + PQ codebook training
     "sim_semdedup",         // same ≤256-row sample (literal-embedded quantizer)
     "sim_bucket_stats"      // same sample, for the ivf_cell cap-audit row
+  )
+
+  /** Entries whose build-time work is MEMOIZED per fixture dir: eager
+    * on the first build (CC label rounds / replay-store merges run as
+    * bounded Spark jobs), zero jobs on every later build. The
+    * executes-everything test above builds each query once, so by the
+    * time the laziness test runs these must hit their caches and
+    * schedule NOTHING — appearing in ranAtBuild means the memoization
+    * broke.
+    */
+  private val memoizedEager = Set(
+    "dedup_near_apply",     // fixpoint CC labels cached per (app, dir) — shared with cluster_sizes
+    "dedup_cluster_sizes",  // same shared label pass
+    "chi2_streaming_replay" // count store built once per dir behind a marker
   )
 
   /** Entries with DELIBERATELY no oracle SQL (docs/PLANS.md §"Rows-only
@@ -133,10 +144,13 @@ class RegistrySpec extends SparkSpec {
       val offenders = ranAtBuild -- eagerAtBuild
       assert(offenders.isEmpty,
         s"queries ran Spark jobs at DataFrame-BUILD time but are not " +
-          s"documented as eager: $offenders")
+          s"documented as eager (memoized-eager entries appearing here " +
+          s"mean their cache broke): $offenders")
       assert(ranAtBuild == eagerAtBuild,
         s"documented-eager entries no longer collect at build " +
           s"(update docs/PLANS.md and eagerAtBuild): ${eagerAtBuild -- ranAtBuild}")
+      assert(memoizedEager.subsetOf(SparkEntry.queries.keySet),
+        s"memoizedEager names unknown queries: ${memoizedEager -- SparkEntry.queries.keySet}")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 }

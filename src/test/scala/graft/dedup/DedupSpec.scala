@@ -22,31 +22,45 @@ class DedupSpec extends SparkSpec {
 
   test("min-label propagation clusters a chain and picks one keeper") {
     val s = spark; import s.implicits._
-    // path graph 10-11-12-13 (diameter 3 <= ClusterRounds) + island 20-21
+    // path graph 10-11-12-13 + island 20-21
     val pairs = Seq((10L, 11L), (11L, 12L), (12L, 13L), (20L, 21L))
       .toDF("doc_a", "doc_b")
-    val lab = Dedup.nearDupClusters(pairs)
+    val lab = Dedup.nearDupLabels(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(Seq(10L, 11L, 12L, 13L).forall(lab(_) == 10L),
       "every chain member must converge to the component min")
     assert(lab(20L) == 20L && lab(21L) == 20L)
-    // the driver propagation the registered query uses must match the
-    // DataFrame rounds exactly, and this in-budget graph must converge
+    // the independent driver fixpoint must match the Spark fixpoint
     val (driver, converged) = Dedup.propagateDriverChecked(
       Seq((10L, 11L), (11L, 12L), (12L, 13L), (20L, 21L)))
     assert(driver.toMap == lab, "driver propagation diverged from Spark rounds")
     assert(converged)
-    // the materialized form the REGISTERED queries use must match the
-    // pure-lazy rounds label-for-label
-    val labM = Dedup.nearDupLabels(pairs)
+    // r11 regression: a path DEEPER than the old fixed 4-round budget
+    // must now converge to exact components (r10 silently split it)
+    val longPath = (0L until 12L).sliding(2).map(w => (w(0), w(1))).toSeq
+    val (deepLabels, deepConverged) = Dedup.propagateDriverChecked(longPath)
+    assert(deepConverged, "fixpoint must be reached on a diameter-11 path")
+    assert(deepLabels.toMap == (0L until 12L).map(_ -> 0L).toMap,
+      "every node of the deep path must label to the component min")
+    val deepSpark = Dedup.nearDupLabels(longPath.toDF("doc_a", "doc_b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labM == lab, "nearDupLabels diverged from nearDupClusters")
-    // a path wider than the round budget is flagged, labels still the
-    // exact k-round result
-    val longPath = (0L until 6L).sliding(2).map(w => (w(0), w(1))).toSeq
-    val (_, deepConverged) = Dedup.propagateDriverChecked(longPath)
-    assert(!deepConverged,
-      "diameter-5 path must be reported as not converged in 4 rounds")
+    assert(deepSpark == deepLabels.toMap,
+      "distributed fixpoint diverged from driver fixpoint on the deep path")
+  }
+
+  test("nearDupLabels with a checkpoint dir takes the reliable-checkpoint path") {
+    val s = spark; import s.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val lab = Dedup.nearDupLabels(pairs, checkpointDir = Some(ckpt))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // reliable checkpoint data must actually exist under the dir — the
+    // recovery path a cluster run needs when an executor dies mid-rounds
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+    val nFiles = try files.filter(java.nio.file.Files.isRegularFile(_)).count()
+      finally files.close()
+    assert(nFiles > 0, "no reliable checkpoint files written under the dir")
   }
 
   test("near-dup apply keeps one doc per verified cluster") {

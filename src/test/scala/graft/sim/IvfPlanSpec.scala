@@ -79,7 +79,7 @@ class IvfPlanSpec extends graft.SparkSpec {
   test("pq codes are the L2-argmin codeword position per subspace") {
     val c = prepared
     val cb = Similarity.pqTrainDriver(Similarity.collectSample(c))
-    val got = c.withColumn("codes", Similarity.pqCodesCol(cb))
+    val got = c.withColumn("codes", Similarity.pqCodesCol(cb, col("v")))
       .filter(col("vec_id") < 50).select("vec_id", "v", "codes").collect()
     assert(got.nonEmpty)
     got.foreach { r =>
