@@ -114,6 +114,7 @@ object PlanDump {
         || `sim_cosine_ann_pq` | the same IVF training sample, feeding BOTH the coarse quantizer and the 8 per-subspace PQ codebooks (all re-enter as literals) | ≤256 rows × 64 doubles |
         || `sim_semdedup` | the same IVF training sample (cell assignment embeds the trained centroids as literals) | ≤256 rows × 64 doubles |
         || `sim_bucket_stats` | the same IVF training sample, for the `ivf_cell` cap-audit row's cell assignment | ≤256 rows × 64 doubles |
+        || `rel_salted_join` | the key-skew audit frame (one row per candidate join column) whose hottest flagged column becomes the salted join key | 2 rows |
         |
         |(`sim_ann_recall` composes `ivfTopK`, so it also performs the IVF
         |sample collect; its own bound is the 50-row exact result.)

@@ -22,6 +22,7 @@ object SparkEntry {
       text.Analysis.queries ++
       mm.Multimodal.queries ++
       ops.Sampling.queries ++
+      ops.Salted.queries ++
       streaming.StreamingChiSquare.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -36,5 +37,6 @@ object SparkEntry {
       text.Analysis.oracleSql ++
       mm.Multimodal.oracleSql ++
       ops.Sampling.oracleSql ++
+      ops.Salted.oracleSql ++
       streaming.StreamingChiSquare.oracleSql
 }

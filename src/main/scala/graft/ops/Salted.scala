@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew-resistant two-stage aggregation (the "salting" pattern).
@@ -85,4 +85,56 @@ object Salted {
       .select(col("key_col"), col("top1_share"))
       .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
       .sortBy(-_._2)
+
+  /** The full audit→mitigation wire as a REGISTERED query: measure the
+    * documents table's candidate join keys with the `rel_key_skew`
+    * audit frame, pick the hottest flagged column (lang on the
+    * fixtures — one language dominates, exactly the hot-key shape),
+    * and route the fact⋈dim join through [[saltedJoin]]. The dim is
+    * the per-key profile (≤ distinct-langs rows) with a shuffle-hash
+    * hint, because that is the case salting exists for: a dim too big
+    * (or a config unable) to broadcast and AQE's sort-merge-only skew
+    * splitting unavailable. Results are row-identical to the plain
+    * join (the oracle IS the plain join); SaltedSpec asserts the
+    * exchanges partition on (key, __salt), so the hot key's rows
+    * spread over `buckets` reduce tasks.
+    *
+    * The audit collect (one row per audited column) runs at BUILD —
+    * documented eager (docs/PLANS.md, RegistrySpec). The chosen key is
+    * data-dependent by design — the wire, not a constant, decides — so
+    * a fixture where the measurement flipped would hash-mismatch the
+    * oracle and fail the gate loudly.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_salted_join" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val audit = graft.rel.Relational.keySkew(d, Seq("lang", "source"))
+      val key = skewedKeys(audit).head._1
+      val dim = d.groupBy(col(key)).agg(
+        count(lit(1)).as("key_docs"),
+        sum(col("n_chars")).as("key_chars"))
+      saltedJoin(d.select(col("doc_id"), col(key), col("n_chars")),
+          dim.hint("shuffle_hash"), key)
+        .select(col("doc_id"), col(key).as("key_val"),
+          col("key_docs"), col("key_chars"))
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // the salted join must be row-identical to the plain join; `lang`
+    // is the column the audit flags hottest on every fixture (the
+    // dominant language's top1_share dwarfs the ~uniform sources')
+    "rel_salted_join" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |), dim AS (
+        |  SELECT lang, count(*) AS key_docs,
+        |         CAST(sum(n_chars) AS BIGINT) AS key_chars
+        |  FROM d GROUP BY lang
+        |)
+        |SELECT d.doc_id, d.lang AS key_val, dim.key_docs, dim.key_chars
+        |FROM d JOIN dim USING (lang)
+        |ORDER BY d.doc_id""".stripMargin
+  )
 }

@@ -24,7 +24,8 @@ class RegistrySpec extends SparkSpec {
     "sim_cosine_ann_ivf",   // ≤256-row training sample for driver Lloyd
     "sim_cosine_ann_pq",    // same sample, feeding coarse + PQ codebook training
     "sim_semdedup",         // same ≤256-row sample (literal-embedded quantizer)
-    "sim_bucket_stats"      // same sample, for the ivf_cell cap-audit row
+    "sim_bucket_stats",     // same sample, for the ivf_cell cap-audit row
+    "rel_salted_join"       // 2-row key-skew audit decides the salted key at build
   )
 
   /** Entries whose build-time work is MEMOIZED per fixture dir: eager

@@ -92,4 +92,21 @@ class SaltedSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges === 2, plan.take(1500))
   }
+
+  test("registered rel_salted_join: salted exchanges replace the skewed one") {
+    val df = Salted.queries("rel_salted_join")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the join's exchanges partition on (lang, __salt) — the measured
+    // hot key spreads over buckets reduce tasks — and NO exchange
+    // partitions on the bare skewed key
+    // (the dim-BUILD aggregate still exchanges on bare lang — harmless:
+    // map-side partials collapse the hot key to one row per partition
+    // before that shuffle; it is the JOIN's row stream that skews)
+    val saltedEx = "hashpartitioning\\(lang[^)]*__salt".r.findAllIn(plan).size
+    assert(saltedEx >= 2, s"expected both join sides salted:\n${plan.take(2000)}")
+    // shuffle-hash join, not broadcast: the dim-not-broadcastable case
+    // is the one salting exists for
+    assert(plan.contains("ShuffledHashJoin"), plan.take(2000))
+  }
 }
