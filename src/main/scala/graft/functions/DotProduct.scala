@@ -91,6 +91,16 @@ object GraftFunctions {
   def graftDot(a: Column, b: Column): Column =
     call_function("graft_dot", a, b)
 
+  /** Column-API form of [[PqEncode]]: codebook/norms must be literal
+    * (foldable) columns — a trained codebook is a driver constant.
+    */
+  def graftPqEncode(vec: Column, codebook: Column, norms: Column): Column =
+    call_function("graft_pq_encode", vec, codebook, norms)
+
+  /** Column-API form of [[PqLut]]: codebook must be a literal. */
+  def graftPqLut(vec: Column, codebook: Column): Column =
+    call_function("graft_pq_lut", vec, codebook)
+
   /** Column-API form of [[Md5Prefix64]]. */
   def graftMd5Bits(c: Column): Column =
     call_function("graft_md5_bits", c)
@@ -154,6 +164,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("graft_byte_stride"),
         new ExpressionInfo(classOf[ByteStride].getName, "graft_byte_stride"),
         (children: Seq[Expression]) => ByteStride(children(0), children(1))))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_pq_encode"),
+        new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+        (children: Seq[Expression]) =>
+          PqEncode(children(0), children(1), children(2))))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_pq_lut"),
+        new ExpressionInfo(classOf[PqLut].getName, "graft_pq_lut"),
+        (children: Seq[Expression]) => PqLut(children(0), children(1))))
     ext.injectFunction(
       (FunctionIdentifier("graft_md5_bits"),
         new ExpressionInfo(classOf[Md5Prefix64].getName, "graft_md5_bits"),

@@ -373,16 +373,38 @@ object Similarity {
     * struct sorts on (d, code_id), so ties break to the smaller
     * code_id like the oracle.
     */
+  /** Per-row codes through the native [[graft.functions.PqEncode]]
+    * kernel: one fused loop over all PqM·PqK codewords, with the
+    * codebook embedded once as a reference object. The unrolled
+    * Column form ([[pqCodesColUnrolled]], kept as the spec's
+    * independent twin) emits ~PqM·PqK sub-expressions into the
+    * projection — at 16×64 that dominated the encode pass (~7 s of
+    * sim_cosine_ann_pq's 9.7 s at sf0.1); the kernel encodes the same
+    * codes (bit-identical distances, same first-wins tie-break) in
+    * microseconds per row.
+    */
   private[sim] def pqCodesCol(
+      cb: IndexedSeq[IndexedSeq[(Long, Seq[Double], Double)]],
+      vec: Column): Column =
+    graft.functions.GraftFunctions.graftPqEncode(vec,
+      array(cb.map(m => array(m.map { case (_, cv, _) => litArr(cv) }: _*)): _*),
+      array(cb.map(m => litArr(m.map(_._3))): _*))
+
+  /** The unrolled Column-expression twin of [[pqCodesCol]] — argmin
+    * via array_min + FIRST-index array_position, identical to the
+    * oracle's (d ASC, code_id ASC) ranking because the codebook is
+    * code_id-ascending. IvfPlanSpec pins kernel ≡ unrolled ≡ driver
+    * argmin.
+    */
+  private[sim] def pqCodesColUnrolled(
       cb: IndexedSeq[IndexedSeq[(Long, Seq[Double], Double)]],
       vec: Column): Column =
     array((0 until PqM).map { m =>
       val sub = slice(vec, m * PqSubDim + 1, PqSubDim)
-      element_at(array_sort(array(cb(m).zipWithIndex.map {
-        case ((id, cv, cn), p) =>
-          struct((lit(cn) - lit(2.0) * dot(sub, litArr(cv))).as("d"),
-            lit(id).as("code_id"), lit(p + 1).as("pos"))
-      }: _*)), 1).getField("pos")
+      val d = array(cb(m).map { case (_, cv, cn) =>
+        lit(cn) - lit(2.0) * dot(sub, litArr(cv))
+      }: _*)
+      array_position(d, array_min(d)).cast("int")
     }: _*)
 
   /** IVF-residual training sample: each training vector minus its
@@ -413,14 +435,15 @@ object Similarity {
   }
 
   /** Per-query ADC lookup tables: lut[m][pos] = dot(query subspace m,
-    * codeword pos of subspace m) — PqM·PqK literal dots, computed once
-    * per QUERY row (NumQueries of them), never per candidate.
+    * codeword pos of subspace m) — computed once per QUERY row
+    * (NumQueries of them), never per candidate, through the fused
+    * [[graft.functions.PqLut]] kernel (the unrolled Column form put
+    * ~PqM·PqK dot sub-expressions in the projection).
     */
   private def pqLutCol(
       cb: IndexedSeq[IndexedSeq[(Long, Seq[Double], Double)]]): Column =
-    array((0 until PqM).map { m =>
-      array(cb(m).map { case (_, cv, _) => dot(subCol(col("v"), m), litArr(cv)) }: _*)
-    }: _*)
+    graft.functions.GraftFunctions.graftPqLut(col("v"),
+      array(cb.map(m => array(m.map { case (_, cv, _) => litArr(cv) }: _*)): _*))
 
   /** IVF+PQ ANN with RESIDUAL encoding and asymmetric-distance scoring
     * (the IVFADC construction; r10 encoded raw vectors and measured

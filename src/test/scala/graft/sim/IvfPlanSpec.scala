@@ -76,15 +76,20 @@ class IvfPlanSpec extends graft.SparkSpec {
       s"query-batch filter not pushed to scan:\n$fin")
   }
 
-  test("pq codes are the L2-argmin codeword position per subspace") {
+  test("pq codes: native kernel ≡ unrolled Column twin ≡ driver argmin") {
     val c = prepared
     val cb = Similarity.pqTrainDriver(Similarity.collectSample(c))
-    val got = c.withColumn("codes", Similarity.pqCodesCol(cb, col("v")))
-      .filter(col("vec_id") < 50).select("vec_id", "v", "codes").collect()
+    val got = c
+      .withColumn("codes", Similarity.pqCodesCol(cb, col("v")))
+      .withColumn("codes2", Similarity.pqCodesColUnrolled(cb, col("v")))
+      .filter(col("vec_id") < 50)
+      .select("vec_id", "v", "codes", "codes2").collect()
     assert(got.nonEmpty)
     got.foreach { r =>
       val v = r.getSeq[Double](1).toArray
       val codes = r.getSeq[Int](2)
+      // kernel and unrolled Column form must agree code-for-code
+      assert(codes == r.getSeq[Int](3), s"vec ${r.getLong(0)}: kernel != unrolled")
       for (m <- 0 until Similarity.PqM) {
         val d = Similarity.PqSubDim
         val sub = v.slice(m * d, (m + 1) * d)
@@ -97,6 +102,11 @@ class IvfPlanSpec extends graft.SparkSpec {
           s"vec ${r.getLong(0)} subspace $m: got ${codes(m)}, want $exp")
       }
     }
+    // dimension-mismatch vectors yield NULL codes, never truncation
+    val bad = spark.sql("SELECT array(CAST(1.0 AS DOUBLE), 2.0) AS v")
+      .withColumn("codes", Similarity.pqCodesCol(cb, col("v")))
+      .select("codes").collect().head
+    assert(bad.isNullAt(0))
   }
 
   test("pq executed plan: same narrow shape as ivf — one window, broadcast probe, no corpus shuffle") {
