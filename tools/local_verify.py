@@ -29,8 +29,11 @@ if "--skip-spark" not in sys.argv:
 con = duckdb.connect()
 for t in TABLES:
     p = f"{SF}/{t}.parquet"
-    if os.path.exists(p):
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    if os.path.isdir(p):  # Spark-written table: a directory of part files
+        p = f"{p}/*.parquet"
+    elif not os.path.exists(p):
+        continue
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 oracles = json.load(open(f"{OUT}/oracle_sql.json"))
 fail = 0
