@@ -68,13 +68,23 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
-    val spark = SparkSession.builder()
+    // Scan-split knob for the ScaleUp-derived scale fixtures: their
+    // corpora are tens of MB across many ~1 MB files, and Spark's
+    // default 128 MB maxPartitionBytes packs ALL of them into one scan
+    // task — CPU-heavy per-byte queries (regex scans) then run on one
+    // core of 32. At real cluster scale the default is right (inputs
+    // have thousands of native splits); locally, scale runs set e.g.
+    // SPARK_GRAFT_MAX_PARTITION_BYTES=2097152 so the scan parallelizes.
+    val maxPartitionBytes = sys.env.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+    val builder = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    maxPartitionBytes.foreach(b =>
+      builder.config("spark.sql.files.maxPartitionBytes", b.toLong))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     prodHash.foreach(b =>
       spark.conf.set(graft.functions.PortableHash.ConfKey, b.toString))

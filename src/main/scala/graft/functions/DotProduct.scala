@@ -125,6 +125,10 @@ object GraftFunctions {
   def graftWinnowGrams(toks: Column, n: Column, k: Column): Column =
     call_function("graft_winnow_grams", toks, n, k)
 
+  /** Column-API form of [[PiiScan]]. */
+  def graftPiiScan(text: Column): Column =
+    call_function("graft_pii_scan", text)
+
   /** Column-API form of [[Simhash]]. */
   def graftSimhash(toks: Column, production: Column): Column =
     call_function("graft_simhash", toks, production)
@@ -198,6 +202,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[WinnowGrams].getName, "graft_winnow_grams"),
         (children: Seq[Expression]) =>
           WinnowGrams(children(0), children(1), children(2))))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_pii_scan"),
+        new ExpressionInfo(classOf[PiiScan].getName, "graft_pii_scan"),
+        (children: Seq[Expression]) => PiiScan(children.head)))
     ext.injectFunction(
       (FunctionIdentifier("graft_simhash"),
         new ExpressionInfo(classOf[Simhash].getName, "graft_simhash"),

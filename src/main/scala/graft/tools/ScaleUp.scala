@@ -73,15 +73,25 @@ object ScaleUp {
 
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def write(t: String)(df: DataFrame): Unit = {
-      // One file per table, like the fixture layout (a directory named
-      // <t>.parquet — spark.read.parquet resolves both layouts).
-      df.coalesce(math.max(1, factor / 2))
-        .write.mode("overwrite").parquet(s"$out/$t.parquet")
-      println(s"scaleup: $t -> $out/$t.parquet")
+      // REPARTITION, not coalesce: the source fixture is one file with
+      // one row group, so the crossJoin output is ONE partition and
+      // coalesce cannot split it — the first sf10 cut wrote single-file
+      // single-row-group tables whose scans ran one task no matter how
+      // many cores the bench had (the 111×-linear regex scans in
+      // BENCH_SF10_r11.json's first draft were measuring 1/32 of the
+      // machine). Many small files give scans real split points; the
+      // dims stay single-file.
+      val n = math.max(8, math.min(128, factor))
+      df.repartition(n).write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"scaleup: $t -> $out/$t.parquet ($n files)")
     }
 
-    // Fixed dims: copy through unchanged.
-    Seq("region", "nation").foreach(t => write(t)(read(t)))
+    // Fixed dims: copy through unchanged (single file — they are rows,
+    // not volume).
+    Seq("region", "nation").foreach { t =>
+      read(t).coalesce(1).write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"scaleup: $t -> $out/$t.parquet (dim, 1 file)")
+    }
 
     write("customer")(replicate(read("customer"), factor)(shift("c_custkey")))
     write("supplier")(replicate(read("supplier"), factor)(shift("s_suppkey")))

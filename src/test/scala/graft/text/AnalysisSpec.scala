@@ -559,6 +559,46 @@ class AnalysisSpec extends SparkSpec {
     assert(twice === once, "redaction must be idempotent")
   }
 
+  test("graft_pii_scan kernel is bit-equal to the six-expression chain") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.{col, lit, size, regexp_extract_all}
+    // Includes the adversarial overlap the kernel doc calls out: an
+    // email local part that parses as an IPv4 (counts bind to the
+    // ORIGINAL text, replacements to the email-redacted one — on doc 5
+    // the IPv4 count is 1 but nothing survives to replace), plus
+    // adjacency, no-match, and empty-string shapes.
+    val d = Seq(
+      (1L, "contact alice@example.com or bob.smith@sub.domain.org today"),
+      (2L, "server at 192.168.0.1 and backup at 10.0.0.255 ok"),
+      (3L, "call +1 415 555 1234 or +49-30-123456 now"),
+      (4L, "clean text with no identifiers at all"),
+      (5L, "mail 1.2.3.4@example.com please"),
+      (6L, "a@b.cd+41 555 010 991.2.3.4"),
+      (7L, "")
+    ).toDF("doc_id", "text")
+    val kernel = d.select(col("doc_id"),
+        graft.functions.GraftFunctions.graftPiiScan(col("text")).as("p"))
+      .select(col("doc_id"), col("p.n_emails"), col("p.n_phones"),
+        col("p.n_ipv4"), col("p.redacted"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val chain = d.select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(Analysis.EmailPattern),
+          lit(0))).cast("long").as("e"),
+        size(regexp_extract_all(col("text"), lit(Analysis.PhonePattern),
+          lit(0))).cast("long").as("p"),
+        size(regexp_extract_all(col("text"), lit(Analysis.Ipv4Pattern),
+          lit(0))).cast("long").as("i"),
+        Analysis.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(kernel === chain)
+    // The overlap doc really exercises the divergence: counted as IPv4
+    // on the original, gone before the IPv4 replacement pass ran.
+    assert(kernel(5L)._3 === 1L)
+    assert(kernel(5L)._4 === "mail [EMAIL] please")
+  }
+
   test("filter funnel charges each doc to its FIRST failing stage") {
     val s = spark; import s.implicits._
     val stop = Analysis.QualityStopwords
