@@ -129,6 +129,14 @@ object GraftFunctions {
   def graftPiiScan(text: Column): Column =
     call_function("graft_pii_scan", text)
 
+  /** Column-API form of [[QualityStats]]. */
+  def graftQualityStats(text: Column, stopwords: Column): Column =
+    call_function("graft_quality_stats", text, stopwords)
+
+  /** Column-API form of [[LangId]]. */
+  def graftLangId(text: Column, markers: Column): Column =
+    call_function("graft_lang_id", text, markers)
+
   /** Column-API form of [[Simhash]]. */
   def graftSimhash(toks: Column, production: Column): Column =
     call_function("graft_simhash", toks, production)
@@ -206,6 +214,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("graft_pii_scan"),
         new ExpressionInfo(classOf[PiiScan].getName, "graft_pii_scan"),
         (children: Seq[Expression]) => PiiScan(children.head)))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_quality_stats"),
+        new ExpressionInfo(classOf[QualityStats].getName, "graft_quality_stats"),
+        (children: Seq[Expression]) =>
+          QualityStats(children(0), children(1))))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_lang_id"),
+        new ExpressionInfo(classOf[LangId].getName, "graft_lang_id"),
+        (children: Seq[Expression]) => LangId(children(0), children(1))))
     ext.injectFunction(
       (FunctionIdentifier("graft_simhash"),
         new ExpressionInfo(classOf[Simhash].getName, "graft_simhash"),

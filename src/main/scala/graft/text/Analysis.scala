@@ -62,31 +62,45 @@ object Analysis {
   private def toksCol: Column =
     filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
 
+  /** The fused five-count quality kernel over `text` (stopword list as
+    * a foldable literal). Deterministic, so repeated `getField`s on it
+    * inside one projection collapse to a single evaluation via
+    * whole-stage codegen's subexpression elimination.
+    */
+  private def qualityStatsCol: Column =
+    graft.functions.GraftFunctions.graftQualityStats(col("text"),
+      array(QualityStopwords.map(lit): _*))
+
   // ---- language ID ------------------------------------------------------
 
+  /** Marker list as the foldable literal [[graft.functions.LangId]]
+    * consumes: array<struct<lang, ws>>.
+    */
+  private def markersLit: Column =
+    array(Markers.map { case (l, ws) =>
+      struct(lit(l).as("lang"), array(ws.map(lit): _*).as("ws"))
+    }: _*)
+
   def langId(d: DataFrame): DataFrame = {
-    val s = d.sparkSession
-    import scala.jdk.CollectionConverters._
-    val markerRows = Markers.flatMap { case (l, ws) => ws.map(w => (l, w)) }
-    val markers = s.createDataFrame(
-      markerRows.map { case (l, w) => org.apache.spark.sql.Row(l, w) }.asJava,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("mlang",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("t",
-          org.apache.spark.sql.types.StringType))))
-    val toks = d.select(col("doc_id"), explode(toksCol).as("t"))
-    val hits = toks.join(broadcast(markers), "t")
-      .groupBy("doc_id", "mlang").agg(count(lit(1)).as("matches"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(col("matches").desc, col("mlang").asc)
-    val best = hits.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).select("doc_id", "mlang", "matches")
-    d.select(col("doc_id")).join(best, Seq("doc_id"), "left")
+    // since r11 this is ONE fused map-side kernel pass — the previous
+    // relational form exploded every token occurrence into a
+    // corpus-wide groupBy(doc_id, lang) shuffle + top-1 window, which
+    // at 100 TB shuffles the whole corpus to count a handful of marker
+    // hits per doc. The DuckDB oracle keeps the relational
+    // construction as the independent twin; AnalysisSpec pins
+    // kernel ≡ relational chain including the es/fr shared-marker
+    // fan-out and the all-tie case.
+    // two-step select: `getField` directly over a function call whose
+    // child is an array<struct> literal trips the 4.1 analyzer
+    // (unresolved-operator INTERNAL_ERROR); extracting from the
+    // aliased column resolves fine and ProjectCollapsing folds the two
+    // projections back into one
+    d.select(col("doc_id"),
+        graft.functions.GraftFunctions.graftLangId(col("text"), markersLit)
+          .as("lid"))
       .select(col("doc_id"),
-        coalesce(col("mlang"), lit("und")).as("predicted_lang"),
-        coalesce(col("matches"), lit(0L)).as("matches"))
+        col("lid.predicted_lang").as("predicted_lang"),
+        col("lid.matches").as("matches"))
   }
 
   /** Heuristic-vs-label confusion matrix — the eval every pipeline
@@ -96,11 +110,18 @@ object Analysis {
     * marker lists must grow to separate. One extra broadcast-join +
     * bounded (langs²) aggregate over the [[langId]] chain.
     */
-  def langIdEval(d: DataFrame): DataFrame =
-    langId(d)
-      .join(d.select(col("doc_id"), col("lang").as("actual_lang")), "doc_id")
+  def langIdEval(d: DataFrame): DataFrame = {
+    // the kernel makes prediction a per-row projection, so the former
+    // predict-then-self-join collapses to one scan + the bounded
+    // (langs²) aggregate
+    d.select(col("lang").as("actual_lang"),
+        graft.functions.GraftFunctions.graftLangId(col("text"), markersLit)
+          .as("lid"))
+      .select(col("actual_lang"),
+        col("lid.predicted_lang").as("predicted_lang"))
       .groupBy("actual_lang", "predicted_lang")
       .agg(count(lit(1)).as("n"))
+  }
 
   // ---- quality ----------------------------------------------------------
 
@@ -108,17 +129,18 @@ object Analysis {
     * ratio is ONE double division over exact long counts.
     */
   def quality(d: DataFrame): DataFrame = {
-    // bind the token array once; five features off the same attribute
-    val withToks = d.select(col("doc_id"), col("text"), toksCol.as("toks"))
-    val toks = col("toks")
-    val base = withToks.select(
+    // since r11 the five counts are ONE fused `graft_quality_stats`
+    // pass (one lowercase + one scan, no token array / distinct array /
+    // filtered array allocations) — semantics pinned to the Column
+    // chain by the AnalysisSpec kernel-parity test
+    val q = qualityStatsCol
+    val base = d.select(
       col("doc_id"),
-      length(col("text")).cast("long").as("n_chars"),
-      size(toks).cast("long").as("n_tokens"),
-      size(array_distinct(toks)).cast("long").as("n_distinct"),
-      size(filter(toks, t => t.isInCollection(QualityStopwords)))
-        .cast("long").as("n_stopwords"),
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("token_chars"))
+      q.getField("n_chars").as("n_chars"),
+      q.getField("n_tokens").as("n_tokens"),
+      q.getField("n_distinct").as("n_distinct"),
+      q.getField("n_stopwords").as("n_stopwords"),
+      q.getField("token_chars").as("token_chars"))
     base.select(
       col("doc_id"), col("n_chars"), col("n_tokens"), col("n_distinct"),
       (col("n_stopwords").cast("double") / col("n_tokens").cast("double"))
@@ -719,23 +741,21 @@ object Analysis {
     * over exact long sums.
     */
   def sourceProfile(d: DataFrame): DataFrame = {
-    val toks = col("toks")
-    val langStructs = array(Markers.map { case (l, ws) =>
-      struct((-size(filter(toks, t => t.isInCollection(ws)))).as("neg"),
-        lit(l).as("lang"))
-    }: _*)
+    // both per-doc passes are fused kernels since r11: quality counts
+    // via graft_quality_stats, the marker vote via graft_lang_id
+    // (identical tie-break: matches desc, lang asc, zero hits → und)
+    val qs = qualityStatsCol
     val perDoc = d
-      .select(col("source"), length(col("text")).cast("long").as("n_chars"),
-        toksCol.as("toks"))
-      .select(col("source"), col("n_chars"),
-        size(toks).cast("long").as("n_tokens"),
-        size(array_distinct(toks)).cast("long").as("n_distinct"),
-        size(filter(toks, t => t.isInCollection(QualityStopwords)))
-          .cast("long").as("n_stopwords"),
-        element_at(array_sort(langStructs), 1).as("w"))
-      .select(col("source"), col("n_chars"), col("n_tokens"),
-        when(col("w.neg") === 0, lit("und")).otherwise(col("w.lang"))
-          .as("lang"),
+      .select(col("source"), qs.as("qs"),
+        graft.functions.GraftFunctions.graftLangId(col("text"), markersLit)
+          .as("lid"))
+      .select(col("source"),
+        col("qs.n_chars").as("n_chars"),
+        col("qs.n_tokens").as("n_tokens"),
+        col("qs.n_distinct").as("n_distinct"),
+        col("qs.n_stopwords").as("n_stopwords"),
+        col("lid.predicted_lang").as("lang"))
+      .select(col("source"), col("n_chars"), col("n_tokens"), col("lang"),
         qualityScore(col("n_tokens"), col("n_stopwords"), col("n_distinct"))
           .as("q"))
     val sl = perDoc.groupBy("source", "lang").agg(
@@ -880,15 +900,12 @@ object Analysis {
   def filterFunnel(d: DataFrame): DataFrame = {
     val s = d.sparkSession
     import s.implicits._
-    val toks = col("toks")
+    val qs = qualityStatsCol
     val feat = d
-      .select(length(col("text")).cast("long").as("n_chars"),
-        toksCol.as("toks"))
-      .select(col("n_chars"),
-        size(toks).cast("long").as("n_tokens"),
-        size(array_distinct(toks)).cast("long").as("n_distinct"),
-        size(filter(toks, t => t.isInCollection(QualityStopwords)))
-          .cast("long").as("n_stopwords"))
+      .select(qs.getField("n_chars").as("n_chars"),
+        qs.getField("n_tokens").as("n_tokens"),
+        qs.getField("n_distinct").as("n_distinct"),
+        qs.getField("n_stopwords").as("n_stopwords"))
     val ttr = col("n_distinct").cast("double") / col("n_tokens").cast("double")
     val q = qualityScore(col("n_tokens"), col("n_stopwords"), col("n_distinct"))
     val staged = feat.select(col("n_chars"),

@@ -599,6 +599,108 @@ class AnalysisSpec extends SparkSpec {
     assert(kernel(5L)._4 === "mail [EMAIL] please")
   }
 
+  test("graft_quality_stats kernel is bit-equal to the token-array chain") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.{aggregate, array, array_distinct,
+      col, filter, length, lit, lower, size, split}
+    // mixed whitespace classes (tab, CR, LF, vertical tab, form feed),
+    // leading/trailing separators (the chain's empty-fragment filter),
+    // repeated tokens, all-stopword text, case folding, and empty text
+    val d = Seq(
+      (1L, "The the THE quick brown fox the"),
+      (2L, "  leading and\ttrailing\r\nwhitespaceforms\fhere  "),
+      (3L, "the a an and or of to in is it"),
+      (4L, "unique tokens only once each"),
+      (5L, ""),
+      (6L, "x"),
+      (7L, "Tab\tsep\trepeat\ttab\tTAB")
+    ).toDF("doc_id", "text")
+    val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+    val chain = d.select(col("doc_id"),
+        length(col("text")).cast("long").as("c"),
+        size(toks).cast("long").as("t"),
+        size(array_distinct(toks)).cast("long").as("d"),
+        size(filter(toks, t => t.isInCollection(Analysis.QualityStopwords)))
+          .cast("long").as("s"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("tc"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    val kernel = d.select(col("doc_id"),
+        graft.functions.GraftFunctions.graftQualityStats(col("text"),
+          array(Analysis.QualityStopwords.map(lit): _*)).as("q"))
+      .select(col("doc_id"), col("q.n_chars"), col("q.n_tokens"),
+        col("q.n_distinct"), col("q.n_stopwords"), col("q.token_chars"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(kernel === chain)
+    // spot-pin the interesting rows: "the" appears 4× in doc 1 (3 of
+    // them case-folded), doc 3 is 10 stopword occurrences / 10 tokens,
+    // doc 5 is all-zero except n_chars
+    assert(kernel(1L) === ((31L, 7L, 4L, 4L, 25L)))
+    assert(kernel(3L)._4 === 10L)
+    assert(kernel(5L) === ((0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("graft_lang_id kernel matches the relational explode-join-window chain") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, count,
+      explode, filter, length, lit, lower, row_number, size, split}
+    // shared-marker fan-out ("la" is es AND fr), exact ties (equal es/fr
+    // counts must resolve to es — lang asc), case folding, zero hits,
+    // empty text, and a clear German winner
+    val d = Seq(
+      (1L, "der hund und die katze ist nicht hier"),
+      (2L, "la la la"),
+      (3L, "el y la le et la"),
+      (4L, "nothing matching here xyz"),
+      (5L, ""),
+      (6L, "THE AND the Is a with"),
+      (7L, "的 是 不 在")
+    ).toDF("doc_id", "text")
+    // the pre-r11 relational construction, verbatim
+    val markerRows = Analysis.Markers
+      .flatMap { case (l, ws) => ws.map(w => (l, w)) }
+    val markers = markerRows.toDF("mlang", "t")
+    val toksC = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+    val toks = d.select(col("doc_id"), explode(toksC).as("t"))
+    val hits = toks.join(broadcast(markers), "t")
+      .groupBy("doc_id", "mlang").agg(count(lit(1)).as("matches"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("matches").desc, col("mlang").asc)
+    val best = hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select("doc_id", "mlang", "matches")
+    val chain = d.select(col("doc_id")).join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("mlang"), lit("und")).as("p"),
+        coalesce(col("matches"), lit(0L)).as("m"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    val kernel = Analysis.langId(d)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(kernel === chain)
+    // pin the shapes the fixture can't produce: the double-counted "la"
+    // tie goes to es (lang asc), zero hits → und
+    assert(kernel(2L) === (("es", 3L)))
+    assert(kernel(3L) === (("es", 4L)))
+    assert(kernel(4L) === (("und", 0L)))
+    assert(kernel(1L) === (("de", 5L)))
+  }
+
+  test("langId plan is a shuffle-free narrow projection (r11 kernel)") {
+    // parquet-backed input (a local relation constant-folds the whole
+    // query away); the pre-r11 relational form exploded every token
+    // into a corpus-wide groupBy + window — two exchanges; the kernel
+    // form must be a pure map-side projection over the scan
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = Analysis.langId(d).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(1500))
+    assert(p.contains("graft_lang_id"), p.take(1500))
+  }
+
   test("filter funnel charges each doc to its FIRST failing stage") {
     val s = spark; import s.implicits._
     val stop = Analysis.QualityStopwords
