@@ -137,6 +137,10 @@ object GraftFunctions {
   def graftLangId(text: Column, markers: Column): Column =
     call_function("graft_lang_id", text, markers)
 
+  /** Column-API form of [[RegexCount]]. */
+  def graftRegexCount(text: Column, pattern: Column): Column =
+    call_function("graft_regex_count", text, pattern)
+
   /** Column-API form of [[Simhash]]. */
   def graftSimhash(toks: Column, production: Column): Column =
     call_function("graft_simhash", toks, production)
@@ -223,6 +227,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("graft_lang_id"),
         new ExpressionInfo(classOf[LangId].getName, "graft_lang_id"),
         (children: Seq[Expression]) => LangId(children(0), children(1))))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_regex_count"),
+        new ExpressionInfo(classOf[RegexCount].getName, "graft_regex_count"),
+        (children: Seq[Expression]) =>
+          RegexCount(children(0), children(1))))
     ext.injectFunction(
       (FunctionIdentifier("graft_simhash"),
         new ExpressionInfo(classOf[Simhash].getName, "graft_simhash"),

@@ -188,11 +188,16 @@ object Analysis {
   val BpeishPattern = "[a-z]+|[0-9]|[^a-z0-9\\s]"
 
   def tokenStats(d: DataFrame): DataFrame =
+    // both counts fused since r11: ws_tokens rides the quality-stats
+    // kernel (no token array), regex_tokens the count-only regex
+    // kernel (no match-array materialization — the BPE-ish pattern
+    // matches nearly every character run, so the discarded match
+    // strings dominated the chain's cost)
     d.select(
       col("doc_id"),
-      size(toksCol).cast("long").as("ws_tokens"),
-      size(expr(s"regexp_extract_all(lower(text), '${BpeishPattern.replace("\\", "\\\\")}', 0)"))
-        .cast("long").as("regex_tokens"),
+      qualityStatsCol.getField("n_tokens").as("ws_tokens"),
+      graft.functions.GraftFunctions.graftRegexCount(lower(col("text")),
+        lit(BpeishPattern)).as("regex_tokens"),
       ceil(length(col("text")).cast("double") / lit(4.0)).cast("long")
         .as("est_bpe_tokens"))
 
@@ -857,13 +862,13 @@ object Analysis {
     * the audit a pipeline runs BEFORE deciding to redact or drop.
     */
   def piiAudit(d: DataFrame): DataFrame = {
+    // count-only regex kernels since r11: same three passes, none of
+    // the discarded match-array allocations
+    import graft.functions.GraftFunctions.graftRegexCount
     val perDoc = d.select(col("source"),
-      size(regexp_extract_all(col("text"), lit(EmailPattern), lit(0)))
-        .cast("long").as("e"),
-      size(regexp_extract_all(col("text"), lit(PhonePattern), lit(0)))
-        .cast("long").as("p"),
-      size(regexp_extract_all(col("text"), lit(Ipv4Pattern), lit(0)))
-        .cast("long").as("i"))
+      graftRegexCount(col("text"), lit(EmailPattern)).as("e"),
+      graftRegexCount(col("text"), lit(PhonePattern)).as("p"),
+      graftRegexCount(col("text"), lit(Ipv4Pattern)).as("i"))
     perDoc.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum(when(col("e") + col("p") + col("i") > 0, 1L).otherwise(0L))

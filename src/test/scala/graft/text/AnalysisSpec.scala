@@ -701,6 +701,32 @@ class AnalysisSpec extends SparkSpec {
     assert(p.contains("graft_lang_id"), p.take(1500))
   }
 
+  test("graft_regex_count matches size(regexp_extract_all) on every pattern") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.{col, lit, lower, size,
+      regexp_extract_all}
+    val d = Seq(
+      (1L, "Hello world 42 foo-bar, baz!"),
+      (2L, "mail a@b.co and c@d.org or 1.2.3.4"),
+      (3L, ""),
+      (4L, "   "),
+      (5L, "ALLCAPS 123 ***")
+    ).toDF("doc_id", "text")
+    val pats = Seq(Analysis.BpeishPattern, Analysis.EmailPattern,
+      Analysis.Ipv4Pattern, Analysis.PhonePattern)
+    for (p <- pats) {
+      val chain = d.select(col("doc_id"),
+          size(regexp_extract_all(lower(col("text")), lit(p), lit(0)))
+            .cast("long").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val kernel = d.select(col("doc_id"),
+          graft.functions.GraftFunctions.graftRegexCount(lower(col("text")),
+            lit(p)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(kernel === chain, s"pattern $p")
+    }
+  }
+
   test("filter funnel charges each doc to its FIRST failing stage") {
     val s = spark; import s.implicits._
     val stop = Analysis.QualityStopwords
