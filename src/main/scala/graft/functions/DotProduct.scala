@@ -141,6 +141,10 @@ object GraftFunctions {
   def graftRegexCount(text: Column, pattern: Column): Column =
     call_function("graft_regex_count", text, pattern)
 
+  /** Column-API form of [[BpeishCount]]. */
+  def graftBpeishCount(text: Column): Column =
+    call_function("graft_bpeish_count", text)
+
   /** Column-API form of [[Simhash]]. */
   def graftSimhash(toks: Column, production: Column): Column =
     call_function("graft_simhash", toks, production)
@@ -232,6 +236,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[RegexCount].getName, "graft_regex_count"),
         (children: Seq[Expression]) =>
           RegexCount(children(0), children(1))))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_bpeish_count"),
+        new ExpressionInfo(classOf[BpeishCount].getName, "graft_bpeish_count"),
+        (children: Seq[Expression]) => BpeishCount(children.head)))
     ext.injectFunction(
       (FunctionIdentifier("graft_simhash"),
         new ExpressionInfo(classOf[Simhash].getName, "graft_simhash"),

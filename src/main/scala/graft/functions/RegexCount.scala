@@ -69,3 +69,68 @@ case class RegexCount(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): RegexCount =
     copy(left = newLeft, right = newRight)
 }
+
+/** Hand-compiled automaton of the BPE-ish tokenizer pattern
+  * `[a-z]+|[0-9]|[^a-z0-9\s]`: `graft_bpeish_count(text)` = exactly
+  * what [[RegexCount]] would return for that pattern, without running
+  * a regex engine at all.
+  *
+  * Why: even count-only, java.util.regex pays an alternation attempt
+  * per input position — at sf10 the BPE-ish count was the last
+  * text-query outlier (12.2 s where every fused neighbor sat at 1–4 s)
+  * because this pattern matches nearly EVERY position of the corpus.
+  * The pattern is regular and prefix-free by construction, so the
+  * count is a single forward scan: a lowercase-ASCII run counts 1, a
+  * digit counts 1, ASCII whitespace (Java `\s`) counts 0, and any
+  * other CODE POINT counts 1 (Java regex treats a supplementary pair
+  * as one `[^…]` match — mirrored via codePointAt/charCount).
+  * Parity with `graft_regex_count(text, BpeishPattern)` is spec- and
+  * property-pinned; the DuckDB oracle keeps the regex form.
+  */
+case class BpeishCount(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_bpeish_count expects string, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bpeish_count"
+
+  override protected def nullSafeEval(t: Any): Any =
+    BpeishCount.count(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeishCount.count($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeishCount =
+    copy(child = newChild)
+}
+
+object BpeishCount {
+  /** Called from generated code. */
+  def count(u: UTF8String): Long = {
+    val s = u.toString
+    val len = s.length
+    var n = 0L
+    var i = 0
+    while (i < len) {
+      val c = s.charAt(i)
+      if (c >= 'a' && c <= 'z') {
+        n += 1
+        i += 1
+        while (i < len && { val d = s.charAt(i); d >= 'a' && d <= 'z' }) i += 1
+      } else if (c >= '0' && c <= '9') {
+        n += 1
+        i += 1
+      } else if (QualityStats.isWs(c)) {
+        i += 1
+      } else {
+        n += 1
+        i += Character.charCount(s.codePointAt(i))
+      }
+    }
+    n
+  }
+}

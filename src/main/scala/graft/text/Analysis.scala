@@ -196,8 +196,8 @@ object Analysis {
     d.select(
       col("doc_id"),
       qualityStatsCol.getField("n_tokens").as("ws_tokens"),
-      graft.functions.GraftFunctions.graftRegexCount(lower(col("text")),
-        lit(BpeishPattern)).as("regex_tokens"),
+      graft.functions.GraftFunctions.graftBpeishCount(lower(col("text")))
+        .as("regex_tokens"),
       ceil(length(col("text")).cast("double") / lit(4.0)).cast("long")
         .as("est_bpe_tokens"))
 
