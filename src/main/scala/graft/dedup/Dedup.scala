@@ -111,6 +111,24 @@ object Dedup {
   private def rawShingles(toks: DataFrame): DataFrame =
     toks.select(col("doc_id"), explode(shingleOf(col("toks"))).as("s"))
 
+  /** (doc_id, shk): per-document DISTINCT hashed n-gram keys via the
+    * fused [[graft.functions.GramKeys]] kernel. The pre-r12 chain
+    * exploded ~20-char gram STRINGS and hashed them per row — the
+    * explode carried string payloads all the way into the first
+    * posting exchange, and in-doc repeats rode along until the partial
+    * aggregate collapsed them. The kernel hashes each window's bytes
+    * directly (no gram string, no HOF transform), dedupes IN the map
+    * stage, and the explode carries 8-byte longs. Downstream consumers
+    * are all duplicate-insensitive (`collect_set`, distinct,
+    * count_distinct), so per-doc dedupe is semantics-preserving —
+    * DedupSpec pins kernel ≡ chain in both hash modes.
+    */
+  private def hashedKeyPostings(d: DataFrame, n: Int,
+      production: Boolean): DataFrame =
+    toksOf(d).select(col("doc_id"),
+      explode(graft.functions.GraftFunctions.graftGramKeys(
+        col("toks"), lit(n), lit(production))).as("shk"))
+
   /** MinHash prime modulus and md5-seeded affine coefficients: the
     * classic h_i(x) = (a_i·x + b_i) mod P family over ONE base hash per
     * shingle (16× fewer md5 evaluations than hashing per function).
@@ -430,19 +448,15 @@ object Dedup {
     // verification — bounds the shuffle at the cost of reintroducing a
     // (co-partitioned, candidate-sized) join.
     val production = graft.functions.PortableHash.enabled(d)
-    // Set semantics ON THE HASHES: the posting index aggregates straight
-    // off the raw shingle multiset with collect_set(doc_id), so the
-    // (doc_id, shingle-string) distinct exchange — the widest shuffle of
-    // the previous chain (~20-char strings per shingle OCCURRENCE) —
-    // vanishes; map-side partial sets collapse repeats before the one
-    // fixed-width (shk → doc set) shuffle. The oracle dedups after
-    // hashing too (SELECT DISTINCT doc_id, hash), so both engines share
-    // exact set semantics INCLUDING collision behavior: a doc whose two
-    // distinct shingles collide (~|shingles|²/2⁶⁰) counts that key once
-    // on both sides.
-    val posts = rawShingles(toksOf(d)).select(
-      graft.functions.PortableHash.key64(col("s"), production).as("shk"),
-      col("doc_id"))
+    // Set semantics ON THE HASHES, applied in the kernel itself: the
+    // fused gram-keys pass emits each doc's distinct 60-bit keys as
+    // longs (no gram strings, no in-doc repeats), so the explode AND
+    // the (shk → doc set) exchange carry the minimal fixed-width
+    // payload. The oracle dedups after hashing too (SELECT DISTINCT
+    // doc_id, hash), so both engines share exact set semantics
+    // INCLUDING collision behavior: a doc whose two distinct shingles
+    // collide (~|shingles|²/2⁶⁰) counts that key once on both sides.
+    val posts = hashedKeyPostings(d, ShingleSize, production)
     val idx = posts.groupBy("shk").agg(collect_set(col("doc_id")).as("docs"))
       .filter(size(col("docs")) <= maxShingleDf)
     // Per-doc kept hash SET, ascending — one groupBy replaces the old
@@ -527,9 +541,7 @@ object Dedup {
       threshold: Double = ContainmentThreshold,
       maxShingleDf: Int = MaxShingleDf): DataFrame = {
     val production = graft.functions.PortableHash.enabled(d)
-    val posts = rawShingles(toksOf(d)).select(
-      graft.functions.PortableHash.key64(col("s"), production).as("shk"),
-      col("doc_id"))
+    val posts = hashedKeyPostings(d, ShingleSize, production)
     val idx = posts.groupBy("shk").agg(collect_set(col("doc_id")).as("docs"))
       .filter(size(col("docs")) <= maxShingleDf)
     val docsets = idx.select(col("shk"), explode(col("docs")).as("doc_id"))
@@ -856,12 +868,12 @@ object Dedup {
   /** The fixture source treated as the held-out evaluation set. */
   val DecontamEvalSource = "src0"
 
-  /** (doc_id, shk) hashed [[DecontamShingle]]-gram postings of `d`. */
+  /** (doc_id, shk) hashed [[DecontamShingle]]-gram postings of `d` —
+    * per-doc distinct via the fused kernel (every consumer distincts
+    * anyway: eval keys, contaminated-id sets, count_distinct reports).
+    */
   private def decontamKeys(d: DataFrame, production: Boolean): DataFrame =
-    toksOf(d).select(col("doc_id"),
-        explode(shingleOfN(col("toks"), DecontamShingle)).as("s"))
-      .select(col("doc_id"),
-        graft.functions.PortableHash.key64(col("s"), production).as("shk"))
+    hashedKeyPostings(d, DecontamShingle, production)
 
   /** Corpus postings whose key appears in the eval set — the ONE
     * broadcast semi-join chain both decontamination surfaces share.
@@ -990,9 +1002,8 @@ object Dedup {
         b => struct(a.as("src_a"), b.as("src_b")))))
     val cnt = d.select(col("source"), toksCol.as("toks"))
       .select(col("source"),
-        explode(shingleOfN(col("toks"), DecontamShingle)).as("s"))
-      .select(graft.functions.PortableHash.key64(col("s"), production)
-        .as("shk"), col("source"))
+        explode(graft.functions.GraftFunctions.graftGramKeys(
+          col("toks"), lit(DecontamShingle), lit(production))).as("shk"))
       .groupBy("shk").agg(sort_array(collect_set(col("source"))).as("srcs"))
       .select(explode(pairCol).as("p"))
       .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))

@@ -125,6 +125,10 @@ object GraftFunctions {
   def graftWinnowGrams(toks: Column, n: Column, k: Column): Column =
     call_function("graft_winnow_grams", toks, n, k)
 
+  /** Column-API form of [[GramKeys]]. */
+  def graftGramKeys(toks: Column, n: Column, production: Column): Column =
+    call_function("graft_gram_keys", toks, n, production)
+
   /** Column-API form of [[PiiScan]]. */
   def graftPiiScan(text: Column): Column =
     call_function("graft_pii_scan", text)
@@ -175,97 +179,68 @@ object GraftFunctions {
   * session builder, or `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Registry entry with ARITY VALIDATION: a wrong-arity SQL call
+    * (e.g. `graft_lang_id(text)`) fails analysis with a named error
+    * instead of an IndexOutOfBoundsException from `children(1)`.
+    */
+  private def fn(name: String, clazz: Class[_], arity: Int)(
+      build: Seq[Expression] => Expression): (FunctionIdentifier,
+        ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name),
+      (children: Seq[Expression]) => {
+        if (children.length != arity)
+          throw new IllegalArgumentException(
+            s"$name expects $arity argument(s), got ${children.length}")
+        build(children)
+      })
+
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(
-      (FunctionIdentifier("graft_dot"),
-        new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-        (children: Seq[Expression]) => DotProduct(children(0), children(1))))
-    ext.injectFunction(
-      (FunctionIdentifier("graft_byte_stride"),
-        new ExpressionInfo(classOf[ByteStride].getName, "graft_byte_stride"),
-        (children: Seq[Expression]) => ByteStride(children(0), children(1))))
-    ext.injectFunction(
-      (FunctionIdentifier("graft_pq_encode"),
-        new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
-        (children: Seq[Expression]) =>
-          PqEncode(children(0), children(1), children(2))))
-    ext.injectFunction(
-      (FunctionIdentifier("graft_pq_lut"),
-        new ExpressionInfo(classOf[PqLut].getName, "graft_pq_lut"),
-        (children: Seq[Expression]) => PqLut(children(0), children(1))))
-    ext.injectFunction(
-      (FunctionIdentifier("graft_md5_bits"),
-        new ExpressionInfo(classOf[Md5Prefix64].getName, "graft_md5_bits"),
-        (children: Seq[Expression]) => Md5Prefix64(children.head)))
-    ext.injectFunction(
-      (FunctionIdentifier("graft_log2"),
-        new ExpressionInfo(classOf[PortableLog2].getName, "graft_log2"),
-        (children: Seq[Expression]) => PortableLog2(children.head)))
-    ext.injectFunction(
-      (FunctionIdentifier("graft_run_stats"),
-        new ExpressionInfo(classOf[RunStats].getName, "graft_run_stats"),
-        (children: Seq[Expression]) => RunStats(children.head)))
-    ext.injectFunction(
-      (FunctionIdentifier("graft_gram_stats"),
-        new ExpressionInfo(classOf[GramStats].getName, "graft_gram_stats"),
-        (children: Seq[Expression]) => GramStats(children(0), children(1))))
-    ext.injectFunction(
-      (FunctionIdentifier("graft_winnow"),
-        new ExpressionInfo(classOf[Winnow].getName, "graft_winnow"),
-        (children: Seq[Expression]) => Winnow(children(0), children(1))))
-    ext.injectFunction(
-      (FunctionIdentifier("graft_winnow_grams"),
-        new ExpressionInfo(classOf[WinnowGrams].getName, "graft_winnow_grams"),
-        (children: Seq[Expression]) =>
-          WinnowGrams(children(0), children(1), children(2))))
-    ext.injectFunction(
-      (FunctionIdentifier("graft_pii_scan"),
-        new ExpressionInfo(classOf[PiiScan].getName, "graft_pii_scan"),
-        (children: Seq[Expression]) => PiiScan(children.head)))
-    ext.injectFunction(
-      (FunctionIdentifier("graft_quality_stats"),
-        new ExpressionInfo(classOf[QualityStats].getName, "graft_quality_stats"),
-        (children: Seq[Expression]) =>
-          QualityStats(children(0), children(1))))
-    ext.injectFunction(
-      (FunctionIdentifier("graft_lang_id"),
-        new ExpressionInfo(classOf[LangId].getName, "graft_lang_id"),
-        (children: Seq[Expression]) => LangId(children(0), children(1))))
-    ext.injectFunction(
-      (FunctionIdentifier("graft_regex_count"),
-        new ExpressionInfo(classOf[RegexCount].getName, "graft_regex_count"),
-        (children: Seq[Expression]) =>
-          RegexCount(children(0), children(1))))
-    ext.injectFunction(
-      (FunctionIdentifier("graft_bpeish_count"),
-        new ExpressionInfo(classOf[BpeishCount].getName, "graft_bpeish_count"),
-        (children: Seq[Expression]) => BpeishCount(children.head)))
-    ext.injectFunction(
-      (FunctionIdentifier("graft_simhash"),
-        new ExpressionInfo(classOf[Simhash].getName, "graft_simhash"),
-        (children: Seq[Expression]) => Simhash(children(0), children(1))))
-    ext.injectFunction(
-      (FunctionIdentifier("graft_minhash"),
-        new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
-        (children: Seq[Expression]) =>
-          MinHashSig(children(0), children(1), children(2), children(3))))
+    ext.injectFunction(fn("graft_dot", classOf[DotProduct], 2)(c =>
+      DotProduct(c(0), c(1))))
+    ext.injectFunction(fn("graft_byte_stride", classOf[ByteStride], 2)(c =>
+      ByteStride(c(0), c(1))))
+    ext.injectFunction(fn("graft_pq_encode", classOf[PqEncode], 3)(c =>
+      PqEncode(c(0), c(1), c(2))))
+    ext.injectFunction(fn("graft_pq_lut", classOf[PqLut], 2)(c =>
+      PqLut(c(0), c(1))))
+    ext.injectFunction(fn("graft_md5_bits", classOf[Md5Prefix64], 1)(c =>
+      Md5Prefix64(c.head)))
+    ext.injectFunction(fn("graft_log2", classOf[PortableLog2], 1)(c =>
+      PortableLog2(c.head)))
+    ext.injectFunction(fn("graft_run_stats", classOf[RunStats], 1)(c =>
+      RunStats(c.head)))
+    ext.injectFunction(fn("graft_gram_stats", classOf[GramStats], 2)(c =>
+      GramStats(c(0), c(1))))
+    ext.injectFunction(fn("graft_winnow", classOf[Winnow], 2)(c =>
+      Winnow(c(0), c(1))))
+    ext.injectFunction(fn("graft_winnow_grams", classOf[WinnowGrams], 3)(c =>
+      WinnowGrams(c(0), c(1), c(2))))
+    ext.injectFunction(fn("graft_gram_keys", classOf[GramKeys], 3)(c =>
+      GramKeys(c(0), c(1), c(2))))
+    ext.injectFunction(fn("graft_pii_scan", classOf[PiiScan], 1)(c =>
+      PiiScan(c.head)))
+    ext.injectFunction(fn("graft_quality_stats", classOf[QualityStats], 2)(c =>
+      QualityStats(c(0), c(1))))
+    ext.injectFunction(fn("graft_lang_id", classOf[LangId], 2)(c =>
+      LangId(c(0), c(1))))
+    ext.injectFunction(fn("graft_regex_count", classOf[RegexCount], 2)(c =>
+      RegexCount(c(0), c(1))))
+    ext.injectFunction(fn("graft_bpeish_count", classOf[BpeishCount], 1)(c =>
+      BpeishCount(c.head)))
+    ext.injectFunction(fn("graft_simhash", classOf[Simhash], 2)(c =>
+      Simhash(c(0), c(1))))
+    ext.injectFunction(fn("graft_minhash", classOf[MinHashSig], 4)(c =>
+      MinHashSig(c(0), c(1), c(2), c(3))))
     // Spark-native bloom expressions (used for runtime join pruning
     // internally) that core does not expose in the SQL registry.
-    ext.injectFunction(
-      (FunctionIdentifier("graft_bloom_agg"),
-        new ExpressionInfo(
-          classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
-          "graft_bloom_agg"),
-        (children: Seq[Expression]) =>
-          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-            children(0), children(1), children(2))))
-    ext.injectFunction(
-      (FunctionIdentifier("graft_might_contain"),
-        new ExpressionInfo(
-          classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
-          "graft_might_contain"),
-        (children: Seq[Expression]) =>
-          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-            children(0), children(1))))
+    ext.injectFunction(fn("graft_bloom_agg",
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate], 3)(c =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        c(0), c(1), c(2))))
+    ext.injectFunction(fn("graft_might_contain",
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain], 2)(c =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        c(0), c(1))))
   }
 }

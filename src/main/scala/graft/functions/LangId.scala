@@ -45,7 +45,13 @@ case class LangId(left: Expression, right: Expression)
     val mOk = markers.dataType match {
       case ArrayType(StructType(fs), _) if fs.length == 2 &&
         fs(0).dataType == StringType &&
-        fs(1).dataType.isInstanceOf[ArrayType] => true
+        // element type must be STRING, not just any array: a
+        // non-string ws array would pass analysis and then misread
+        // at eval via getUTF8String
+        (fs(1).dataType match {
+          case ArrayType(StringType, _) => true
+          case _ => false
+        }) => true
       case _ => false
     }
     if (text.dataType != StringType || !mOk)

@@ -132,15 +132,19 @@ object Analysis {
     // since r11 the five counts are ONE fused `graft_quality_stats`
     // pass (one lowercase + one scan, no token array / distinct array /
     // filtered array allocations) — semantics pinned to the Column
-    // chain by the AnalysisSpec kernel-parity test
-    val q = qualityStatsCol
-    val base = d.select(
-      col("doc_id"),
-      q.getField("n_chars").as("n_chars"),
-      q.getField("n_tokens").as("n_tokens"),
-      q.getField("n_distinct").as("n_distinct"),
-      q.getField("n_stopwords").as("n_stopwords"),
-      q.getField("token_chars").as("token_chars"))
+    // chain by the AnalysisSpec kernel-parity test. Two-step select
+    // (bind the struct, then extract): a single projection with five
+    // getFields relies on codegen subexpression elimination to run the
+    // kernel once — on interpreted fallback each getField would re-run
+    // the full scan (the langId/sourceProfile binding discipline).
+    val base = d.select(col("doc_id"), qualityStatsCol.as("qs"))
+      .select(
+        col("doc_id"),
+        col("qs.n_chars").as("n_chars"),
+        col("qs.n_tokens").as("n_tokens"),
+        col("qs.n_distinct").as("n_distinct"),
+        col("qs.n_stopwords").as("n_stopwords"),
+        col("qs.token_chars").as("token_chars"))
     base.select(
       col("doc_id"), col("n_chars"), col("n_tokens"), col("n_distinct"),
       (col("n_stopwords").cast("double") / col("n_tokens").cast("double"))
@@ -905,12 +909,13 @@ object Analysis {
   def filterFunnel(d: DataFrame): DataFrame = {
     val s = d.sparkSession
     import s.implicits._
-    val qs = qualityStatsCol
-    val feat = d
-      .select(qs.getField("n_chars").as("n_chars"),
-        qs.getField("n_tokens").as("n_tokens"),
-        qs.getField("n_distinct").as("n_distinct"),
-        qs.getField("n_stopwords").as("n_stopwords"))
+    // two-step select binds the kernel once regardless of codegen
+    // (see quality() for why)
+    val feat = d.select(qualityStatsCol.as("qs"))
+      .select(col("qs.n_chars").as("n_chars"),
+        col("qs.n_tokens").as("n_tokens"),
+        col("qs.n_distinct").as("n_distinct"),
+        col("qs.n_stopwords").as("n_stopwords"))
     val ttr = col("n_distinct").cast("double") / col("n_tokens").cast("double")
     val q = qualityScore(col("n_tokens"), col("n_stopwords"), col("n_distinct"))
     val staged = feat.select(col("n_chars"),

@@ -105,9 +105,17 @@ object ScaleUp {
 
     write("documents")(replicate(read("documents"), factor) { (d, copy) =>
       val shifted = shift("doc_id")(d, copy)
+      // EMPTY tokens (leading/consecutive spaces, empty docs) are left
+      // untouched: suffixing them would invent a "~<copy>" token out
+      // of whitespace — an empty doc must stay empty in every copy.
+      // The single-space split (not \s+) deliberately preserves the
+      // source's whitespace shape byte-for-byte around unperturbed
+      // tokens; tab/newline-joined runs count as one token, which only
+      // lengthens some shingle spans — the no-shingle-survives-copies
+      // property needs at most one rewrite per 5-gram and i%3 gives it.
       val perturbed = concat_ws(" ",
         transform(split(col("text"), " "), (w, i) =>
-          when(copy > 0 && i % 3 === 0,
+          when(copy > 0 && i % 3 === 0 && length(w) > 0,
             concat(w, lit("~"), copy.cast("string"))).otherwise(w)))
       shifted
         .withColumn("text", when(copy === 0, col("text")).otherwise(perturbed))
