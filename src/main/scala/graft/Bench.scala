@@ -1,6 +1,8 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicLong
 
 /** Driver-run benchmark: times every SparkEntry query at SPARK_GRAFT_SF_DIR.
   *
@@ -48,6 +50,58 @@ object Bench {
     */
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
+
+  /** Per-query resource metrics off the task-end stream: shuffle
+    * spill (memory + disk), shuffle bytes (read + write), and the max
+    * single-task peak execution memory. Backs the scale-run claims
+    * ("zero OOM at sf10") with recorded numbers instead of
+    * absence-of-errors. Counters reset per query; the listener bus is
+    * async, so a short drain pause runs before each snapshot — the
+    * numbers are diagnostics, not the timed quantity.
+    */
+  private final class QueryMetricsListener extends SparkListener {
+    val spillMem = new AtomicLong
+    val spillDisk = new AtomicLong
+    val shufRead = new AtomicLong
+    val shufWrite = new AtomicLong
+    val peakTaskMem = new AtomicLong
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        spillMem.addAndGet(m.memoryBytesSpilled)
+        spillDisk.addAndGet(m.diskBytesSpilled)
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        peakTaskMem.getAndAccumulate(m.peakExecutionMemory, math.max)
+      }
+    }
+    def reset(): Unit = {
+      spillMem.set(0); spillDisk.set(0); shufRead.set(0); shufWrite.set(0)
+      peakTaskMem.set(0)
+    }
+    def snapshot(): Seq[(String, Long)] = {
+      Thread.sleep(100) // let the async listener bus drain
+      Seq("spill_mem" -> spillMem.get, "spill_disk" -> spillDisk.get,
+        "shuffle_read" -> shufRead.get, "shuffle_write" -> shufWrite.get,
+        "peak_task_mem" -> peakTaskMem.get)
+    }
+  }
+
+  /** JVM heap-pool peak tracker (local mode: driver + executors share
+    * this JVM, so the pool peaks ARE the run's memory high-water mark).
+    */
+  private object HeapPeak {
+    import scala.jdk.CollectionConverters._
+    private def heapPools =
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getType == java.lang.management.MemoryType.HEAP)
+    def reset(): Unit = heapPools.foreach(_.resetPeakUsage())
+    /** Sum of per-pool peaks — an upper bound on the true simultaneous
+      * peak (pools can peak at different instants), stable enough to
+      * compare across queries and scale factors.
+      */
+    def peakBytes: Long = heapPools.map(_.getPeakUsage.getUsed).sum
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -98,9 +152,14 @@ object Bench {
       }
 
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
+    val listener = new QueryMetricsListener
+    spark.sparkContext.addSparkListener(listener)
     var errors = Vector.empty[(String, String)]
+    var metrics = Vector.empty[(String, Seq[(String, Long)])]
     val results = selected.toSeq.map { case (name, fn) =>
       if (barriers) System.gc()
+      listener.reset()
+      HeapPeak.reset()
       val times =
         try {
           (1 to iters).map { _ =>
@@ -117,6 +176,8 @@ object Bench {
           errors :+= (name -> String.valueOf(e.getMessage).take(200))
           Vector.empty[Double]
         }
+      metrics :+= (name -> (listener.snapshot() :+
+        ("peak_heap" -> HeapPeak.peakBytes)))
       (name, times)
     }
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -131,11 +192,27 @@ object Bench {
       s"${q(k)}:${ts.map(num).mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
-    val total = results.collect { case (_, ts) if ts.nonEmpty => median(ts) }.sum
+    // ONE-TIME BUILD PRICING: the memoized entries' first sample pays
+    // a per-(app, dir) build (CC label fixpoint / replay-store merge)
+    // that samples 2..n read from a cache, so their MEDIAN measures a
+    // memo read, not the operator. max − median recovers the build
+    // cost; it is reported per entry AND added to the headline total —
+    // the gate reads the operator's price, not its cache.
+    val builds = results.collect {
+      case (k, ts) if SparkEntry.memoizedBuildQueries(k) && ts.nonEmpty =>
+        k -> math.max(0.0, ts.max - median(ts))
+    }
+    val buildsJson = builds.map { case (k, v) => s"${q(k)}:${num(v)}" }
+      .mkString("{", ",", "}")
+    val metricsJson = metrics.map { case (k, ms) =>
+      s"${q(k)}:${ms.map { case (n, v) => s"${q(n)}:$v" }.mkString("{", ",", "}")}"
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, ts) if ts.nonEmpty => median(ts) }.sum +
+      builds.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"builds":$buildsJson,"errors":$errJson,"sf":"$sfDir"}"""
     val full =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"samples":$samples,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"builds":$buildsJson,"samples":$samples,"metrics":$metricsJson,"errors":$errJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), full + "\n")
     // stop() can throw in local-mode shutdown races; the handshake lines
     // below MUST still print (a swallowed stop() failure costs nothing,

@@ -25,6 +25,17 @@ object SparkEntry {
       ops.Salted.queries ++
       streaming.StreamingChiSquare.queries
 
+  /** Queries whose FIRST build per (app, fixture dir) runs a one-time
+    * memoized pass (CC label fixpoint / replay-store merge) that later
+    * builds skip. Named here — in main, not test, scope — because the
+    * bench must PRICE that build into its headline (a median over
+    * warm-memo samples measures a cache read, not the operator;
+    * Bench adds max−median for exactly these entries) and RegistrySpec
+    * must assert the memo actually prevents re-scheduling.
+    */
+  val memoizedBuildQueries: Set[String] = Set(
+    "dedup_near_apply", "dedup_cluster_sizes", "chi2_streaming_replay")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

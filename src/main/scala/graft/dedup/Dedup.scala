@@ -578,6 +578,107 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Sliding exact-substring dedup parameters (the Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * ACL'22 operator class): [[SubstrGram]]-token hashed windows at
+    * EVERY offset, winnowing window [[SubstrWinnow]] over consecutive
+    * window keys, reporting pairs whose longest verbatim token run is
+    * ≥ [[SubstrMinSpan]] = SubstrGram + SubstrWinnow − 1 — exactly the
+    * winnowing guarantee bound, so the anchor filter is LOSSLESS for
+    * every reported span. [[SubstrMaxAnchorDf]] caps anchor-bucket
+    * fan-out (df docs → df·(df−1)/2 candidate pairs), the
+    * [[MaxShingleDf]] discipline: boilerplate spans shared by hundreds
+    * of docs are a cluster problem, not a pair problem.
+    */
+  val SubstrGram = 25
+  val SubstrWinnow = 26
+  val SubstrMinSpan = SubstrGram + SubstrWinnow - 1 // = 50 tokens
+  val SubstrMaxAnchorDf = 500
+
+  /** Verbatim-overlap pairs at ARBITRARY offsets: (doc_a, doc_b,
+    * span_tokens, n_shared) for every pair sharing a ≥ [[SubstrMinSpan]]
+    * -token exact substring — the screen `text_chunk_dedup`'s ALIGNED
+    * fixed-width chunks structurally miss (a 300-token quote starting
+    * at a non-chunk offset shares no chunk hash but shares ~276 25-gram
+    * windows; SubstringDedupSpec pins that case).
+    *
+    * Algorithm (both engines, mirrored operation-for-operation):
+    *  1. per doc, the ordered 60-bit keys of every [[SubstrGram]]-token
+    *     window ([[graft.functions.GramKeySeq]] — one fused map pass);
+    *  2. winnowing anchors: minima of every [[SubstrWinnow]] full
+    *     consecutive-key window, distinct VALUES per doc
+    *     ([[graft.functions.WinnowSelect]]) — ~2/(w+1) of the keys, so
+    *     the anchor index is an order of magnitude smaller than a full
+    *     posting index; docs sharing a qualifying span share ≥1 anchor
+    *     value (Schleimer/Wilkerson/Aiken guarantee), so candidates are
+    *     lossless at the [[SubstrMinSpan]] bar;
+    *  3. candidate pairs expand in-bucket from df-capped anchor
+    *     buckets (bounded by [[SubstrMaxAnchorDf]]²/2 per bucket);
+    *  4. verification joins the candidate docs' FULL positional
+    *     postings (semi-join pruned — only candidate docs' windows
+    *     rejoin the chain), aligns matches on the pa − pb diagonal,
+    *     and gaps-and-islands (pa − row_number) measures each maximal
+    *     consecutive run: longest run r ⇒ verbatim span of
+    *     r + SubstrGram − 1 tokens.
+    *
+    * Scale notes (100 TB posture): two corpus scans by construction —
+    * the anchor pass and the verify pass (a production run materializes
+    * the gram-seq table once and feeds both). No all-pairs stage ever
+    * forms: anchors are winnow-sparsified AND df-capped before any
+    * pair expansion, and the verify join touches only candidate docs
+    * (broadcast semi-join), co-partitioned on (doc, key). The window
+    * function runs per candidate PAIR's match rows — pair-sized, not
+    * corpus-sized.
+    */
+  def substringPairs(d: DataFrame,
+      minSpan: Int = SubstrMinSpan,
+      maxAnchorDf: Int = SubstrMaxAnchorDf): DataFrame = {
+    require(minSpan >= SubstrGram + SubstrWinnow - 1,
+      s"winnowing with window $SubstrWinnow only guarantees spans ≥ " +
+        s"${SubstrGram + SubstrWinnow - 1}; got minSpan=$minSpan")
+    val production = graft.functions.PortableHash.enabled(d)
+    val seqs = toksOf(d).select(col("doc_id"),
+      graft.functions.GraftFunctions.graftGramKeySeq(
+        col("toks"), lit(SubstrGram), lit(production)).as("ks"))
+    val anchors = seqs.select(col("doc_id"),
+      explode(graft.functions.GraftFunctions.graftWinnowSelect(
+        col("ks"), lit(SubstrWinnow))).as("anchor"))
+    // members sorted by doc_id → doc_a < doc_b by construction (the
+    // jaccard/containment bucket discipline)
+    val cand = anchors.groupBy("anchor")
+      .agg(array_sort(collect_set(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) >= 2 && size(col("docs")) <= maxAnchorDf)
+      .select(explode(flatten(transform(col("docs"), (a, i) =>
+        transform(slice(col("docs"), i + lit(2), size(col("docs"))),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val pos = seqs.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), posexplode(col("ks")))
+      .select(col("doc_id"), col("pos"), col("col").as("hk"))
+    val matches = cand
+      .join(pos.select(col("doc_id").as("doc_a"), col("pos").as("pa"),
+        col("hk")), Seq("doc_a"))
+      .join(pos.select(col("doc_id").as("doc_b"), col("pos").as("pb"),
+        col("hk")), Seq("doc_b", "hk"))
+    val byDiag = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    val runs = matches
+      .withColumn("diag", col("pa") - col("pb"))
+      .withColumn("grp", col("pa") - row_number().over(byDiag))
+      .groupBy("doc_a", "doc_b", "diag", "grp")
+      .agg(count(lit(1)).as("cnt"))
+    runs.groupBy("doc_a", "doc_b")
+      .agg(max(col("cnt")).as("maxrun"), sum(col("cnt")).as("n_shared"))
+      .filter(col("maxrun") + lit(SubstrGram - 1) >= minSpan)
+      .select(col("doc_a"), col("doc_b"),
+        (col("maxrun") + lit(SubstrGram - 1)).cast("long").as("span_tokens"),
+        col("n_shared").cast("long").as("n_shared"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Fixture stand-in for the ingest-batch predicate in
     * [[incrementalDedup]]: in production the delta is "this batch's
     * arrivals" (a partition/date predicate on the ingest column); the
@@ -1065,6 +1166,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       ngramJaccard(docs(s, dir)).orderBy("doc_a", "doc_b")),
     "dedup_containment" -> ((s, dir) => containment(docs(s, dir))),
+    "dedup_substring" -> ((s, dir) => substringPairs(docs(s, dir))),
     "dedup_incremental" -> ((s, dir) => incrementalDedup(docs(s, dir))),
     // Same verdicts through the standing-index path: corpus signatures
     // precomputed once (corpusIndex), delta joins against them — the
@@ -1520,6 +1622,58 @@ object Dedup {
          |JOIN sizes na ON na.doc_id = doc_a
          |JOIN sizes nb ON nb.doc_id = doc_b
          |WHERE CAST(ix AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE) >= $ContainmentThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Same winnow-anchored algorithm mirrored operation-for-operation
+    // (winnowing is part of the operator's SEMANTICS — the anchor df
+    // cap binds at the anchor level, so a naive capless form would
+    // diverge whenever the cap fires). The rolling-window min over
+    // full windows, the anchor cap, the candidate join, and the
+    // gaps-and-islands run measurement are each re-expressed in
+    // DuckDB's own idiom; SubstringDedupSpec separately pins the Spark
+    // side against a brute-force longest-common-run reference so a
+    // mirrored bug cannot hide behind the hash match.
+    "dedup_substring" ->
+      s"""WITH d AS (
+         |$dBody
+         |), gr AS (
+         |  SELECT doc_id, i AS pos,
+         |         substr(md5(array_to_string(list_slice(toks, i, i + ${SubstrGram - 1}), ' ')), 1, 15) AS hx
+         |  FROM d, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - ${SubstrGram - 1}, 0))) AS i)
+         |), g AS (
+         |  SELECT doc_id, pos, $jaccardHashSql AS hk FROM gr
+         |), wm AS (
+         |  SELECT doc_id, pos,
+         |         min(hk) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN CURRENT ROW AND ${SubstrWinnow - 1} FOLLOWING) AS anchor,
+         |         count(*) OVER (PARTITION BY doc_id) AS m
+         |  FROM g
+         |), anch AS (
+         |  SELECT DISTINCT doc_id, anchor FROM wm WHERE pos <= m - $SubstrWinnow + 1
+         |), ok AS (
+         |  SELECT anchor FROM anch GROUP BY anchor
+         |  HAVING count(*) >= 2 AND count(*) <= $SubstrMaxAnchorDf
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM anch a JOIN ok ON ok.anchor = a.anchor
+         |  JOIN anch b ON b.anchor = a.anchor AND a.doc_id < b.doc_id
+         |), mt AS (
+         |  SELECT c.doc_a, c.doc_b, ga.pos AS pa, gb.pos AS pb
+         |  FROM cand c
+         |  JOIN g ga ON ga.doc_id = c.doc_a
+         |  JOIN g gb ON gb.doc_id = c.doc_b AND gb.hk = ga.hk
+         |), runs AS (
+         |  SELECT doc_a, doc_b, pa - pb AS diag, pa,
+         |         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
+         |  FROM mt
+         |), rc AS (
+         |  SELECT doc_a, doc_b, count(*) AS cnt
+         |  FROM runs GROUP BY doc_a, doc_b, diag, grp
+         |)
+         |SELECT doc_a, doc_b,
+         |       CAST(max(cnt) + ${SubstrGram - 1} AS BIGINT) AS span_tokens,
+         |       CAST(sum(cnt) AS BIGINT) AS n_shared
+         |FROM rc GROUP BY doc_a, doc_b
+         |HAVING max(cnt) + ${SubstrGram - 1} >= $SubstrMinSpan
          |ORDER BY doc_a, doc_b""".stripMargin,
     // Two-sided-join formulation of the delta-vs-corpus screen (the
     // Spark side splits one bucket aggregate by the delta flag).

@@ -129,6 +129,14 @@ object GraftFunctions {
   def graftGramKeys(toks: Column, n: Column, production: Column): Column =
     call_function("graft_gram_keys", toks, n, production)
 
+  /** Column-API form of [[GramKeySeq]]. */
+  def graftGramKeySeq(toks: Column, n: Column, production: Column): Column =
+    call_function("graft_gram_key_seq", toks, n, production)
+
+  /** Column-API form of [[WinnowSelect]]. */
+  def graftWinnowSelect(ks: Column, w: Column): Column =
+    call_function("graft_winnow_select", ks, w)
+
   /** Column-API form of [[PiiScan]]. */
   def graftPiiScan(text: Column): Column =
     call_function("graft_pii_scan", text)
@@ -218,6 +226,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       WinnowGrams(c(0), c(1), c(2))))
     ext.injectFunction(fn("graft_gram_keys", classOf[GramKeys], 3)(c =>
       GramKeys(c(0), c(1), c(2))))
+    ext.injectFunction(fn("graft_gram_key_seq", classOf[GramKeySeq], 3)(c =>
+      GramKeySeq(c(0), c(1), c(2))))
+    ext.injectFunction(fn("graft_winnow_select", classOf[WinnowSelect], 2)(c =>
+      WinnowSelect(c(0), c(1))))
     ext.injectFunction(fn("graft_pii_scan", classOf[PiiScan], 1)(c =>
       PiiScan(c.head)))
     ext.injectFunction(fn("graft_quality_stats", classOf[QualityStats], 2)(c =>

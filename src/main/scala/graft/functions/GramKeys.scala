@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -66,6 +66,76 @@ case class GramKeys(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression): GramKeys =
     copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Positional sibling of [[GramKeys]]:
+  * `graft_gram_key_seq(toks, n, production)` = every window key IN
+  * WINDOW ORDER (repeats kept). `posexplode` over it yields the
+  * (pos, key) postings the substring-dedup verify stage aligns into
+  * diagonal runs — positions matter there, so no dedupe/sort.
+  */
+case class GramKeySeq(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), IntegerType, BooleanType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"graft_gram_key_seq expects (array<string>, int, boolean), got " +
+          s"(${a.simpleString}, ${b.simpleString}, ${c.simpleString})")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gram_key_seq"
+
+  override protected def nullSafeEval(toks: Any, n: Any, prod: Any): Any =
+    GramKeys.keySeq(toks.asInstanceOf[ArrayData], n.asInstanceOf[Int],
+      prod.asInstanceOf[Boolean])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, n, p) => s"graft.functions.GramKeys.keySeq($t, $n, $p)")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): GramKeySeq =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Winnowing anchor selection over an ordered key sequence:
+  * `graft_winnow_select(ks, w)` = the sorted distinct minima of every
+  * FULL window of w consecutive keys (< w keys → empty). The
+  * winnowing guarantee (Schleimer/Wilkerson/Aiken, SIGMOD'03): two
+  * docs sharing w consecutive equal keys — i.e. a verbatim token span
+  * of ≥ n + w − 1 — share at least one selected VALUE, so matching on
+  * selected values is a lossless candidate filter for spans ≥ that
+  * bound.
+  */
+case class WinnowSelect(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_winnow_select expects (array<long>, int), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow_select"
+
+  override protected def nullSafeEval(ks: Any, w: Any): Any =
+    GramKeys.winnowSelect(ks.asInstanceOf[ArrayData], w.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (k, w) => s"graft.functions.GramKeys.winnowSelect($k, $w)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WinnowSelect =
+    copy(left = newLeft, right = newRight)
 }
 
 object GramKeys {

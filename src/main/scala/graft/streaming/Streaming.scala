@@ -421,7 +421,10 @@ object StreamingDecontam {
 
   /** The static eval-set key side input: batch-chain distinct keys,
     * collected. Benchmark-sized by construction (document the bound
-    * when deploying: |keys| ≈ eval tokens).
+    * when deploying: |keys| ≈ eval tokens). When the eval suite
+    * outgrows a comfortable driver set, switch to [[bloomReport]] —
+    * fixed-size bloom side input + stream-static exact join, no
+    * driver-held key set.
     */
   def evalKeySet(evalDocs: org.apache.spark.sql.DataFrame): Set[Long] =
     graft.dedup.Dedup.decontamEvalKeys(evalDocs)
@@ -435,5 +438,56 @@ object StreamingDecontam {
       val shared = keysOf(d.text).count(evalKeys.contains)
       Verdict(d.doc_id, shared > 0, shared.toLong)
     }
+  }
+
+  /** The eval-key BLOOM sketch — FIXED ~1.3 MB regardless of
+    * eval-suite volume (the X93 batch sketch, rebuilt here so the
+    * streaming arm can be deployed without the batch module). Collected
+    * once per eval release; unlike [[evalKeySet]] its driver footprint
+    * does NOT grow with eval tokens.
+    */
+  def evalBloom(evalDocs: org.apache.spark.sql.DataFrame): Array[Byte] = {
+    import org.apache.spark.sql.functions._
+    graft.dedup.Dedup.decontamEvalKeys(evalDocs)
+      .agg(graft.functions.GraftFunctions.graftBloomAgg(col("shk"),
+        lit(graft.dedup.Dedup.DecontamBloomKeys),
+        lit(graft.dedup.Dedup.DecontamBloomKeys * 10)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** [[graft.dedup.Dedup.decontaminationReport]]'s streaming twin
+    * WITHOUT the driver-collected exact key set — the X93 discipline
+    * on the streaming arm. Three stages:
+    *
+    *  1. stateless scalar key explode of each arrival ([[keysOf]] —
+    *     per-doc DISTINCT keys, so the count is count-distinct);
+    *  2. the bloom sketch as a codegen'd scan PREDICATE — the
+    *     overwhelmingly-clean arrivals' keys die map-side (false
+    *     negatives don't exist, so no contaminated key is lost);
+    *  3. a stream-static BROADCAST semi-join against the DISTRIBUTED
+    *     eval-key table removes bloom false positives — the exact set
+    *     lives in the cluster, never on the driver — then a per-doc
+    *     count aggregate emits one (doc_id, n_shared_keys) row per
+    *     CONTAMINATED arrival, exactly the batch report's contract.
+    *
+    * The aggregate is the one stateful operator (state = contaminated
+    * doc ids — the same small fraction the batch report materializes);
+    * run it in update mode, or add an event-time watermark to expire
+    * state in a long-lived deployment. StreamingDecontamSpec pins
+    * replay ≡ batch report, including a planted bloom-false-positive
+    * style miss (clean docs emit nothing).
+    */
+  def bloomReport(docs: Dataset[Doc], bloom: Array[Byte],
+      evalKeys: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.flatMap(d => keysOf(d.text).toSeq.map(k => (d.doc_id, k)))
+      .toDF("doc_id", "shk")
+      .filter(graft.functions.GraftFunctions.graftMightContain(
+        lit(bloom), col("shk")))
+      .join(broadcast(evalKeys), Seq("shk"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_keys"))
   }
 }

@@ -34,13 +34,12 @@ class RegistrySpec extends SparkSpec {
     * executes-everything test above builds each query once, so by the
     * time the laziness test runs these must hit their caches and
     * schedule NOTHING — appearing in ranAtBuild means the memoization
-    * broke.
+    * broke. The set itself lives in main scope
+    * ([[SparkEntry.memoizedBuildQueries]]) because Bench prices these
+    * entries' one-time build into its headline — one definition, two
+    * consumers.
     */
-  private val memoizedEager = Set(
-    "dedup_near_apply",     // fixpoint CC labels cached per (app, dir) — shared with cluster_sizes
-    "dedup_cluster_sizes",  // same shared label pass
-    "chi2_streaming_replay" // count store built once per dir behind a marker
-  )
+  private val memoizedEager = SparkEntry.memoizedBuildQueries
 
   /** Entries with DELIBERATELY no oracle SQL (docs/PLANS.md §"Rows-only
     * registry entries"): results an independent engine cannot

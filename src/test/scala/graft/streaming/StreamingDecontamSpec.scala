@@ -75,6 +75,37 @@ class StreamingDecontamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bloom-path replay equals the batch report, no driver key set") {
+    val s = spark; import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val reportBatch = Dedup.decontaminationReport(corpusDf, evalDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // side inputs: fixed-size sketch + the DISTRIBUTED exact key frame
+    // (never collected — the X93 discipline on the streaming arm)
+    val bloom = StreamingDecontam.evalBloom(evalDf)
+    val evalKeys = Dedup.decontamEvalKeys(evalDf)
+    val stream = MemoryStream[StreamingDecontam.Doc]
+    val q = StreamingDecontam.bloomReport(stream.toDS(), bloom, evalKeys)
+      .writeStream.format("memory").queryName("decontam_bloom_replay")
+      .outputMode("update").start()
+    try {
+      stream.addData(corpus.map { case (id, t) => StreamingDecontam.Doc(id, t) })
+      q.processAllAvailable()
+      val got = spark.table("decontam_bloom_replay").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === reportBatch,
+        "one row per contaminated arrival, n_shared_keys identical to " +
+          "the batch report; clean docs emit nothing")
+      // the bloom predicate must be IN the executed plan (the map-side
+      // discard is the point of the variant)
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) { q.explain() }
+      assert(out.toString.contains("might_contain"),
+        s"bloom predicate missing from plan:\n${out.toString.take(2000)}")
+    } finally q.stop()
+  }
+
   test("verdict stream plans no shuffle and no state store") {
     val s = spark; import s.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
