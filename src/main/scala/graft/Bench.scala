@@ -134,6 +134,11 @@ object Bench {
       .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Note: an initialPartitionNum=8×cores + AQE-coalesce variant was
+      // MEASURED and rejected (r12): it OOM'd dedup_containment at sf10
+      // and slowed rel_dominant_supplier 25→30 s — the spill relief for
+      // wide aggregates came from restructuring the operators instead
+      // (see containment's in-bucket verification).
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     maxPartitionBytes.foreach(b =>

@@ -400,6 +400,42 @@ object Dedup {
         col("hamming"))
   }
 
+  /** Per-doc df-capped key sets with the PPJoin FREQUENCY order:
+    * one (shk → doc set) aggregate computes each key's document
+    * frequency and the cap in the same pass (set semantics applied in
+    * the gram-keys kernel — the explode and the exchange carry 8-byte
+    * longs; the oracle dedups after hashing too, so both engines share
+    * exact set semantics INCLUDING ~|shingles|²/2⁶⁰ collision
+    * behavior); the per-doc regroup then yields BOTH views every
+    * consumer needs:
+    *
+    *  - `ks`: the keys in NUMERIC ascending order — the
+    *    [[graft.functions.SortedIntersect]] merge contract;
+    *  - `oks`: the same keys in (df, key) ascending order — the global
+    *    PPJoin order, so `slice(oks, 1, plen)` IS the doc's rarest-keys
+    *    prefix;
+    *  - `n`: the kept-set size.
+    */
+  private def dfOrderedDocsets(d: DataFrame, production: Boolean,
+      maxShingleDf: Int): DataFrame = {
+    val posts = hashedKeyPostings(d, ShingleSize, production)
+    // df per key via a FIXED-WIDTH count aggregate (posts are per-doc
+    // distinct, so count = document frequency) — a collect_set variant
+    // built array states for 10⁷ key groups and spilled GBs at sf10;
+    // the count's partial states are 16 bytes. The cap filter rides it,
+    // and the co-partitioned join annotates each posting with its df.
+    val dfTab = posts.groupBy("shk").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf)
+    posts.join(dfTab, Seq("shk"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("df").cast("int").as("df"), col("shk")))
+        .as("dfk"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.graftDfkViews(col("dfk")).as("v"))
+      .select(col("doc_id"), col("v.ks").as("ks"), col("v.oks").as("oks"),
+        col("v.n").as("n"))
+  }
+
   /** Exact n-gram Jaccard over the df-capped HASHED-shingle sets (60-bit
     * keys; set semantics applied after hashing, identically in the
     * oracle), via the inverted shingle index (never all-pairs).
@@ -448,57 +484,42 @@ object Dedup {
     // verification — bounds the shuffle at the cost of reintroducing a
     // (co-partitioned, candidate-sized) join.
     val production = graft.functions.PortableHash.enabled(d)
-    // Set semantics ON THE HASHES, applied in the kernel itself: the
-    // fused gram-keys pass emits each doc's distinct 60-bit keys as
-    // longs (no gram strings, no in-doc repeats), so the explode AND
-    // the (shk → doc set) exchange carry the minimal fixed-width
-    // payload. The oracle dedups after hashing too (SELECT DISTINCT
-    // doc_id, hash), so both engines share exact set semantics
-    // INCLUDING collision behavior: a doc whose two distinct shingles
-    // collide (~|shingles|²/2⁶⁰) counts that key once on both sides.
-    val posts = hashedKeyPostings(d, ShingleSize, production)
-    val idx = posts.groupBy("shk").agg(collect_set(col("doc_id")).as("docs"))
-      .filter(size(col("docs")) <= maxShingleDf)
-    // Per-doc kept hash SET, ascending — one groupBy replaces the old
-    // window-then-regroup (same doc_id exchange, 1 row/doc out), and the
-    // sorted array doubles as the PPJoin global token order.
-    val docsets = idx.select(col("shk"), explode(col("docs")).as("doc_id"))
-      .groupBy("doc_id").agg(array_sort(collect_set(col("shk"))).as("ks"))
-      .select(col("doc_id"), col("ks"), size(col("ks")).as("n"))
+    val docsets = dfOrderedDocsets(d, production, maxShingleDf)
     // PPJoin prefix filtering (Xiao/Wang/Lin/Yu, WWW'08): under ANY
     // global element order, jaccard(A,B) ≥ t forces the first
     // |X| − ⌈t·|X|⌉ + 1 elements of A and of B to share a key — so only
     // each doc's prefix (~(1−t)·n keys) enters the index, cutting the
     // candidate stream ~(1/(1−t))² (measured 1.27M → ~50k pair rows at
     // sf0.1) while staying LOSSLESS: the unfiltered oracle hash-matches.
-    // floor instead of the textbook ⌈·⌉ keeps the prefix ≥ required
-    // under float rounding of t·n (at most one element longer — never
-    // shorter, which would silently drop true pairs).
-    val plen = size(col("ks")) - floor(size(col("ks")) * lit(threshold)).cast("int") + 1
+    // The global order is (df, key) ASCENDING — the textbook frequency
+    // order — so prefixes hold each doc's RAREST keys and prefix
+    // buckets are small by construction (a boilerplate key shared by
+    // hundreds of docs sorts last in every doc and never anchors a
+    // bucket). floor instead of the textbook ⌈·⌉ keeps the prefix ≥
+    // required under float rounding of t·n (at most one element longer
+    // — never shorter, which would silently drop true pairs).
+    val plen = col("n") - floor(col("n") * lit(threshold)).cast("int") + 1
     val prefix = docsets.select(col("doc_id"), col("n"), col("ks"),
-      explode(slice(col("ks"), lit(1), plen)).as("shk"))
-    // members sorted by doc_id (struct's first field) → doc_a < doc_b by
-    // construction; prefix buckets are subsets of df-capped postings, so
-    // the maxShingleDf cap already bounds the per-bucket expansion
+      explode(slice(col("oks"), lit(1), plen)).as("shk"))
+    // prefix buckets are subsets of df-capped postings, so the
+    // maxShingleDf cap already bounds the per-bucket expansion; no
+    // array_sort — the verify kernel orders members itself
     val buckets = prefix.groupBy("shk")
-      .agg(array_sort(collect_list(struct(col("doc_id"), col("n"), col("ks")))).as("arr"))
+      .agg(collect_list(struct(col("doc_id"), col("n"), col("ks"))).as("arr"))
       .filter(size(col("arr")) >= 2)
-    // verify INSIDE the expansion: ix = |A∩B| via array_intersect on the
-    // two sorted hash sets; the PAIR stream that leaves this stage is
-    // scalar-only (the carried arrays end here) — duplicate candidates
-    // (pairs sharing several prefix keys) survive here and collapse in
-    // the caller's scalar distinct, after the threshold filter has
-    // already discarded nearly everything
-    val jac = col("ix").cast("double") / (col("na") + col("nb") - col("ix")).cast("double")
+    // verify INSIDE the bucket via the native graft_jaccard_pairs
+    // kernel: pair enumeration + two-pointer intersect + the jaccard
+    // threshold all run in one tight loop (the nested-transform HOF
+    // form enumerated the same pairs on Catalyst's INTERPRETED path —
+    // >100 s of sf10 wall for ~10⁸ pairs, measured r12), and only
+    // THRESHOLD-PASSING pairs materialize. Duplicate candidates (pairs
+    // sharing several prefix keys) still collapse in the caller's
+    // scalar distinct.
     buckets
-      .select(explode(flatten(transform(col("arr"), (x, i) =>
-        transform(slice(col("arr"), i + lit(2), size(col("arr"))),
-          y => struct(x.getField("doc_id").as("doc_a"), x.getField("n").as("na"),
-            y.getField("doc_id").as("doc_b"), y.getField("n").as("nb"),
-            size(array_intersect(x.getField("ks"), y.getField("ks"))).as("ix")))))).as("p"))
+      .select(explode(graft.functions.GraftFunctions.graftJaccardPairs(
+        col("arr"), lit(threshold))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         col("p.na").as("na"), col("p.nb").as("nb"), col("p.ix").as("ix"))
-      .filter(jac >= threshold)
   }
 
   /** Containment bar for [[containment]]: the fraction of the SMALLER
@@ -512,68 +533,74 @@ object Dedup {
     * a 10× larger page has containment 1.0 but Jaccard ≈ 0.1, far under
     * any dedup bar). Jaccard rides along for contrast.
     *
-    * Candidates stay lossless WITHOUT a dedicated probe join via the
+    * Candidates stay lossless WITHOUT an all-pairs stage via the
     * asymmetric form of prefix filtering: if containment(X→partner) ≥ t
-    * then X's first |X| − ⌊t·|X|⌋ + 1 sorted keys must hit the
-    * partner's full set — pigeonhole on X's side alone, no bound on the
-    * partner's size needed (floor keeps the prefix ≥ required under
-    * float rounding — at most one element longer, never shorter). Here
-    * the flag rides the posting: every kept key carries its doc's
-    * (size, in-prefix) SCALARS into one per-key bucket, pairs expand
-    * in-bucket, and the per-pair aggregate counts ALL shared keys (= ix)
-    * while OR-folding the prefix flags — a qualifying pair always has a
-    * shared key in its smaller side's prefix, so its flag is true.
+    * then X's first |X| − ⌊t·|X|⌋ + 1 keys IN THE GLOBAL ORDER must hit
+    * the partner's full set — pigeonhole on X's side alone, no bound on
+    * the partner's size needed (floor keeps the prefix ≥ required under
+    * float rounding — at most one element longer, never shorter). The
+    * global order is (df, key) ascending, so X's prefix holds its
+    * RAREST keys: a boilerplate key shared by hundreds of docs is in
+    * nobody's prefix, and the big buckets it forms emit NO candidates.
     *
-    * Scale notes: a strictly LINEAR chain — one corpus scan, four
-    * chained aggregates, zero joins (each aggregate has exactly one
-    * consumer, so nothing is planned twice; a first formulation that
-    * joined a probe-prefix stream back to the index and the per-doc
-    * sets re-planned the corpus subtree ~5× and measured 5.2 s at
-    * sf0.1 — this shape is 2.3 s). The pair expansion is the df-capped
-    * Σdf² posting-pair stream of 5 scalars (no arrays cross a wide
-    * exchange); unlike the Jaccard chain the probed side genuinely
-    * cannot be prefix-trimmed (the partner's required overlap t·|X| is
-    * unknown while indexing), so the df cap is the expansion's scale
-    * lever — the same lever, same disclosure, as
-    * [[ngramJaccardPairsRaw]]'s bucket caps.
+    * Scale notes — the r12 shape history, all MEASURED at sf10:
+    * (a) Σdf² scalar pair rows into a groupBy(doc_a, doc_b) count:
+    * the aggregate held one state entry per distinct co-occurring pair
+    * and spilled 78 GB mem + 9.9 GB disk (47 s); (b) carrying each
+    * doc's key set on EVERY posting for in-bucket verification:
+    * 46 GB through the bucket exchange (55–131 s). The shape here:
+    * postings stay LIGHT (doc_id, pfx — two scalars), the native
+    * [[graft.functions.CandidatePairs]] kernel emits flag-guarded
+    * pairs in-bucket, a distinct collapses them (small: frequency
+    * order means only rare-key buckets emit), and the exact verify
+    * (two-pointer [[graft.functions.SortedIntersect]]) runs in a
+    * candidate-sized join back to the per-doc sets — the corpus-scale
+    * streams carry scalars only, arrays move once per CANDIDATE, and
+    * no corpus-scale aggregate keys on pairs. Same losslessness, same
+    * df-cap lever, same oracle.
     */
   def containment(d: DataFrame,
       threshold: Double = ContainmentThreshold,
       maxShingleDf: Int = MaxShingleDf): DataFrame = {
     val production = graft.functions.PortableHash.enabled(d)
-    val posts = hashedKeyPostings(d, ShingleSize, production)
-    val idx = posts.groupBy("shk").agg(collect_set(col("doc_id")).as("docs"))
-      .filter(size(col("docs")) <= maxShingleDf)
-    val docsets = idx.select(col("shk"), explode(col("docs")).as("doc_id"))
-      .groupBy("doc_id").agg(array_sort(collect_set(col("shk"))).as("ks"))
-      .select(col("doc_id"), col("ks"), size(col("ks")).as("n"))
+    // three consumers (light postings + both verify-join sides)
+    // re-plan the docsets subtree — acceptable since the r12 redesign
+    // made it cheap (fixed-width df count + kernel views; a persist()
+    // variant was measured ~equal at sf10 and violates the registry's
+    // no-cache-left-behind rule)
+    val docsets = dfOrderedDocsets(d, production, maxShingleDf)
     val plen = col("n") - floor(col("n") * lit(threshold)).cast("int") + 1
-    // re-key each kept (doc, key) posting with the doc's size and an
-    // in-prefix flag — pos is posexplode's 0-based index into the
-    // SORTED set, so pos < plen marks exactly the prefix keys
-    val flagged = docsets
-      .select(col("doc_id"), col("n"), plen.as("plen"), posexplode(col("ks")))
+    // LIGHT postings: (doc_id, in-prefix flag) only — pos is
+    // posexplode's 0-based index into the df-ORDERED key view, so
+    // pos < plen marks exactly the rarest-plen prefix
+    val light = docsets
+      .select(col("doc_id"), plen.as("plen"), posexplode(col("oks")))
       .select(col("col").as("shk"),
-        struct(col("doc_id"), col("n"), (col("pos") < col("plen")).as("pfx")).as("m"))
-    val buckets = flagged.groupBy("shk")
-      .agg(array_sort(collect_list(col("m"))).as("arr"))
+        struct(col("doc_id"), (col("pos") < col("plen")).as("pfx")).as("m"))
+    val buckets = light.groupBy("shk")
+      .agg(collect_list(col("m")).as("arr"))
       .filter(size(col("arr")) >= 2)
-    // in-bucket ordered-pair expansion (doc_a < doc_b by the struct
-    // sort); each pair-row carries 5 scalars, one row per SHARED key
-    val pairRows = buckets
-      .select(explode(flatten(transform(col("arr"), (x, i) =>
-        transform(slice(col("arr"), i + lit(2), size(col("arr"))),
-          y => struct(x.getField("doc_id").as("doc_a"), x.getField("n").as("na"),
-            y.getField("doc_id").as("doc_b"), y.getField("n").as("nb"),
-            (x.getField("pfx") || y.getField("pfx")).as("hit")))))).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        col("p.na").as("na"), col("p.nb").as("nb"), col("p.hit").as("hit"))
+    val cand = buckets
+      .select(explode(graft.functions.GraftFunctions.graftCandidatePairs(
+        col("arr"))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+    // exact verification, candidate-sized: join each side's sorted set
+    // back in (the docsets subtree is re-planned, but its exchanges
+    // partition identically and reuse at runtime) and count the
+    // intersection with the two-pointer kernel
+    val a = docsets.select(col("doc_id").as("doc_a"), col("n").as("na"),
+      col("ks").as("ksa"))
+    val b = docsets.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+      col("ks").as("ksb"))
+    val verified = cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        graft.functions.GraftFunctions.graftSortedIx(col("ksa"), col("ksb"))
+          .as("ix"))
     val cont = col("ix").cast("double") / least(col("na"), col("nb")).cast("double")
     val jac = col("ix").cast("double") / (col("na") + col("nb") - col("ix")).cast("double")
-    pairRows.groupBy("doc_a", "doc_b")
-      .agg(first(col("na")).as("na"), first(col("nb")).as("nb"),
-        count(lit(1)).as("ix"), max(col("hit")).as("hit"))
-      .filter(col("hit") && cont >= threshold)
+    verified
+      .filter(cont >= threshold)
       .select(col("doc_a"), col("doc_b"), cont.as("containment"), jac.as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }

@@ -5,8 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType, LongType}
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.unsafe.Platform
 
@@ -138,7 +137,140 @@ case class WinnowSelect(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Both per-doc key views in one pass:
+  * `graft_dfk_views(dfk)` over an (unordered, distinct) array of
+  * (df int, shk long) structs returns
+  * struct(ks array<long>, oks array<long>, n int) where `ks` is the
+  * keys in numeric order (the [[SortedIntersect]] merge contract) and
+  * `oks` the keys in (df, key) ascending — the PPJoin frequency order.
+  * Replaces `array_sort(collect_set(struct))` + two HOF `transform`s
+  * + a second `array_sort`, all of which run interpreted per doc.
+  */
+case class DfkViews(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StructType(fs), _) if fs.length == 2 &&
+        fs(0).dataType == IntegerType && fs(1).dataType == LongType =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_dfk_views expects array<struct<df int, shk long>>, " +
+          s"got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("ks", ArrayType(LongType, containsNull = false),
+      nullable = false),
+    StructField("oks", ArrayType(LongType, containsNull = false),
+      nullable = false),
+    StructField("n", IntegerType, nullable = false)))
+  override def prettyName: String = "graft_dfk_views"
+
+  override protected def nullSafeEval(arr: Any): Any =
+    GramKeys.dfkViews(arr.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.GramKeys.dfkViews($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): DfkViews =
+    copy(child = newChild)
+}
+
+/** Intersection SIZE of two SORTED DISTINCT long arrays:
+  * `graft_sorted_ix(a, b)` ≡ `size(array_intersect(a, b))` when both
+  * inputs are ascending distinct (the [[GramKeys]] contract) — but a
+  * two-pointer merge (~100 ns for two ~30-element sets) instead of
+  * ArrayIntersect's per-evaluation hash-set build (~2.5 µs measured:
+  * the in-bucket verification of the containment chain spent 90+ s of
+  * its 131 s sf10 wall in array_intersect before this kernel).
+  */
+case class SortedIntersect(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_sorted_ix expects (array<long>, array<long>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_ix"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GramKeys.sortedIx(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.GramKeys.sortedIx($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersect =
+    copy(left = newLeft, right = newRight)
+}
+
 object GramKeys {
+
+  /** Called from generated code: both key views + the set size from
+    * an unordered distinct (df, shk) pair array.
+    */
+  def dfkViews(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val m = arr.numElements()
+    val dfs = new Array[Int](m)
+    val shks = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val s = arr.getStruct(i, 2)
+      dfs(i) = s.getInt(0)
+      shks(i) = s.getLong(1)
+      i += 1
+    }
+    // (df, shk) order: pack df (≤ 2^31) and sort one long array of
+    // indices... simplest robust: sort an index permutation
+    val ord = Array.range(0, m)
+    // insertion sort is fine at per-doc sizes (~tens of keys)
+    i = 1
+    while (i < m) {
+      val x = ord(i)
+      var j = i - 1
+      while (j >= 0 && (dfs(ord(j)) > dfs(x) ||
+          (dfs(ord(j)) == dfs(x) && shks(ord(j)) > shks(x)))) {
+        ord(j + 1) = ord(j); j -= 1
+      }
+      ord(j + 1) = x
+      i += 1
+    }
+    val oks = new Array[Long](m)
+    i = 0
+    while (i < m) { oks(i) = shks(ord(i)); i += 1 }
+    val ks = java.util.Arrays.copyOf(shks, m)
+    java.util.Arrays.sort(ks)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UnsafeArrayData.fromPrimitiveArray(ks),
+        UnsafeArrayData.fromPrimitiveArray(oks), m))
+  }
+
+  /** Called from generated code: two-pointer common-element count over
+    * ascending distinct arrays.
+    */
+  def sortedIx(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
 
   private val digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =

@@ -101,6 +101,23 @@ class GramKeysSpec extends SparkSpec {
     assert(r.head.isNullAt(0))
   }
 
+  test("sorted-intersect kernel ≡ size(array_intersect) on sorted sets") {
+    val d = frame
+    val rows = d.select(
+        GraftFunctions.graftGramKeys(col("toks"), lit(2), lit(false)).as("a"),
+        GraftFunctions.graftGramKeys(col("toks"), lit(3), lit(false)).as("b"))
+      .select(
+        GraftFunctions.graftSortedIx(col("a"), col("b")).as("kernel"),
+        size(array_intersect(col("a"), col("b"))).as("chain"),
+        GraftFunctions.graftSortedIx(col("a"), col("a")).as("self"),
+        size(col("a")).as("na"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) === r.getInt(1))
+      assert(r.getInt(2) === r.getInt(3), "self-intersection = set size")
+    }
+  }
+
   test("wrong arity in SQL is a clear error, not IndexOutOfBounds") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_gram_keys(array('a','b','c'))").collect()
