@@ -434,6 +434,17 @@ object Dedup {
         graft.functions.GraftFunctions.graftDfkViews(col("dfk")).as("v"))
       .select(col("doc_id"), col("v.ks").as("ks"), col("v.oks").as("oks"),
         col("v.n").as("n"))
+      // Materialization barrier: callers consume this table 3–4 times
+      // (prefix stream sides + verify join-backs). AQE's runtime stage
+      // reuse collapses the exchanges below, but everything ABOVE the
+      // last exchange — the collect_list final merge + the views
+      // kernel over every posting — re-executes per consumer (measured
+      // ~3× at sf10). This explicit repartition on the SAME key adds
+      // one doc-sized exchange whose write side contains the finished
+      // views; every consumer then reads the reused stage instead of
+      // re-running the aggregate. (A persist() would do the same job
+      // but violates the registry's no-cache-left-behind rule.)
+      .repartition(col("doc_id"))
   }
 
   /** Exact n-gram Jaccard over the df-capped HASHED-shingle sets (60-bit
@@ -449,12 +460,12 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
   }
 
-  /** The verified pair stream BEFORE the scalar distinct: a pair
-    * sharing several prefix keys appears once per shared key. Consumers
-    * that are duplicate-insensitive (the near-dup label propagation —
-    * repeated edges don't move a min) collect this directly and skip
-    * the distinct exchange; [[ngramJaccard]] adds the distinct for its
-    * one-row-per-pair contract.
+  /** The verified pair stream (one row per qualifying pair — the
+    * candidate distinct collapses multi-prefix-key duplicates before
+    * verification). [[ngramJaccard]] keeps a defensive distinct for
+    * its one-row-per-pair contract; duplicate-insensitive consumers
+    * (the near-dup label propagation — repeated edges don't move a
+    * min) collect this directly.
     */
   private def ngramJaccardPairsRaw(d: DataFrame,
       threshold: Double = JaccardThreshold,
@@ -463,26 +474,6 @@ object Dedup {
     // fixed-width longs instead of ~20-char strings (smaller shuffle,
     // cheaper compares). Collisions (~|shingles|²/2⁶⁰) are shared by
     // both engines — the oracle hashes identically.
-    //
-    // LINEAR single-consumer chain — one corpus scan, zero joins,
-    // structurally (NgramPlanSpec pins 1 scan / 0 joins in the AQE
-    // final plan). An earlier formulation (index feeding an `inter`
-    // branch plus two `sizes` joins) planned the scan+distinct+index
-    // subtree three times and leaned on AQE's runtime exchange reuse to
-    // collapse it back to one scan — canonicalization-fragile around
-    // HOF lambdas, and its joins are broadcast only while |docs| is
-    // broadcastable. Here everything a pair needs (sizes AND the sets
-    // themselves) rides the chain: per-doc kept-sets are built once,
-    // only their PPJoin prefixes are re-indexed, and verification
-    // happens inside the pair expansion — no join back, no exhaustive
-    // posting-pair stream, single materialization by construction.
-    // TRADE disclosed: carrying each doc's set into its ~(1−t)·n prefix
-    // postings makes the prefix-index shuffle O((1−t)·n²) per doc. At
-    // this fixture's n≈50 that is noise; for corpora with very large
-    // per-doc n, the classic alternative — index (doc_id, n, shk) only
-    // and join surviving candidate pairs back to the docsets table for
-    // verification — bounds the shuffle at the cost of reintroducing a
-    // (co-partitioned, candidate-sized) join.
     val production = graft.functions.PortableHash.enabled(d)
     val docsets = dfOrderedDocsets(d, production, maxShingleDf)
     // PPJoin prefix filtering (Xiao/Wang/Lin/Yu, WWW'08): under ANY
@@ -499,27 +490,44 @@ object Dedup {
     // required under float rounding of t·n (at most one element longer
     // — never shorter, which would silently drop true pairs).
     val plen = col("n") - floor(col("n") * lit(threshold)).cast("int") + 1
-    val prefix = docsets.select(col("doc_id"), col("n"), col("ks"),
+    // SCALAR prefix postings: jaccard(A,B) ≥ t forces BOTH prefixes to
+    // contain a shared key (PPJoin), so a prefix SELF-join on shk
+    // yields exactly the candidate pairs — and because the postings
+    // carry three scalars (shk, doc_id, n), the exchange moves ~24
+    // bytes a row. Every earlier shape paid for the key sets at
+    // corpus-posting scale, measured at sf10: collect_set index (r11,
+    // 16 GB spill), collect_list buckets + in-bucket verify kernel
+    // (19 s, 6–9 GB spill from ~10⁶ array-of-struct states), ks-on-
+    // every-prefix-posting self-join (17 s, 11 GB shuffle — a doc's
+    // key set re-shuffled once per prefix key). Here arrays move only
+    // in the VERIFY join below, once per doc per side.
+    val scal = docsets.select(col("doc_id"), col("n"),
       explode(slice(col("oks"), lit(1), plen)).as("shk"))
-    // prefix buckets are subsets of df-capped postings, so the
-    // maxShingleDf cap already bounds the per-bucket expansion; no
-    // array_sort — the verify kernel orders members itself
-    val buckets = prefix.groupBy("shk")
-      .agg(collect_list(struct(col("doc_id"), col("n"), col("ks"))).as("arr"))
-      .filter(size(col("arr")) >= 2)
-    // verify INSIDE the bucket via the native graft_jaccard_pairs
-    // kernel: pair enumeration + two-pointer intersect + the jaccard
-    // threshold all run in one tight loop (the nested-transform HOF
-    // form enumerated the same pairs on Catalyst's INTERPRETED path —
-    // >100 s of sf10 wall for ~10⁸ pairs, measured r12), and only
-    // THRESHOLD-PASSING pairs materialize. Duplicate candidates (pairs
-    // sharing several prefix keys) still collapse in the caller's
-    // scalar distinct.
-    buckets
-      .select(explode(graft.functions.GraftFunctions.graftJaccardPairs(
-        col("arr"), lit(threshold))).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        col("p.na").as("na"), col("p.nb").as("nb"), col("p.ix").as("ix"))
+    // Both self-join sides are the same subtree — the prefix exchange
+    // is written once and read twice (runtime reuse). The distinct
+    // collapses pairs sharing several prefix keys BEFORE any array
+    // moves.
+    val cand = scal.select(col("shk"), col("doc_id").as("doc_a"))
+      .join(scal.select(col("shk"), col("doc_id").as("doc_b")), Seq("shk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    // Exact verification, candidate-sized: join each side's sorted key
+    // view back in (docsets' output is already hash-partitioned by
+    // doc_id from its per-doc aggregate, so only the candidate stream
+    // re-shuffles) and intersect with the two-pointer kernel. The
+    // jaccard filter uses the same int-arithmetic-then-double-division
+    // the oracle does.
+    val a = docsets.select(col("doc_id").as("doc_a"), col("n").as("na"),
+      col("ks").as("ksa"))
+    val b = docsets.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+      col("ks").as("ksb"))
+    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        graft.functions.GraftFunctions.graftSortedIx(col("ksa"), col("ksb"))
+          .as("ix"))
+      .filter(col("ix").cast("double")
+        / (col("na") + col("nb") - col("ix")).cast("double") >= threshold)
   }
 
   /** Containment bar for [[containment]]: the fraction of the SMALLER
@@ -548,42 +556,60 @@ object Dedup {
     * the aggregate held one state entry per distinct co-occurring pair
     * and spilled 78 GB mem + 9.9 GB disk (47 s); (b) carrying each
     * doc's key set on EVERY posting for in-bucket verification:
-    * 46 GB through the bucket exchange (55–131 s). The shape here:
-    * postings stay LIGHT (doc_id, pfx — two scalars), the native
-    * [[graft.functions.CandidatePairs]] kernel emits flag-guarded
-    * pairs in-bucket, a distinct collapses them (small: frequency
-    * order means only rare-key buckets emit), and the exact verify
-    * (two-pointer [[graft.functions.SortedIntersect]]) runs in a
-    * candidate-sized join back to the per-doc sets — the corpus-scale
-    * streams carry scalars only, arrays move once per CANDIDATE, and
-    * no corpus-scale aggregate keys on pairs. Same losslessness, same
-    * df-cap lever, same oracle.
+    * 46 GB through the bucket exchange (55–131 s); (c) collect_list
+    * buckets over the light postings + an in-bucket candidate kernel:
+    * correct, but the aggregate held one ARRAY state per distinct
+    * corpus key (~10⁷ groups) and spilled 6–10 GB (22–42 s). The
+    * shape here: postings stay LIGHT (shk, doc_id, pfx — three
+    * scalars), candidates come from a prefix ⋈ postings shuffle-hash
+    * join (no aggregate state at all), a distinct collapses them
+    * (small: frequency order means boilerplate keys anchor no prefix),
+    * and the exact verify (two-pointer
+    * [[graft.functions.SortedIntersect]]) runs in a candidate-sized
+    * join back to the per-doc sets — the corpus-scale streams carry
+    * scalars only, arrays move once per CANDIDATE, and no corpus-scale
+    * aggregate keys on pairs or keys. Same losslessness, same df-cap
+    * lever, same oracle.
     */
   def containment(d: DataFrame,
       threshold: Double = ContainmentThreshold,
       maxShingleDf: Int = MaxShingleDf): DataFrame = {
     val production = graft.functions.PortableHash.enabled(d)
-    // three consumers (light postings + both verify-join sides)
-    // re-plan the docsets subtree — acceptable since the r12 redesign
-    // made it cheap (fixed-width df count + kernel views; a persist()
-    // variant was measured ~equal at sf10 and violates the registry's
-    // no-cache-left-behind rule)
+    // four consumers (both candidate-join postings sides + both
+    // verify-join sides) re-plan the docsets subtree; its trailing
+    // materialization barrier (see dfOrderedDocsets) means they all
+    // read one finished copy at runtime — the scan, gram hashing, df
+    // join, and views kernel run once
     val docsets = dfOrderedDocsets(d, production, maxShingleDf)
     val plen = col("n") - floor(col("n") * lit(threshold)).cast("int") + 1
-    // LIGHT postings: (doc_id, in-prefix flag) only — pos is
-    // posexplode's 0-based index into the df-ORDERED key view, so
-    // pos < plen marks exactly the rarest-plen prefix
-    val light = docsets
+    // LIGHT postings: (shk, doc_id, in-prefix flag) — three scalars.
+    // pos is posexplode's 0-based index into the df-ORDERED key view,
+    // so pos < plen marks exactly the rarest-plen prefix
+    val postings = docsets
       .select(col("doc_id"), plen.as("plen"), posexplode(col("oks")))
-      .select(col("col").as("shk"),
-        struct(col("doc_id"), (col("pos") < col("plen")).as("pfx")).as("m"))
-    val buckets = light.groupBy("shk")
-      .agg(collect_list(col("m")).as("arr"))
-      .filter(size(col("arr")) >= 2)
-    val cand = buckets
-      .select(explode(graft.functions.GraftFunctions.graftCandidatePairs(
-        col("arr"))).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .select(col("col").as("shk"), col("doc_id"),
+        (col("pos") < col("plen")).as("pfx"))
+    // Candidates as a PREFIX ⋈ POSTINGS scalar join: a qualifying
+    // pair's SMALLER doc X has ix/|X| ≥ t, so one of X's rarest-plen
+    // prefix keys must appear in the partner's full set — the join
+    // enumerates exactly the (X prefix posting) × (partner posting)
+    // co-occurrences, i.e. the same flag-guarded pair stream the r12
+    // in-bucket kernel emitted, with ZERO aggregate state. (The kernel
+    // needed collect_list buckets first: array states for one group
+    // per distinct corpus key — ~10⁷ groups at sf10 — which spilled
+    // 6–10 GB and dominated the query. A join carries 20-byte scalar
+    // rows through codegen'd operators instead.) Per-key expansion is
+    // prefix_df × df ≤ prefix_df × maxShingleDf — the frequency order
+    // keeps prefix_df tiny for boilerplate keys, so big buckets still
+    // emit no candidates. shuffle_hash hint: the prefix side is ~(1−t)
+    // of the postings, far under any sort-merge crossover, and SHJ
+    // skips both sort passes.
+    val cand = postings.filter(col("pfx")).select(col("shk"),
+        col("doc_id").as("pa")).hint("shuffle_hash")
+      .join(postings.select(col("shk"), col("doc_id").as("pb")), Seq("shk"))
+      .filter(col("pa") =!= col("pb"))
+      .select(least(col("pa"), col("pb")).as("doc_a"),
+        greatest(col("pa"), col("pb")).as("doc_b"))
       .distinct()
     // exact verification, candidate-sized: join each side's sorted set
     // back in (the docsets subtree is re-planned, but its exchanges

@@ -141,18 +141,6 @@ object GraftFunctions {
   def graftSortedIx(a: Column, b: Column): Column =
     call_function("graft_sorted_ix", a, b)
 
-  /** Column-API form of [[JaccardPairs]]. */
-  def graftJaccardPairs(arr: Column, threshold: Column): Column =
-    call_function("graft_jaccard_pairs", arr, threshold)
-
-  /** Column-API form of [[ContainmentPairs]]. */
-  def graftContainmentPairs(arr: Column, threshold: Column): Column =
-    call_function("graft_containment_pairs", arr, threshold)
-
-  /** Column-API form of [[CandidatePairs]]. */
-  def graftCandidatePairs(arr: Column): Column =
-    call_function("graft_candidate_pairs", arr)
-
   /** Column-API form of [[DfkViews]]. */
   def graftDfkViews(dfk: Column): Column =
     call_function("graft_dfk_views", dfk)
@@ -252,12 +240,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       WinnowSelect(c(0), c(1))))
     ext.injectFunction(fn("graft_sorted_ix", classOf[SortedIntersect], 2)(c =>
       SortedIntersect(c(0), c(1))))
-    ext.injectFunction(fn("graft_jaccard_pairs", classOf[JaccardPairs], 2)(c =>
-      JaccardPairs(c(0), c(1))))
-    ext.injectFunction(fn("graft_containment_pairs", classOf[ContainmentPairs], 2)(c =>
-      ContainmentPairs(c(0), c(1))))
-    ext.injectFunction(fn("graft_candidate_pairs", classOf[CandidatePairs], 1)(c =>
-      CandidatePairs(c.head)))
     ext.injectFunction(fn("graft_dfk_views", classOf[DfkViews], 1)(c =>
       DfkViews(c.head)))
     ext.injectFunction(fn("graft_pii_scan", classOf[PiiScan], 1)(c =>

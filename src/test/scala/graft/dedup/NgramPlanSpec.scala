@@ -1,33 +1,40 @@
 package graft.dedup
 
-/** Pins `dedup_ngram_jaccard`'s plan shape after the r12 frequency-
-  * order redesign: the AQE final plan holds exactly TWO corpus scans
-  * (the posting subtree feeds the per-key df count AND the df join's
-  * probe side — both map-side only, no exchange between scan and
-  * shuffle) and exactly ONE join — the co-partitioned (key ⋈ df)
-  * annotation join that replaced a collect_set index whose array
-  * states spilled GBs at sf10. No pair-level join and no size
-  * join-back may reappear: verification happens in-bucket in the
-  * native graft_jaccard_pairs kernel, so everything after the per-doc
-  * aggregate is join-free. (The pre-r12 zero-join single-scan shape
-  * read well but measured worse at two orders up: its index aggregate
-  * carried array partial states for 10⁷ key groups — 16 GB of spill
-  * at sf10 vs this plan's fixed-width count states; 43.1 s → 9.2 s.)
+/** Pins `dedup_ngram_jaccard`'s plan shape after the r12 redesigns:
+  * corpus-scale streams carry SCALARS only (the prefix self-join that
+  * enumerates PPJoin candidates moves (shk, doc_id) rows; per-doc key
+  * arrays move once per CANDIDATE in the verify joins), verification
+  * runs through the two-pointer graft_sorted_ix kernel, and NO
+  * operator holds array-typed aggregation state keyed on a
+  * corpus-scale key: the only array-building aggregate is the per-DOC
+  * collect_list behind the key views (~|docs| groups), never per-KEY
+  * buckets (~10⁷ groups at sf10 — the shape that spilled 6–16 GB in
+  * every earlier iteration: collect_set index r11, collect_list
+  * buckets + in-bucket kernel, ks-on-every-posting self-join, all
+  * measured early r12). The plan's joins are exactly: the df
+  * annotation join, the scalar prefix self-join, and the two
+  * candidate-sized verify join-backs.
   */
 class NgramPlanSpec extends graft.SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("ngram jaccard final plan: two map-side scans, one df join") {
+  test("ngram jaccard final plan: scalar candidates, kernel verify, no per-key array state") {
     val df = graft.SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
     df.collect()
     val full = df.queryExecution.executedPlan.toString
     assert(full.contains("isFinalPlan=true"), full.take(500))
     val fin = full.split("== Initial Plan ==")(0)
     def cnt(re: String): Int = re.r.findAllIn(fin).size
-    assert(cnt("Scan parquet") == 2,
-      s"expected the posting subtree twice (df count + probe):\n$fin")
-    assert(cnt("Join") == 1,
-      s"exactly the df annotation join — no pair/size join-backs:\n$fin")
+    // per-doc view aggregates only — a per-key (shk-keyed) aggregate
+    // with array state must never reappear
+    assert(cnt("HashAggregate\\(keys=\\[shk[^\\]]*\\], functions=\\[(partial_)?collect") == 0,
+      s"per-key array-state aggregate reappeared:\n$fin")
+    // verification via the two-pointer kernel
+    assert(fin.contains("graft_sorted_ix"),
+      s"kernel verification (graft_sorted_ix) missing:\n$fin")
+    // df join + prefix self-join + two verify join-backs
+    assert(cnt("(BroadcastHash|SortMerge|ShuffledHash)Join") == 4,
+      s"expected df join + prefix self-join + 2 verify joins:\n$fin")
   }
 }
