@@ -232,16 +232,15 @@ object Dedup {
     * Scale notes: everything is CANDIDATE-BOUNDED — exact Jaccard is
     * computed only for pairs LSH already surfaced, never all-pairs.
     * The per-doc feature aggregate carries the shingle set AND the 16
-    * signature minima together off one (doc_id, s)-distinct exchange;
+    * signature minima together off one (doc_id, s)-distinct exchange,
+    * and ends in a materialization barrier so its two consumers (the
+    * bucket/pair chain and the verify join) read one finished copy;
     * pairs then attach both docs' features via a union-tag join (role
     * a/b exploded from the tiny pair table) and ONE (doc_a, doc_b)
-    * aggregate. The feature subtree is planned twice — once under the
-    * bucket/pair chain, once under the join (HOF lambdas upstream
-    * defeat exchange-reuse canonicalization, measured on the tfidf
-    * plan) — but the union-tag keeps it at two; an a-side/b-side
-    * self-join would plan it three times. Carried per-doc sets are
-    * bounded by doc length; the oracle keeps the two-sided join
-    * formulation as an independent implementation.
+    * aggregate — an a-side/b-side self-join would consume the feature
+    * table three times. Carried per-doc sets are bounded by doc
+    * length; the oracle keeps the two-sided join formulation as an
+    * independent implementation.
     */
   def minhashCalibration(d: DataFrame,
       maxBucketSize: Int = MaxBucketSize): DataFrame = {
@@ -255,6 +254,12 @@ object Dedup {
     val feat = withBase.groupBy("doc_id")
       .agg(collect_set(col("s")).as("sset"), sigAggs: _*)
       .withColumn("sig", array((0 until NumHashes).map(i => col(s"h$i")): _*))
+      // Materialization barrier (the dfOrderedDocsets discipline): the
+      // feature table feeds both the bucket/pair chain and the verify
+      // join; without it each consumer re-runs the per-doc
+      // set-and-signature aggregate over every shingle (measured ~2×
+      // at sf10 — 27 s; with it ~20 s)
+      .repartition(col("doc_id"))
     val pairs = bucketPairs(lshBuckets(feat), maxBucketSize)
     val tagged = pairs.select(col("doc_a"), col("doc_b"),
       explode(array(
@@ -1128,39 +1133,38 @@ object Dedup {
     * generalization of decontamination from one eval source to ALL
     * pairs.
     *
-    * Scale notes (100 TB posture): ONE corpus scan. The raw (non-
-    * distinct) hashed-key explode feeds a shk-keyed `collect_set
-    * (source)` — collect_set is duplicate-insensitive, so the (source,
-    * shk) distinct exchange is skipped outright, and the per-key set is
-    * bounded by SOURCE cardinality. Presence ((a,a) diagonal) and
-    * co-presence ((a,b), a<b) pairs expand IN-ARRAY (map-side, ≤
-    * |sources|² per key, never a doc-level explosion) into one bounded
-    * (src_a, src_b) count aggregate. A naive distinct + self-join +
-    * count-join formulation planned the corpus subtree FOUR times (HOF
-    * lambdas defeat exchange reuse — explain-verified before this
-    * rewrite); here the ≤|sources|² count rows are collected and the
-    * dense grid (zero-overlap pairs as explicit rows) plus the single
-    * Jaccard division assemble on the driver, re-entered as a local
-    * frame — the bucket-stats re-enter discipline.
+    * Scale notes (100 TB posture): ONE corpus scan feeding a DISTINCT
+    * (shk, source) posting table — a fixed-width aggregate, no array
+    * state — whose exchange is written once and read by both sides of
+    * a scalar SELF-join on shk (src_a ≤ src_b): the diagonal counts
+    * presence (per-source key totals), the strict pairs count
+    * co-presence, and because the posting table is distinct, each
+    * (key, src_a, src_b) combination joins exactly once, so one
+    * bounded (src_a, src_b) count aggregate carries both. Per-key
+    * expansion is ≤ |sources per key|² — source cardinality, never a
+    * doc-level explosion. (The previous form aggregated a per-KEY
+    * sorted source SET — ~10⁷ small array states — and expanded pairs
+    * through nested `transform` lambdas, which run interpreted:
+    * 16.9–19.3 s in the sf10 suite runs against this shape's 7.8 s,
+    * hash-identical.) The
+    * ≤ |sources|² count rows are collected and the dense grid
+    * (zero-overlap pairs as explicit rows) plus the single Jaccard
+    * division assemble on the driver, re-entered as a local frame —
+    * the bucket-stats re-enter discipline.
     */
   def sourceOverlap(d: DataFrame): DataFrame = {
     val s = d.sparkSession
     import s.implicits._
     val production = graft.functions.PortableHash.enabled(d)
-    val srcs = col("srcs")
-    // element i pairs with itself and every later element of the sorted
-    // set: the diagonal counts presence (per-source key totals), the
-    // strict pairs count co-presence — one aggregate carries both
-    val pairCol = flatten(transform(srcs, (a, i) =>
-      transform(slice(srcs, i + 1, size(srcs)),
-        b => struct(a.as("src_a"), b.as("src_b")))))
-    val cnt = d.select(col("source"), toksCol.as("toks"))
+    val posts = d.select(col("source"), toksCol.as("toks"))
       .select(col("source"),
         explode(graft.functions.GraftFunctions.graftGramKeys(
           col("toks"), lit(DecontamShingle), lit(production))).as("shk"))
-      .groupBy("shk").agg(sort_array(collect_set(col("source"))).as("srcs"))
-      .select(explode(pairCol).as("p"))
-      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .distinct()
+    val cnt = posts.select(col("shk"), col("source").as("src_a"))
+      .join(posts.select(col("shk"), col("source").as("src_b")), Seq("shk"))
+      .filter(col("src_a") <= col("src_b"))
+      .groupBy("src_a", "src_b")
       .agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
       .toMap

@@ -91,6 +91,10 @@ object GraftFunctions {
   def graftDot(a: Column, b: Column): Column =
     call_function("graft_dot", a, b)
 
+  /** Column-API form of [[AnyCosineGe]]. */
+  def graftAnyCosineGe(v: Column, evals: Column, threshold: Column): Column =
+    call_function("graft_any_cosine_ge", v, evals, threshold)
+
   /** Column-API form of [[PqEncode]]: codebook/norms must be literal
     * (foldable) columns — a trained codebook is a driver constant.
     */
@@ -214,6 +218,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(fn("graft_dot", classOf[DotProduct], 2)(c =>
       DotProduct(c(0), c(1))))
+    ext.injectFunction(fn("graft_any_cosine_ge", classOf[AnyCosineGe], 3)(c =>
+      AnyCosineGe(c(0), c(1), c(2))))
     ext.injectFunction(fn("graft_byte_stride", classOf[ByteStride], 2)(c =>
       ByteStride(c(0), c(1))))
     ext.injectFunction(fn("graft_pq_encode", classOf[PqEncode], 3)(c =>

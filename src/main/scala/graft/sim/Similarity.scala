@@ -677,26 +677,31 @@ object Similarity {
     * cross-set near-dup → drop the corpus side).
     *
     * Scale notes: the eval side is a BENCHMARK — tiny by construction —
-    * so it broadcasts and the membership test is a bounded
-    * nested-loop over broadcast eval vectors (the `sim_cosine_topk`
-    * pattern; the corpus never shuffles). The admitted-spine scan is
-    * column-pruned to (vec_id, label). For an eval set too big to
-    * broadcast, assign both sides to IVF cells and probe (the semDedup
-    * chain) — the threshold semantics are unchanged.
+    * so it rides as ONE aggregated broadcast row (array of (ev, ‖ev‖²)
+    * structs) cross-joined to the corpus, and the membership test is
+    * the [[graft.functions.AnyCosineGe]] kernel: one call per corpus
+    * row that loops the task-cached unpacked eval matrix in place with
+    * early exit on the first hit. The prior form — a broadcast
+    * nested-loop join with the cosine as its join condition — paid the
+    * join machinery per PAIR: ~320 ns × 3.6 G pairs = 36 s at sf10
+    * against this shape's ~6 s, decisions identical (AnyCosineSpec
+    * pins parity, plus the zero-norm edge where the kernel is a total
+    * extension of the ANSI chain). The corpus never
+    * shuffles in either form. For an eval set too big to broadcast,
+    * assign both sides to IVF cells and probe (the semDedup chain) —
+    * the threshold semantics are unchanged.
     */
   private def embDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val withLabel = emb(s, dir)
       .select(col("vec_id"), col("label"), vCol(col("embedding")).as("v"))
       .withColumn("nrm", dot(col("v"), col("v")))
-    val eval = withLabel.filter(col("label") === EmbEvalLabel)
-      .select(col("v").as("ev"), col("nrm").as("en"))
-    val contaminated = withLabel.filter(col("label") =!= EmbEvalLabel)
-      .join(broadcast(eval),
-        cosine(col("v"), col("ev"), col("nrm"), col("en"))
-          >= EmbDecontamThreshold)
-      .select("vec_id").distinct()
-    emb(s, dir).filter(col("label") =!= EmbEvalLabel)
-      .join(contaminated, Seq("vec_id"), "left_anti")
+    val evalM = withLabel.filter(col("label") === EmbEvalLabel)
+      .agg(collect_list(struct(col("v").as("ev"), col("nrm").as("en")))
+        .as("evals"))
+    withLabel.filter(col("label") =!= EmbEvalLabel)
+      .crossJoin(broadcast(evalM))
+      .filter(!coalesce(graft.functions.GraftFunctions.graftAnyCosineGe(
+        col("v"), col("evals"), lit(EmbDecontamThreshold)), lit(false)))
       .select(col("vec_id"), col("label"))
       .orderBy("vec_id")
   }
