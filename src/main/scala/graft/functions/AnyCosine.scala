@@ -14,7 +14,7 @@ import org.apache.spark.sql.types._
   * Why a kernel: the relational form is a broadcast nested-loop join
   * with `cosine(...) ≥ t` as the join condition, which pays the join
   * machinery per PAIR — ~3.6 G pairs at sf10 measured ~320 ns each
-  * (36 s of wall), an order of magnitude over the arithmetic. Here
+  * (36 s of wall), ~3× over the arithmetic (12.1 s measured). Here
   * the per-corpus-row cost is one call: the eval matrix is unpacked
   * from the broadcast row ONCE PER TASK (the ThreadLocal below — the
   * join's build-side wrapper objects are recreated per access, so the

@@ -684,7 +684,7 @@ object Similarity {
     * early exit on the first hit. The prior form — a broadcast
     * nested-loop join with the cosine as its join condition — paid the
     * join machinery per PAIR: ~320 ns × 3.6 G pairs = 36 s at sf10
-    * against this shape's ~6 s, decisions identical (AnyCosineSpec
+    * against this shape's 12.1 s, decisions identical (AnyCosineSpec
     * pins parity, plus the zero-norm edge where the kernel is a total
     * extension of the ANSI chain). The corpus never
     * shuffles in either form. For an eval set too big to broadcast,
