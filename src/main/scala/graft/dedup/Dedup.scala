@@ -231,52 +231,56 @@ object Dedup {
     *
     * Scale notes: everything is CANDIDATE-BOUNDED — exact Jaccard is
     * computed only for pairs LSH already surfaced, never all-pairs.
-    * The per-doc feature aggregate carries the shingle set AND the 16
-    * signature minima together off one (doc_id, s)-distinct exchange,
-    * and ends in a materialization barrier so its two consumers (the
-    * bucket/pair chain and the verify join) read one finished copy;
-    * pairs then attach both docs' features via a union-tag join (role
-    * a/b exploded from the tiny pair table) and ONE (doc_a, doc_b)
-    * aggregate — an a-side/b-side self-join would consume the feature
-    * table three times. Carried per-doc sets are bounded by doc
-    * length; the oracle keeps the two-sided join formulation as an
-    * independent implementation.
+    * The whole feature stage is ONE NARROW MAP: the
+    * [[graft.functions.GramKeys]] kernel yields each doc's distinct
+    * hashed shingle set (sorted — the [[graft.functions.SortedIntersect]]
+    * merge contract) and the [[graft.functions.MinHashSig]] kernel the
+    * 16 signature minima, straight off the token array — no shingle
+    * explode, no (doc_id, s)-distinct exchange, no string sets (the
+    * pre-r12 form collect_set'ed ~20-char gram STRINGS through a
+    * corpus-wide aggregate and array_intersect'ed them per pair; at
+    * sf10 that was the suite's worst query, 26.8 s). The map ends in a
+    * materialization barrier (the dfOrderedDocsets discipline) because
+    * three consumers read it — the bucket/pair chain and the two
+    * verify join-back sides; exact set sizes are HASH-INVARIANT, so
+    * the unchanged string-set oracle hash-matches (modulo the same
+    * ~|shingles|²/2⁶⁰ collision behavior every hashed-key operator
+    * shares). Carried per-doc key sets are bounded by doc length.
     */
   def minhashCalibration(d: DataFrame,
       maxBucketSize: Int = MaxBucketSize): DataFrame = {
-    val sh = shingles(d)
-    val withBase = sh.select(col("doc_id"), col("s"),
-      graft.functions.PortableHash.base28(col("s"),
-        graft.functions.PortableHash.enabled(d)).as("hbase"))
-    val sigAggs = minHashCoeffs.zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * col("hbase") + lit(b)) % lit(MinHashP)).as(s"h$i")
-    }
-    val feat = withBase.groupBy("doc_id")
-      .agg(collect_set(col("s")).as("sset"), sigAggs: _*)
-      .withColumn("sig", array((0 until NumHashes).map(i => col(s"h$i")): _*))
-      // Materialization barrier (the dfOrderedDocsets discipline): the
-      // feature table feeds both the bucket/pair chain and the verify
-      // join; without it each consumer re-runs the per-doc
-      // set-and-signature aggregate over every shingle (measured ~2×
-      // at sf10 — 27 s; with it ~20 s)
+    val production = graft.functions.PortableHash.enabled(d)
+    val feat = toksOf(d).select(col("doc_id"),
+        array_sort(graft.functions.GraftFunctions.graftGramKeys(
+          col("toks"), lit(ShingleSize), lit(production))).as("kset"),
+        graft.functions.GraftFunctions.graftMinhash(col("toks"),
+          lit(ShingleSize), lit(NumHashes), lit(production)).as("sig"))
+      .filter(col("sig").isNotNull)
+      // Materialization barrier: one finished copy for the three
+      // consumers below (bucket chain + both verify join-back sides);
+      // without it each consumer re-runs the scan + both kernels.
       .repartition(col("doc_id"))
-    val pairs = bucketPairs(lshBuckets(feat), maxBucketSize)
-    val tagged = pairs.select(col("doc_a"), col("doc_b"),
-      explode(array(
-        struct(lit("a").as("role"), col("doc_a").as("doc_id")),
-        struct(lit("b").as("role"), col("doc_b").as("doc_id")))).as("t"))
+    // Bucket chain reads only the signature columns off the reused
+    // exchange; candidate pairs are identical to minhashCandidates by
+    // construction (same kernel signatures, same banding, same cap).
+    val featH = feat.select(col("doc_id") +:
+      (0 until NumHashes).map(i =>
+        element_at(col("sig"), i + 1).as(s"h$i")): _*)
+    val pairs = bucketPairs(lshBuckets(featH), maxBucketSize)
+    // Exact verification, candidate-sized (the ngramJaccardPairsRaw
+    // join-back shape): the tiny pair table attaches each side's
+    // sorted key set and signature; the two-pointer kernel replaces
+    // array_intersect.
+    val a = feat.select(col("doc_id").as("doc_a"), col("kset").as("ka"),
+      col("sig").as("ga"))
+    val b = feat.select(col("doc_id").as("doc_b"), col("kset").as("kb"),
+      col("sig").as("gb"))
+    pairs.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        col("t.role").as("role"), col("t.doc_id").as("doc_id"))
-    val paired = tagged.join(feat.select("doc_id", "sset", "sig"), "doc_id")
-      .groupBy("doc_a", "doc_b").agg(
-        first(when(col("role") === "a", col("sset")), ignoreNulls = true).as("sa"),
-        first(when(col("role") === "b", col("sset")), ignoreNulls = true).as("sb"),
-        first(when(col("role") === "a", col("sig")), ignoreNulls = true).as("ga"),
-        first(when(col("role") === "b", col("sig")), ignoreNulls = true).as("gb"))
-    paired.select(col("doc_a"), col("doc_b"),
-        size(col("sa")).cast("long").as("n_a"),
-        size(col("sb")).cast("long").as("n_b"),
-        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter_n"),
+        size(col("ka")).cast("long").as("n_a"),
+        size(col("kb")).cast("long").as("n_b"),
+        graft.functions.GraftFunctions.graftSortedIx(col("ka"), col("kb"))
+          .cast("long").as("inter_n"),
         aggregate(zip_with(col("ga"), col("gb"),
             (x, y) => when(x === y, 1L).otherwise(0L)),
           lit(0L), (acc, v) => acc + v).as("sig_matches"))
@@ -973,18 +977,18 @@ object Dedup {
     // 9.9 s — both gone):
     //  - minhash: per-doc KERNEL signatures (graft_minhash narrow map,
     //    no shingle explode at all) feed the (band, sig) size count;
-    //  - jaccard: count(DISTINCT doc_id) per hashed key off the raw
-    //    shingle multiset ≡ the inverted-index posting-set sizes
-    //    [[ngramJaccard]] caps on, fusing dedup + count into one
-    //    fixed-width aggregation (min/count-distinct are duplicate-
-    //    insensitive, so no (doc_id, s)-distinct exchange);
+    //  - jaccard: count(*) per hashed key off the PER-DOC-DISTINCT
+    //    gram-keys kernel explode ≡ the inverted-index posting-set
+    //    sizes [[ngramJaccard]] caps on (the kernel dedupes in-doc
+    //    repeats in the map stage, so plain count IS document
+    //    frequency — no count_distinct expand, and the explode
+    //    carries 8-byte longs instead of ~20-char gram strings);
     //  - simhash: per-doc kernel chain, zero-shuffle until the chunk
     //    size count.
     // 100 TB posture: three column-pruned corpus scans, fully
     // pipelined, zero cached state — re-tokenizing per branch beats
     // materializing a corpus-sized table that would spill to disk.
     val production = graft.functions.PortableHash.enabled(d)
-    val raw = rawShingles(toksOf(d))
     val mhSizes = lshBuckets(minhashSignaturesKernel(toksOf(d)))
       .groupBy("band", "sig").agg(count(lit(1)).as("sz"))
     val chunkStructs = (0 until 4).map(c =>
@@ -994,12 +998,11 @@ object Dedup {
       .groupBy(col("cs.chunk_id"), col("cs.chunk"))
       .agg(count(lit(1)).as("sz"))
     // same hashed shingle key and doc-set size ngramJaccard's inverted
-    // index caps on
-    val jacSizes = raw
-      .select(graft.functions.PortableHash.key64(col("s"), production)
-        .as("shkey"), col("doc_id"))
-      .groupBy("shkey")
-      .agg(count_distinct(col("doc_id")).as("sz"))
+    // index caps on (hashedKeyPostings is the exact subtree
+    // dfOrderedDocsets' df count runs on)
+    val jacSizes = hashedKeyPostings(d, ShingleSize, production)
+      .groupBy("shk")
+      .agg(count(lit(1)).as("sz"))
     val stats = dropped(jacSizes, maxShingleDf, "jaccard_shingle")
       .unionByName(dropped(mhSizes, maxBucketSize, "minhash_lsh"))
       .unionByName(dropped(simSizes, maxBucketSize, "simhash_chunk"))

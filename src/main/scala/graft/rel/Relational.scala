@@ -756,8 +756,12 @@ object Relational {
     * formulation over the cell stream would re-sort and re-shuffle the
     * cells with no partial collapse (a 2-key window partition is NOT
     * satisfied by the 3-key aggregate partitioning). The half-sum
-    * predicate is `2·max_sq > total` in exact DECIMAL (quantities are
-    * integer-valued) — no float anywhere in the query. The DuckDB
+    * predicate is `2·max_sq > total` in exact LONG arithmetic —
+    * quantities are integer-valued (fixture-verified: every l_quantity
+    * is integral, ≤ 50, so even a whole-corpus sum sits 9 orders of
+    * magnitude under 2⁶³) and the r12 decimal(28,10) form paid ~2× in
+    * aggregate state size and per-row Decimal math for exactness long
+    * already provides. No float anywhere in the query. The DuckDB
     * oracle keeps the naive doubly-correlated form (per-cell count and
     * sum probes), so the rewrite is hash-checked, not assumed.
     */
@@ -765,7 +769,7 @@ object Relational {
       supplier: DataFrame): DataFrame = {
     val cells = lineitem
       .select(col("l_partkey"), year(col("l_shipdate")).as("yr"),
-        col("l_suppkey"), col("l_quantity").cast("decimal(28,10)").as("qd"))
+        col("l_suppkey"), col("l_quantity").cast("long").as("qd"))
       .groupBy("l_partkey", "yr", "l_suppkey")
       .agg(sum(col("qd")).as("sq"))
     cells.groupBy("l_partkey", "yr")

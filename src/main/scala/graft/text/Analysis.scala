@@ -591,14 +591,20 @@ object Analysis {
     * map-side into (doc, term) tf rows (the same first shuffle as
     * [[tfidf]]); corpus term counts attach via a SUM WINDOW over term
     * on the tf rows (vocab-keyed, tf-row-sized — the same
-    * single-materialization argument as tfidf's df window). The grand
+    * single-materialization argument as tfidf's df window). An
+    * aggregate-then-join form (log2 once per vocab term, hash join
+    * instead of WindowExec's sort) was MEASURED SLOWER at sf10
+    * (15.7 s vs 11.0): everything above tf's (doc_id, t) exchange —
+    * the 300M-row final aggregation — re-executes once per consumer,
+    * and that second pass costs more than the sort plus the per-row
+    * 89-step log it saves; the window keeps the tf subtree
+    * single-consumer. The grand
     * total is Σ_docs |toks| — a NARROW map-side scan-sum (size of the
     * token array, no explode, no shuffle) riding a 1-row broadcast
     * (chi2's G4 pattern): deriving it from the tf rows instead would
     * re-plan the whole tokenize+aggregate subtree just for one number
     * (HOF lambdas upstream defeat exchange reuse — explain-verified
-    * here, same finding as tfidf's df window). The 89-step log fold
-    * runs per tf ROW, never per token instance. The per-doc sum folds
+    * here, same finding as tfidf's df window). The per-doc sum folds
     * tf·log2 cnt in TERM order (array_sort over the collected per-doc
     * struct list, bounded by the doc's distinct terms) — double
     * addition is order-sensitive, and a fixed fold order is what keeps
