@@ -246,17 +246,48 @@ object Analysis {
     * corpus-drift monitor) is built from. Ties break alphabetically so
     * top-k is deterministic in both engines.
     *
-    * Scale notes: ONE shuffle on (lang, bigram) with map-side partial
-    * counts collapsing repeats; the per-lang top-k rides Spark's
-    * WindowGroupLimit rewrite, so only ~k rows per lang reach the final
-    * rank filter rather than the whole count table.
+    * Scale notes: two passes, neither of which shuffles gram STRINGS.
+    * Pass 1 screens CANDIDATES on hashed bigram keys — the
+    * [[graft.functions.GramKeySeq]] kernel streams window bytes into
+    * an 8-byte key per position (no concat, no string allocation), and
+    * the (lang, key) count rides a map-side-partial long aggregate;
+    * `rank() ≤ k` ordered by count ALONE (no key tie-break — key order
+    * is not string order) keeps every key that could reach the top-k
+    * under any alphabetical tie-break, via WindowGroupLimit. Pass 2
+    * attaches the tiny candidate set as a BROADCAST join on the
+    * positional key stream and re-counts the surviving occurrences by
+    * their REAL string (materialized from the token slice only for
+    * hits, inside one codegen stage — non-candidates die before any
+    * string exists), so emitted counts are exact string counts even if
+    * two strings collide into one key (they recount apart); the final
+    * (n desc, bigram asc) row_number runs on the ≤ langs·(k+ties)
+    * labeled rows. The ONLY hash exposure is the candidate screen: a
+    * top-k bigram is screened out only if 64-bit collisions promote k
+    * unrelated keys above its own (probability ~|vocab²|²/2⁶⁴ of any
+    * collision at all, and the collision must additionally straddle
+    * the top-k boundary) — the same epsilon stance as the hashed-key
+    * dedup operators, here with exact output values regardless.
     */
   val TopBigramsK = 5
 
   def topBigrams(d: DataFrame, k: Int = TopBigramsK): DataFrame = {
-    val bi = d.select(col("lang"), toksCol.as("toks"))
-      .select(col("lang"), explode(shingleOfN(col("toks"), 2)).as("bigram"))
-    val counts = bi.groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+    val production = graft.functions.PortableHash.enabled(d)
+    val base = d.select(col("lang"), toksCol.as("toks"))
+    val keySeq = graft.functions.GraftFunctions.graftGramKeySeq(
+      col("toks"), lit(2), lit(production))
+    val keyCnt = base.select(col("lang"), explode(keySeq).as("bk"))
+      .groupBy("lang", "bk").agg(count(lit(1)).as("kn"))
+    val wk = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(col("kn").desc)
+    val cand = keyCnt.withColumn("kr", rank().over(wk))
+      .filter(col("kr") <= k).select("lang", "bk")
+    val counts = base
+      .select(col("lang"), col("toks"), posexplode(keySeq))
+      .withColumnRenamed("col", "bk")
+      .join(broadcast(cand), Seq("lang", "bk"))
+      .select(col("lang"),
+        concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(2))).as("bigram"))
+      .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
       .orderBy(col("n").desc, col("bigram").asc)
     counts.withColumn("rank", row_number().over(w))

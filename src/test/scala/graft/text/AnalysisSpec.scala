@@ -84,6 +84,39 @@ class AnalysisSpec extends SparkSpec {
       ("de", "p q", 2L, 1), ("de", "q p", 1L, 2)))
   }
 
+  test("top bigrams: hashed candidate screen matches the naive string form") {
+    val s = spark; import s.implicits._
+    // Tie-heavy pseudo-random corpus: a small vocabulary forces many
+    // bigrams to share counts, so the rank-by-count-only screen must
+    // keep whole tie groups for the alphabetical row_number to pick
+    // the right winners.
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("aa", "ab", "ba", "bb", "ca")
+    val docs = (0L until 60L).map { i =>
+      val n = 2 + rnd.nextInt(8)
+      val text = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (i, text, if (i % 3 == 0) "de" else "en")
+    }.toDF("doc_id", "text", "lang")
+    val got = Analysis.topBigrams(docs, k = 3)
+      .select("lang", "bigram", "n", "rank").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val naive = docs
+      .select(col("lang"), explode(expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), " +
+          "i -> concat(element_at(split(text, ' '), i), ' ', " +
+          "element_at(split(text, ' '), i + 1)))")).as("bigram"))
+      .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("lang").orderBy(col("n").desc, col("bigram").asc)))
+      .filter(col("rank") <= 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(got === naive)
+  }
+
   test("chunking: sliding windows cover the doc, short docs emit one chunk") {
     val s = spark; import s.implicits._
     val fifty = (1 to 50).map(i => s"w$i").mkString(" ")
