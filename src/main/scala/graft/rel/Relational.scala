@@ -685,15 +685,17 @@ object Relational {
     * uses no customer column — so the broadcast side of the name
     * attach is exactly 100 rows, not the threshold-qualified order
     * set (which at 100 TB is ~1% of all orders — far past any
-    * broadcast threshold). Quantity sums stay DECIMAL through the
-    * threshold compare (exact — quantities are integer-valued). The
+    * broadcast threshold). Quantity sums run in exact LONG arithmetic
+    * through the threshold compare (quantities are integer-valued —
+    * the same fixture-verified bound as [[dominantSupplier]]; the
+    * emitted double is the same value either way). The
     * DuckDB oracle keeps the naive IN + re-correlated scalar sum form.
     */
   def bigOrders(lineitem: DataFrame, orders: DataFrame,
       customer: DataFrame): DataFrame = {
     val top = lineitem.select("l_orderkey", "l_quantity")
       .groupBy("l_orderkey")
-      .agg(sum(col("l_quantity").cast("decimal(28,10)")).as("qd"))
+      .agg(sum(col("l_quantity").cast("long")).as("qd"))
       .filter(col("qd") > BigOrderQty)
       .join(orders.select("o_orderkey", "o_custkey", "o_orderdate",
         "o_totalprice"), col("l_orderkey") === col("o_orderkey"))
