@@ -35,6 +35,16 @@ if "--skip-spark" not in sys.argv:
         sys.exit("Verify failed")
 
 con = duckdb.connect()
+# Large-SF oracle runs can exceed DuckDB's default 80%-of-RAM budget and
+# fill the root filesystem with temp spill; both knobs are overridable so
+# the heavy sf10 oracles spill to a chosen volume instead of dying.
+if os.environ.get("GRAFT_DUCKDB_MEMORY"):
+    con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEMORY']}'")
+if os.environ.get("GRAFT_DUCKDB_TEMP"):
+    os.makedirs(os.environ["GRAFT_DUCKDB_TEMP"], exist_ok=True)
+    con.execute(f"SET temp_directory='{os.environ['GRAFT_DUCKDB_TEMP']}'")
+if os.environ.get("GRAFT_DUCKDB_THREADS"):
+    con.execute(f"SET threads={os.environ['GRAFT_DUCKDB_THREADS']}")
 for t in TABLES:
     p = f"{SF}/{t}.parquet"
     if os.path.isdir(p):  # Spark-written table: a directory of part files
