@@ -821,6 +821,17 @@ object Relational {
     * rows an inner join would silently drop), parent key count, and
     * parents never referenced (dead dimension rows — broadcast-size
     * intel for dimension pruning).
+    *
+    * Measured negative result (r12, sf10): fusing the three lineitem
+    * edges into ONE scan — explode to (edge, key), one (edge, key)
+    * aggregate, one full-outer join against the union'd parents — ran
+    * 21.6–25.9 s vs 12.3–18.9 s for these per-edge branches on the
+    * same data. The explode TRIPLES the pre-aggregate row volume and
+    * funnels it through one wide exchange, while the "redundant"
+    * branches each scan only their own pruned parquet column and their
+    * independent stages run concurrently — a fused pass saves no
+    * columnar I/O and loses the parallelism. The same arithmetic
+    * applies to [[keySkew]]'s per-key branches; don't re-fuse either.
     */
   def fkEdgeAudit(fk: String, child: DataFrame, childKey: String,
       parent: DataFrame, parentKey: String): DataFrame = {
