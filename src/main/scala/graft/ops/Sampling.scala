@@ -138,6 +138,73 @@ object Sampling {
     d.select(col("*"), pmod(h, lit(KFolds.toLong)).as("fold"))
   }
 
+  /** Sequence packing (concatenate-and-chunk): assign every document a
+    * deterministic position in a fixed-token-budget training-sequence
+    * stream — the packing step an LLM pre-training pipeline runs
+    * between sampling and batch assembly. Documents are concatenated
+    * in a deterministic order and the stream is cut every
+    * [[PackBudget]] tokens; a doc belongs to the pack where it STARTS
+    * (`pack_id`), `pack_offset` is its start position inside that
+    * pack, `n_spans` how many budget windows it crosses (a doc longer
+    * than the budget straddles; the count lets the batch assembler
+    * split it without re-tokenizing).
+    *
+    * Packing is inherently sequential WITHIN one stream, so the corpus
+    * is first sharded into [[PackShards]] independent streams by
+    * salted portable hash ([[PackSalt]] — a doc's packing fate is
+    * independent of its split/mix/fold/temperature fates). At 100 TB
+    * the shard count is the parallelism knob: each stream packs alone,
+    * and inside a shard the only state is a running token total — the
+    * per-shard window is an external sort, no per-group array state.
+    * The window frame is explicit ROWS (doc_id is unique; RANGE would
+    * tie-sum duplicates on an engine that kept them). All contract
+    * arithmetic is exact longs (`div` / `pmod`) — no float anywhere,
+    * so any engine reproduces assignments bit-for-bit.
+    */
+  val PackBudget = 2048L
+  val PackShards = 64L
+  val PackSalt = "pack|"
+
+  def packPlan(d: DataFrame): DataFrame = {
+    val toks = filter(
+      org.apache.spark.sql.functions.split(lower(col("text")), "\\s+"),
+      t => length(t) > 0)
+    val shard = pmod(graft.functions.PortableHash.base28(
+      concat(lit(PackSalt), col("doc_id").cast("string")),
+      graft.functions.PortableHash.enabled(d)), lit(PackShards))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    d.filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), shard.as("shard"),
+        size(toks).cast("long").as("n_tokens"))
+      .withColumn("cum_before",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"cum_before div $PackBudget").as("pack_id"),
+        pmod(col("cum_before"), lit(PackBudget)).as("pack_offset"))
+      .withColumn("n_spans",
+        expr(s"(pack_offset + greatest(n_tokens, 1) - 1) div $PackBudget + 1"))
+  }
+
+  /** Per-shard packing audit: pack counts, straddler counts, and the
+    * fill of the final (only non-full) pack. Every pack except a
+    * shard's last is exactly [[PackBudget]] tokens by construction, so
+    * `last_pack_tokens = shard_tokens − (n_packs − 1) · budget` is the
+    * whole fill story; `n_straddlers` is how many docs the batch
+    * assembler must split. Runs on the [[packPlan]] output already
+    * hash-partitioned by shard, so the aggregate adds NO exchange.
+    */
+  def packStats(d: DataFrame): DataFrame =
+    packPlan(d).groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        (max(col("pack_id")) + lit(1L)).as("n_packs"),
+        sum(when(col("n_spans") > 1, 1L).otherwise(0L)).as("n_straddlers"))
+      .withColumn("last_pack_tokens",
+        col("shard_tokens") - (col("n_packs") - lit(1L)) * lit(PackBudget))
+
   /** Token-budget mixing plan: global budget = corpus tokens divided by
     * [[BudgetDen]], shared UNIFORMLY across observed languages, each
     * language capped at [[MaxEpochs]] passes over its available tokens
@@ -280,7 +347,15 @@ object Sampling {
     // …and its per-doc admission (the apply step)
     "sample_temperature_apply" -> ((s, dir) =>
       temperatureApply(s.read.parquet(s"$dir/documents.parquet"), "doc_id")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    // concatenate-and-chunk sequence packing: per-doc pack assignment
+    "sample_pack_plan" -> ((s, dir) =>
+      packPlan(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("doc_id")),
+    // …and the per-shard pack/straddler/fill audit
+    "sample_pack_stats" -> ((s, dir) =>
+      packStats(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("shard"))
   )
 
   private val key64Sql: String =
@@ -321,6 +396,33 @@ object Sampling {
        |  SELECT *, CAST($bucketSql AS BIGINT) AS bucket,
        |         CAST($rateSql AS BIGINT) AS rate
        |  FROM hx
+       |)""".stripMargin
+
+  private val packCte: String =
+    s"""WITH hx AS (
+       |  SELECT doc_id,
+       |         substr(md5('$PackSalt' || CAST(doc_id AS VARCHAR)), 1, 7) AS hx,
+       |         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |                     t -> length(t) > 0) AS toks
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND length(text) > 0
+       |), b AS (
+       |  SELECT doc_id, CAST(($digitsSql) % $PackShards AS BIGINT) AS shard,
+       |         CAST(len(toks) AS BIGINT) AS n_tokens
+       |  FROM hx
+       |), c AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           - n_tokens AS BIGINT) AS cum_before
+       |  FROM b
+       |), q AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |         cum_before // $PackBudget AS pack_id,
+       |         cum_before % $PackBudget AS pack_offset,
+       |         (cum_before % $PackBudget + greatest(n_tokens, 1) - 1)
+       |           // $PackBudget + 1 AS n_spans
+       |  FROM c
        |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
@@ -432,6 +534,22 @@ object Sampling {
          |       CAST(CAST(($digitsSql) % 1000000 AS BIGINT) AS DOUBLE)
          |         < rate * 1000000.0 AS kept
          |FROM hx JOIN p ON hx.source = p.source
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    // exact-long packing arithmetic; explicit ROWS frame (doc_id is
+    // unique — RANGE would tie-sum duplicates on an engine keeping any)
+    "sample_pack_plan" ->
+      s"""$packCte
+         |SELECT doc_id, shard, n_tokens, pack_id, pack_offset, n_spans
+         |FROM q ORDER BY doc_id""".stripMargin,
+    "sample_pack_stats" ->
+      s"""$packCte
+         |SELECT shard, count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+         |       CAST(max(pack_id) + 1 AS BIGINT) AS n_packs,
+         |       CAST(sum(CASE WHEN n_spans > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_straddlers,
+         |       CAST(sum(n_tokens) - max(pack_id) * $PackBudget AS BIGINT)
+         |         AS last_pack_tokens
+         |FROM q GROUP BY shard ORDER BY shard""".stripMargin
   )
 }

@@ -188,4 +188,68 @@ class SamplingSpec extends SparkSpec {
     val keptBig = (1 to 64).count(i => a1(1000L + i))
     assert(keptBig > 0 && keptBig < 40, s"keptBig=$keptBig")
   }
+
+  test("packing is a contiguous token stream per shard") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val rows = Sampling.packPlan(d)
+      .select("doc_id", "shard", "n_tokens", "pack_id", "pack_offset", "n_spans")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val B = Sampling.PackBudget
+    rows.groupBy(_._2).foreach { case (shard, docs) =>
+      val ordered = docs.sortBy(_._1)
+      // replay the stream: each doc starts where the previous ended
+      var cum = 0L
+      ordered.foreach { case (id, _, n, packId, off, spans) =>
+        assert(packId === cum / B, s"doc $id in shard $shard: pack_id")
+        assert(off === cum % B, s"doc $id: pack_offset")
+        assert(off >= 0 && off < B)
+        assert(spans === (off + math.max(n, 1L) - 1) / B + 1, s"doc $id: n_spans")
+        cum += n
+      }
+    }
+    // spans semantics: a doc fits its pack iff it spans exactly one
+    rows.filter(_._3 > 0).foreach { case (id, _, n, _, off, spans) =>
+      assert((spans == 1L) === (off + n <= B), s"doc $id")
+    }
+  }
+
+  test("pack assignment is stable under repartition and matches stats") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val a = Sampling.packPlan(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    val b = Sampling.packPlan(d.repartition(13)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    assert(a === b, "packing must be partitioning-independent")
+    // stats agree with a recount over the plan rows
+    val plan = Sampling.packPlan(d).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5)))
+    val stats = Sampling.packStats(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    plan.groupBy(_._1).foreach { case (shard, docs) =>
+      val (nDocs, tok, nPacks, straddlers) =
+        (docs.length.toLong, docs.map(_._2).sum, docs.map(_._3).max + 1,
+          docs.count(_._4 > 1).toLong)
+      val s = stats(shard)
+      assert(s === ((nDocs, tok, nPacks, straddlers,
+        tok - (nPacks - 1) * Sampling.PackBudget)), s"shard $shard")
+    }
+  }
+
+  test("packStats adds no exchange beyond the window's shard partitioning") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = Sampling.packStats(d).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1,
+      s"expected the single shard window exchange, got $exchanges:\n$plan")
+    // the scan must be pruned to the two columns the contract reads
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan)
+      .map(_.group(1)).getOrElse(sys.error(s"no ReadSchema in:\n$plan"))
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("lang") && !read.contains("source"),
+      s"scan not pruned to (doc_id, text): $read")
+  }
 }
