@@ -69,6 +69,12 @@ case class AnyCosineGe(first: Expression, second: Expression,
     else if (threshold.dataType != DoubleType || !threshold.foldable)
       TypeCheckResult.TypeCheckFailure(
         "graft_any_cosine_ge threshold must be a double literal")
+    else if (threshold.eval(null) == null)
+      // a null threshold would make every chain comparison NULL — the
+      // screen has no meaningful verdict, and letting it through
+      // surfaces later as an NPE unwrapping the fold
+      TypeCheckResult.TypeCheckFailure(
+        "graft_any_cosine_ge threshold must not be null")
     else TypeCheckResult.TypeCheckSuccess
   }
 
@@ -125,17 +131,40 @@ object AnyCosine {
     * build row hands out a fresh ArrayData wrapper on every access,
     * so wrapper identity never repeats, but the bytes it points into
     * are the one broadcast copy.
+    *
+    * Identity+offset alone is UNSAFE for a per-row (non-broadcast)
+    * evals column: generated UnsafeProjections reuse one backing
+    * buffer across rows, so the same (object, offset) can present
+    * different bytes. The key therefore also carries numElements,
+    * sizeInBytes, and the first/last 8 bytes of the region — a cheap
+    * content check that any two distinct eval matrices fail (float
+    * payload bytes land in the tail word). The function's intended
+    * contract remains a broadcast-originated evals side (the
+    * embDecontaminate aggregate-to-one-row shape); the fingerprint
+    * turns a violation from silent wrong answers into at worst a
+    * per-row re-unpack.
     */
-  private val cache =
-    new ThreadLocal[(AnyRef, Long, Mx)]()
+  private final class Entry(val bo: AnyRef, val off: Long, val numEl: Int,
+    val size: Long, val head: Long, val tail: Long, val mx: Mx)
+
+  private val cache = new ThreadLocal[Entry]()
 
   private def mxFor(evals: ArrayData): Mx = {
-    val (bo: AnyRef, off: Long) = evals match {
-      case u: UnsafeArrayData => (u.getBaseObject, u.getBaseOffset)
-      case g => (g, 0L)
+    val (bo: AnyRef, off: Long, size: Long) = evals match {
+      case u: UnsafeArrayData => (u.getBaseObject, u.getBaseOffset,
+        u.getSizeInBytes.toLong)
+      case g => (g, 0L, -1L)
     }
+    val numEl = evals.numElements()
+    val head =
+      if (size >= 8) org.apache.spark.unsafe.Platform.getLong(bo, off) else 0L
+    val tail =
+      if (size >= 16)
+        org.apache.spark.unsafe.Platform.getLong(bo, off + size - 8)
+      else 0L
     val c = cache.get()
-    if (c != null && (c._1 eq bo) && c._2 == off) return c._3
+    if (c != null && (c.bo eq bo) && c.off == off && c.numEl == numEl &&
+      c.size == size && c.head == head && c.tail == tail) return c.mx
     val m = evals.numElements()
     val vecs = new Array[Array[Double]](m)
     val sqe = new Array[Double](m)
@@ -193,7 +222,7 @@ object AnyCosine {
       j += 1
     }
     val mx = new Mx(flatF, flatD, offs, lens, sqEn, cnt)
-    cache.set((bo, off, mx))
+    cache.set(new Entry(bo, off, numEl, size, head, tail, mx))
     mx
   }
 

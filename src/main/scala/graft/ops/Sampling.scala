@@ -162,16 +162,29 @@ object Sampling {
     * so any engine reproduces assignments bit-for-bit.
     */
   val PackBudget = 2048L
-  val PackShards = 64L
+
+  /** Default stream count. The shard count is the packing stage's
+    * parallelism knob (each stream's cumulative-sum window is ONE
+    * sequential sorted partition), so at cluster scale it must track
+    * the cluster, not a constant: pass `shards` explicitly (≈ 2–4×
+    * total cores, or input-bytes / a few GB) or set
+    * `SPARK_GRAFT_PACK_SHARDS`. It is an EPOCH CONSTANT, not a tuning
+    * knob you can turn mid-corpus: the shard hash decides which stream
+    * a doc joins, so changing it reassigns essentially every doc
+    * (spec-pinned) — pick it once per packing epoch and record it with
+    * the epoch's outputs.
+    */
+  val PackShards: Long =
+    sys.env.get("SPARK_GRAFT_PACK_SHARDS").map(_.toLong).getOrElse(64L)
   val PackSalt = "pack|"
 
-  def packPlan(d: DataFrame): DataFrame = {
+  def packPlan(d: DataFrame, shards: Long = PackShards): DataFrame = {
     val toks = filter(
       org.apache.spark.sql.functions.split(lower(col("text")), "\\s+"),
       t => length(t) > 0)
     val shard = pmod(graft.functions.PortableHash.base28(
       concat(lit(PackSalt), col("doc_id").cast("string")),
-      graft.functions.PortableHash.enabled(d)), lit(PackShards))
+      graft.functions.PortableHash.enabled(d)), lit(shards))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -189,18 +202,23 @@ object Sampling {
   }
 
   /** Per-shard packing audit: pack counts, straddler counts, and the
-    * fill of the final (only non-full) pack. Every pack except a
-    * shard's last is exactly [[PackBudget]] tokens by construction, so
-    * `last_pack_tokens = shard_tokens − (n_packs − 1) · budget` is the
-    * whole fill story; `n_straddlers` is how many docs the batch
-    * assembler must split. Runs on the [[packPlan]] output already
-    * hash-partitioned by shard, so the aggregate adds NO exchange.
+    * fill of the final (only non-full) pack. `n_packs` counts every
+    * budget window the stream TOUCHES — `max(pack_id + n_spans)`, not
+    * `max(pack_id) + 1`, because a straddling last doc spills tokens
+    * into packs no doc STARTS in (and a zero-token doc landing exactly
+    * on a boundary opens an empty final pack). With that count, every
+    * pack except a shard's last holds exactly [[PackBudget]] tokens,
+    * so `last_pack_tokens = shard_tokens − (n_packs − 1) · budget`
+    * is the whole fill story and always lands in [0, budget];
+    * `n_straddlers` is how many docs the batch assembler must split.
+    * Runs on the [[packPlan]] output already hash-partitioned by
+    * shard, so the aggregate adds NO exchange.
     */
-  def packStats(d: DataFrame): DataFrame =
-    packPlan(d).groupBy("shard")
+  def packStats(d: DataFrame, shards: Long = PackShards): DataFrame =
+    packPlan(d, shards).groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("shard_tokens"),
-        (max(col("pack_id")) + lit(1L)).as("n_packs"),
+        max(col("pack_id") + col("n_spans")).as("n_packs"),
         sum(when(col("n_spans") > 1, 1L).otherwise(0L)).as("n_straddlers"))
       .withColumn("last_pack_tokens",
         col("shard_tokens") - (col("n_packs") - lit(1L)) * lit(PackBudget))
@@ -545,11 +563,11 @@ object Sampling {
       s"""$packCte
          |SELECT shard, count(*) AS n_docs,
          |       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
-         |       CAST(max(pack_id) + 1 AS BIGINT) AS n_packs,
+         |       CAST(max(pack_id + n_spans) AS BIGINT) AS n_packs,
          |       CAST(sum(CASE WHEN n_spans > 1 THEN 1 ELSE 0 END) AS BIGINT)
          |         AS n_straddlers,
-         |       CAST(sum(n_tokens) - max(pack_id) * $PackBudget AS BIGINT)
-         |         AS last_pack_tokens
+         |       CAST(sum(n_tokens) - (max(pack_id + n_spans) - 1) * $PackBudget
+         |         AS BIGINT) AS last_pack_tokens
          |FROM q GROUP BY shard ORDER BY shard""".stripMargin
   )
 }

@@ -230,12 +230,66 @@ class SamplingSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5)))).toMap
     plan.groupBy(_._1).foreach { case (shard, docs) =>
+      // n_packs counts every touched window: max over (pack_id + n_spans)
       val (nDocs, tok, nPacks, straddlers) =
-        (docs.length.toLong, docs.map(_._2).sum, docs.map(_._3).max + 1,
+        (docs.length.toLong, docs.map(_._2).sum, docs.map(d => d._3 + d._4).max,
           docs.count(_._4 > 1).toLong)
       val s = stats(shard)
       assert(s === ((nDocs, tok, nPacks, straddlers,
         tok - (nPacks - 1) * Sampling.PackBudget)), s"shard $shard")
+      assert(tok - (nPacks - 1) * Sampling.PackBudget >= 0 &&
+        tok - (nPacks - 1) * Sampling.PackBudget <= Sampling.PackBudget,
+        s"shard $shard: last pack fill outside [0, budget]")
+    }
+  }
+
+  test("packStats counts the trailing packs a straddling last doc spans") {
+    // one shard's stream: 100 + 5000 tokens; the 5000-token doc starts
+    // in pack 0 (offset 100) and spills through packs 1 and 2, so the
+    // stream touches ceil(5100/2048) = 3 packs even though max(pack_id)
+    // is 0 — the max(pack_id)+1 formula would claim 1 pack and a
+    // 3052-token "last pack"
+    val docs = spark.createDataFrame(Seq(
+      (1L, ("x " * 100).trim), (2L, ("y " * 5000).trim)))
+      .toDF("doc_id", "text")
+    val stats = Sampling.packStats(docs, shards = 1L).collect()
+    assert(stats.length === 1)
+    val r = stats.head
+    assert(r.getLong(1) === 2L, "n_docs")
+    assert(r.getLong(2) === 5100L, "shard_tokens")
+    assert(r.getLong(3) === 3L, s"n_packs: got ${r.getLong(3)}")
+    assert(r.getLong(4) === 1L, "n_straddlers")
+    assert(r.getLong(5) === 5100L - 2L * Sampling.PackBudget,
+      "last_pack_tokens")
+    assert(r.getLong(5) >= 0 && r.getLong(5) <= Sampling.PackBudget)
+  }
+
+  test("shard count is an epoch constant: changing it reassigns docs") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val at64 = Sampling.packPlan(d, shards = 64L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    val at8 = Sampling.packPlan(d, shards = 8L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    assert(at64.keySet === at8.keySet)
+    // the hash fans out over a different modulus: most docs move shard,
+    // and the per-stream contract still holds at EVERY shard count —
+    // replay the 8-shard streams
+    val moved = at64.count { case (id, a) => at8(id) != a }
+    assert(moved > at64.size / 2,
+      s"expected a shard-count change to reassign most docs, moved=$moved/${at64.size}")
+    val B = Sampling.PackBudget
+    val rows8 = Sampling.packPlan(d, shards = 8L)
+      .select("doc_id", "shard", "n_tokens", "pack_id", "pack_offset")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows8.map(_._2).distinct.forall(s => s >= 0 && s < 8))
+    rows8.groupBy(_._2).foreach { case (shard, docs) =>
+      var cum = 0L
+      docs.sortBy(_._1).foreach { case (id, _, n, packId, off) =>
+        assert(packId === cum / B, s"doc $id in shard $shard")
+        assert(off === cum % B, s"doc $id")
+        cum += n
+      }
     }
   }
 
