@@ -228,26 +228,25 @@ object GramKeys {
       shks(i) = s.getLong(1)
       i += 1
     }
-    // (df, shk) order: pack df (≤ 2^31) and sort one long array of
-    // indices... simplest robust: sort an index permutation
-    val ord = Array.range(0, m)
-    // insertion sort is fine at per-doc sizes (~tens of keys)
-    i = 1
-    while (i < m) {
-      val x = ord(i)
-      var j = i - 1
-      while (j >= 0 && (dfs(ord(j)) > dfs(x) ||
-          (dfs(ord(j)) == dfs(x) && shks(ord(j)) > shks(x)))) {
-        ord(j + 1) = ord(j); j -= 1
-      }
-      ord(j + 1) = x
-      i += 1
-    }
-    val oks = new Array[Long](m)
-    i = 0
-    while (i < m) { oks(i) = shks(ord(i)); i += 1 }
     val ks = java.util.Arrays.copyOf(shks, m)
     java.util.Arrays.sort(ks)
+    // (df, shk) order without an O(m²) permutation sort: each key's
+    // rank in the ascending `ks` (binary search — keys are distinct)
+    // preserves signed-long key order in 32 bits, so (df << 32 | rank)
+    // sorts as one signed long: df asc (df ≥ 1, never sets the sign
+    // bit), then key asc. O(m log m) — long docs carry thousands of
+    // distinct shingles.
+    val packed = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      val rank = java.util.Arrays.binarySearch(ks, shks(i))
+      packed(i) = (dfs(i).toLong << 32) | (rank.toLong & 0xffffffffL)
+      i += 1
+    }
+    java.util.Arrays.sort(packed)
+    val oks = new Array[Long](m)
+    i = 0
+    while (i < m) { oks(i) = ks((packed(i) & 0xffffffffL).toInt); i += 1 }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](UnsafeArrayData.fromPrimitiveArray(ks),
         UnsafeArrayData.fromPrimitiveArray(oks), m))
