@@ -165,6 +165,13 @@ object Bench {
       if (barriers) System.gc()
       listener.reset()
       HeapPeak.reset()
+      // Scoped conf overrides (wide-agg reduce partitions ∝ data):
+      // set around this query only, restored below — plans are built
+      // lazily inside materialize(), so the override is live at
+      // planning time for every sample.
+      val overrides = SparkEntry.queryConfs(name, sfDir, cpus.toInt)
+      val saved = overrides.keys.map(k => k -> spark.conf.getOption(k)).toMap
+      overrides.foreach { case (k, v) => spark.conf.set(k, v) }
       val times =
         try {
           (1 to iters).map { _ =>
@@ -180,6 +187,9 @@ object Bench {
         } catch { case e: Throwable =>
           errors :+= (name -> String.valueOf(e.getMessage).take(200))
           Vector.empty[Double]
+        } finally saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
         }
       metrics :+= (name -> (listener.snapshot() :+
         ("peak_heap" -> HeapPeak.peakBytes)))

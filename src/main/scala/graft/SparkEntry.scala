@@ -36,6 +36,20 @@ object SparkEntry {
   val memoizedBuildQueries: Set[String] = Set(
     "dedup_near_apply", "dedup_cluster_sizes", "chi2_streaming_replay")
 
+  /** Scoped per-query session-conf overrides. The harnesses (Bench,
+    * Verify) save the touched keys, set these around ONE query's
+    * build+execution, and restore — so a data-sized knob (today: the
+    * wide-aggregate reduce-partition count) applies to exactly the
+    * queries that need it and the session default stays put for the
+    * other ~120. Values never change results: every covered query is
+    * exact-typed (spec-pinned).
+    */
+  def queryConfs(name: String, sfDir: String, cpus: Int): Map[String, String] =
+    if (sys.env.get("SPARK_GRAFT_SCOPED_CONFS").contains("false")) Map.empty
+    else if (rel.Relational.wideAggQueries(name))
+      rel.Relational.wideAggConf(sfDir, cpus)
+    else Map.empty
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

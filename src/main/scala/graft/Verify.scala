@@ -25,10 +25,20 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
       .foreach { case (name, fn) =>
+        // Scoped conf overrides (wide-agg reduce partitions ∝ data):
+        // a no-op at gate SFs (the floor binds), load-bearing for the
+        // sf≥10 scale-correctness runs. Exact-typed queries only, so
+        // results are partition-count-invariant (spec-pinned).
+        val overrides = SparkEntry.queryConfs(name, sfDir, cpus.toInt)
+        val saved = overrides.keys.map(k => k -> spark.conf.getOption(k)).toMap
+        overrides.foreach { case (k, v) => spark.conf.set(k, v) }
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        } finally saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -341,14 +341,22 @@ object Relational {
     // the absent partsupp as the part↔supplier association): distinct
     // suppliers per (brand, type, size) over an admitted part subset,
     // excluding flagged suppliers. Scale moves: the fact collapses to
-    // DISTINCT (partkey, suppkey) pairs map-side-combined in its ONE
-    // exchange before any join; the flagged-supplier exclusion is a
-    // broadcast anti-join (the flag predicate selects a handful of
-    // rows); the part attach is unhinted.
+    // DISTINCT (partkey, suppkey) pairs in its ONE exchange before any
+    // join (raw-row shuffle, reduce-side dedup — the pairs are
+    // near-unique per line, see the body comment); the
+    // flagged-supplier exclusion is a broadcast anti-join (the flag
+    // predicate selects a handful of rows); the part attach is
+    // unhinted.
     "rel_supplier_parts" -> ((s, dir) => {
       val sizes = Seq(1, 5, 10, 15, 20, 25, 30, 35)
+      // distinct's map-side partial collapses ~nothing here (pairs are
+      // near-unique per line) while its per-scan-task hash map spills at
+      // scale — shuffle raw pairs by the pair key instead and dedup on
+      // the reduce side, sized by the scoped wide-agg partition override
+      // (same rationale as dominantSupplier, measured at sf10).
       val pairs = t(s, dir, "lineitem")
-        .select("l_partkey", "l_suppkey").distinct()
+        .select("l_partkey", "l_suppkey")
+        .repartition(col("l_partkey"), col("l_suppkey")).distinct()
       val flagged = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
         .select("s_suppkey")
       val parts = t(s, dir, "part")
@@ -752,12 +760,14 @@ object Relational {
     * maximal, and symmetrically rules out arg-max ties whenever the
     * predicate holds), so per (part, year) ONE aggregate carries
     * total, supplier count, and `max(struct(qty, suppkey))`, and the
-    * half-sum test runs on the arg-max row alone. Every exchange has
-    * map-side partial aggregation — (part, year, supplier) collapses
-    * line volume, (part, year) collapses cells — where a window
-    * formulation over the cell stream would re-sort and re-shuffle the
-    * cells with no partial collapse (a 2-key window partition is NOT
-    * satisfied by the 3-key aggregate partitioning). The half-sum
+    * half-sum test runs on the arg-max row alone. The cell build
+    * shuffles raw rows (cells ≈ lines, so map-side combine is pure
+    * spill — see the body comment); the (part, year) collapse above it
+    * is genuinely reductive (~4:1) and keeps its partial aggregate.
+    * A window formulation over the cell stream would re-sort and
+    * re-shuffle the cells with no partial collapse (a 2-key window
+    * partition is NOT satisfied by the 3-key cell partitioning) —
+    * still the wrong shape. The half-sum
     * predicate is `2·max_sq > total` in exact LONG arithmetic —
     * quantities are integer-valued (fixture-verified: every l_quantity
     * is integral, ≤ 50, so even a whole-corpus sum sits 9 orders of
@@ -769,9 +779,19 @@ object Relational {
     */
   def dominantSupplier(lineitem: DataFrame,
       supplier: DataFrame): DataFrame = {
+    // The (part, year, supplier) cells are ≈1 per line (fixture-
+    // measured ~1:1 at every SF), so a map-side partial aggregate
+    // collapses nothing while its per-scan-task hash map holds
+    // millions of groups and SPILLS (r13 isolated sf10 measurement:
+    // the reduce-partition override alone left the ~54 GB spill
+    // intact — it was all map-side). Shuffling the RAW rows by the
+    // cell key costs the same exchange bytes as the uncollapsed
+    // partial results and moves every hash map to the reduce side,
+    // where [[wideAggConf]] sizes partitions to the data.
     val cells = lineitem
       .select(col("l_partkey"), year(col("l_shipdate")).as("yr"),
         col("l_suppkey"), col("l_quantity").cast("long").as("qd"))
+      .repartition(col("l_partkey"), col("yr"), col("l_suppkey"))
       .groupBy("l_partkey", "yr", "l_suppkey")
       .agg(sum(col("qd")).as("sq"))
     cells.groupBy("l_partkey", "yr")
@@ -784,6 +804,65 @@ object Relational {
         col("l_suppkey") === col("s_suppkey"))
       .select("s_suppkey", "s_name", "n_dominated")
       .orderBy(desc("n_dominated"), col("s_suppkey"))
+  }
+
+  /** The queries whose FIRST aggregate carries ≈one group per fact row
+    * — `rel_supplier_parts` (distinct (part, supp) pairs),
+    * `rel_sole_late_supplier` ((order, supp) cells),
+    * `rel_dominant_supplier` ((part, yr, supp) cells). Group state per
+    * reduce task is SF-linear at a fixed partition count: at sf10 and
+    * 32 partitions each task's hash map holds ~2 M groups, which
+    * spilled 35–51 GB per bench run (r12 metrics). The plans are the
+    * right shape (map-side partial collapse below every exchange);
+    * only the REDUCE-side partition count needs to track the data.
+    */
+  val wideAggQueries: Set[String] = Set(
+    "rel_dominant_supplier", "rel_sole_late_supplier", "rel_supplier_parts")
+
+  /** Reduce-task input target for [[wideAggConf]]: one shuffle
+    * partition per this many bytes of the driving fact's on-disk
+    * parquet. 8 MiB compressed ≈ a few hundred thousand groups ≈ tens
+    * of MB of aggregate hash map per task — comfortably in-memory at
+    * any executor size, and small enough that the cap (not the target)
+    * binds long before task-scheduling overhead does.
+    */
+  val WideAggBytesPerTask: Long = 24L << 20
+
+  /** Scoped shuffle-partition override for [[wideAggQueries]]: one
+    * reduce task per [[WideAggBytesPerTask]] of lineitem bytes,
+    * floored at the session's parallelism, capped at 2048. Applied by
+    * the harnesses around JUST these queries (set, run, restore) —
+    * the r12 GLOBAL variant (AQE initialPartitionNum = 8×cores) was
+    * measured and rejected (it OOM'd dedup_containment and slowed
+    * rel_dominant_supplier), so the scope is the point. Every result
+    * column here is exact-typed (longs, decimals, strings), so the
+    * partition count cannot change values — RelationalSpec pins that
+    * by re-running at a different count. Returns empty when the floor
+    * binds (small fixtures): the default conf is already right.
+    */
+  def wideAggConf(sfDir: String, cpus: Int): Map[String, String] = {
+    val parts = math.max(cpus.toLong, math.min(2048L,
+      pathBytes(s"$sfDir/lineitem.parquet") / WideAggBytesPerTask)).toInt
+    if (parts <= cpus) Map.empty
+    else Map(
+      "spark.sql.shuffle.partitions" -> parts.toString,
+      // AQE's parallelism-first coalescing re-merges the hand-sized
+      // exchanges right back to ~defaultParallelism (the per-partition
+      // bytes here sit far under the 64 MB advisory target), undoing
+      // the override — measured: identical spill with and without the
+      // partition bump until this was pinned off. Scoped to these
+      // queries only; AQE itself (skew splits, plan re-opt) stays on.
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+  }
+
+  /** On-disk size of a local fixture path (file or directory of part
+    * files); 0 when absent — sizing falls back to the session default.
+    */
+  private def pathBytes(p: String): Long = {
+    val f = new java.io.File(p)
+    if (f.isDirectory) f.listFiles().map(_.length()).sum
+    else if (f.isFile) f.length()
+    else 0L
   }
 
   /** TPC-H Q12 shape for [[queries]]' `rel_ship_lag`: one fact-fact

@@ -1,6 +1,6 @@
 package graft.rel
 
-import graft.SparkSpec
+import graft.{SparkEntry, SparkSpec}
 
 /** Explain-based plan hygiene for the relational workout — these are the
   * assertions the scale notes in [[Relational]]'s scaladoc point at.
@@ -356,5 +356,27 @@ class RelationalSpec extends SparkSpec {
     val got = Relational.dominantSupplier(li, supp)
       .collect().map(r => (r.getLong(0), r.getLong(2)))
     assert(got.toSeq === Seq((1L, 1L), (2L, 1L)))
+  }
+
+  test("wide-agg queries are partition-count-invariant (scoped override safe)") {
+    // The harnesses apply wideAggConf's shuffle-partition override
+    // around exactly these queries; every result column is exact-typed,
+    // so the reduce-partition count must not change a single value.
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    def run() = Relational.wideAggQueries.toSeq.sorted.map { q =>
+      q -> SparkEntry.queries(q)(spark, dir).collect().map(_.toString).toSeq
+    }
+    val atDefault = run()
+    try { spark.conf.set(key, "7"); assert(run() === atDefault) }
+    finally spark.conf.set(key, before)
+    // and the sizing contract: floor binds at gate SFs (empty map ⇒ no
+    // override), scales with fact bytes above it
+    assert(Relational.wideAggConf(dir, 32).isEmpty)
+    val sf10 = "/root/repo/target/testdata/sf10"
+    if (new java.io.File(s"$sf10/lineitem.parquet").exists()) {
+      val conf = Relational.wideAggConf(sf10, 32)
+      assert(conf.get(key).exists(_.toInt > 32))
+    }
   }
 }
