@@ -34,7 +34,11 @@ object SparkEntry {
     * must assert the memo actually prevents re-scheduling.
     */
   val memoizedBuildQueries: Set[String] = Set(
-    "dedup_near_apply", "dedup_cluster_sizes", "chi2_streaming_replay")
+    "dedup_near_apply", "dedup_cluster_sizes", "chi2_streaming_replay",
+    // r13: the df-ordered docsets table is built once per (app, dir,
+    // hash mode) and shared by both pair queries AND the CC label
+    // build (Dedup.docsetsFor) — whichever consumer runs first pays it
+    "dedup_ngram_jaccard", "dedup_containment")
 
   /** Scoped per-query session-conf overrides. The harnesses (Bench,
     * Verify) save the touched keys, set these around ONE query's

@@ -462,9 +462,14 @@ object Dedup {
     */
   def ngramJaccard(d: DataFrame,
       threshold: Double = JaccardThreshold,
-      maxShingleDf: Int = MaxShingleDf): DataFrame = {
+      maxShingleDf: Int = MaxShingleDf): DataFrame =
+    ngramJaccardOn(dfOrderedDocsets(d,
+      graft.functions.PortableHash.enabled(d), maxShingleDf), threshold)
+
+  private def ngramJaccardOn(docsets: DataFrame,
+      threshold: Double = JaccardThreshold): DataFrame = {
     val jac = col("ix").cast("double") / (col("na") + col("nb") - col("ix")).cast("double")
-    ngramJaccardPairsRaw(d, threshold, maxShingleDf)
+    ngramJaccardPairsOn(docsets, threshold)
       .distinct()
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
   }
@@ -478,13 +483,16 @@ object Dedup {
     */
   private def ngramJaccardPairsRaw(d: DataFrame,
       threshold: Double = JaccardThreshold,
-      maxShingleDf: Int = MaxShingleDf): DataFrame = {
+      maxShingleDf: Int = MaxShingleDf): DataFrame =
     // 60-bit hash of each shingle: the inverted index aggregates on
     // fixed-width longs instead of ~20-char strings (smaller shuffle,
     // cheaper compares). Collisions (~|shingles|²/2⁶⁰) are shared by
     // both engines — the oracle hashes identically.
-    val production = graft.functions.PortableHash.enabled(d)
-    val docsets = dfOrderedDocsets(d, production, maxShingleDf)
+    ngramJaccardPairsOn(dfOrderedDocsets(d,
+      graft.functions.PortableHash.enabled(d), maxShingleDf), threshold)
+
+  private def ngramJaccardPairsOn(docsets: DataFrame,
+      threshold: Double): DataFrame = {
     // PPJoin prefix filtering (Xiao/Wang/Lin/Yu, WWW'08): under ANY
     // global element order, jaccard(A,B) ≥ t forces the first
     // |X| − ⌈t·|X|⌉ + 1 elements of A and of B to share a key — so only
@@ -582,14 +590,17 @@ object Dedup {
     */
   def containment(d: DataFrame,
       threshold: Double = ContainmentThreshold,
-      maxShingleDf: Int = MaxShingleDf): DataFrame = {
-    val production = graft.functions.PortableHash.enabled(d)
+      maxShingleDf: Int = MaxShingleDf): DataFrame =
     // four consumers (both candidate-join postings sides + both
     // verify-join sides) re-plan the docsets subtree; its trailing
     // materialization barrier (see dfOrderedDocsets) means they all
     // read one finished copy at runtime — the scan, gram hashing, df
     // join, and views kernel run once
-    val docsets = dfOrderedDocsets(d, production, maxShingleDf)
+    containmentOn(dfOrderedDocsets(d,
+      graft.functions.PortableHash.enabled(d), maxShingleDf), threshold)
+
+  private def containmentOn(docsets: DataFrame,
+      threshold: Double = ContainmentThreshold): DataFrame = {
     val plen = col("n") - floor(col("n") * lit(threshold)).cast("int") + 1
     // LIGHT postings: (shk, doc_id, in-prefix flag) — three scalars.
     // pos is posexplode's 0-based index into the df-ORDERED key view,
@@ -1223,9 +1234,15 @@ object Dedup {
       simhashSignatures(docs(s, dir)).orderBy("doc_id")),
     "dedup_simhash_pairs" -> ((s, dir) =>
       simhashPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
+    // ngram_jaccard / containment / the CC label build are four
+    // consumers of ONE df-ordered docsets table (scan → gram hashing →
+    // df-cap join → views kernel): shared via [[docsetsFor]], built
+    // once per (app, dir, hash mode) — memoized-eager entries, priced
+    // by Bench's builds accounting.
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      ngramJaccard(docs(s, dir)).orderBy("doc_a", "doc_b")),
-    "dedup_containment" -> ((s, dir) => containment(docs(s, dir))),
+      ngramJaccardOn(docsetsFor(s, dir)).orderBy("doc_a", "doc_b")),
+    "dedup_containment" -> ((s, dir) =>
+      containmentOn(docsetsFor(s, dir))),
     "dedup_substring" -> ((s, dir) => substringPairs(docs(s, dir))),
     "dedup_incremental" -> ((s, dir) => incrementalDedup(docs(s, dir))),
     // Same verdicts through the standing-index path: corpus signatures
@@ -1316,7 +1333,36 @@ object Dedup {
 
   private def labelsFor(s: SparkSession, dir: String): DataFrame =
     labelsCache.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, _ =>
-      nearDupLabels(ngramJaccardPairsRaw(docs(s, dir)).select("doc_a", "doc_b")))
+      nearDupLabels(ngramJaccardPairsOn(docsetsFor(s, dir), JaccardThreshold)
+        .select("doc_a", "doc_b")))
+
+  /** Standing per-fixture docsets table: `dedup_ngram_jaccard`,
+    * `dedup_containment`, and the CC label build ([[labelsFor]]) all
+    * start from the SAME df-ordered docsets (scan → per-doc distinct
+    * gram hashing → df-cap count+join → views kernel) — at sf10 that
+    * subtree is the dominant cost of each consumer, re-executed per
+    * query before r13. Built once per (application, dir, hash mode)
+    * and memoized as an EAGER localCheckpoint: the checkpointed
+    * LogicalRDD keeps the barrier's hashpartitioning(doc_id), so every
+    * consumer's doc_id join-back stays exchange-free, exactly as with
+    * the in-query barrier. Corpus-sized (unlike the node-bounded label
+    * memo), so the block manager's MEMORY_AND_DISK tier is the spill
+    * path; a production deployment materializes this table to durable
+    * storage instead (the [[CorpusIndex]] standing-index shape —
+    * localCheckpoint does not survive executor loss). Keyed by hash
+    * mode because the keys themselves differ under
+    * [[graft.functions.PortableHash]] production mode.
+    */
+  private val docsetsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def docsetsFor(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val production = graft.functions.PortableHash.enabled(d)
+    docsetsCache.computeIfAbsent(
+      s"${s.sparkContext.applicationId}|$dir|$production",
+      _ => dfOrderedDocsets(d, production, MaxShingleDf).localCheckpoint())
+  }
 
   // ---- DuckDB oracle SQL ------------------------------------------------
 

@@ -11,9 +11,11 @@ package graft.dedup
   * buckets (~10⁷ groups at sf10 — the shape that spilled 6–16 GB in
   * every earlier iteration: collect_set index r11, collect_list
   * buckets + in-bucket kernel, ks-on-every-posting self-join, all
-  * measured early r12). The plan's joins are exactly: the df
-  * annotation join, the scalar prefix self-join, and the two
-  * candidate-sized verify join-backs.
+  * measured early r12). The plan's joins are exactly: the scalar
+  * prefix self-join and the two candidate-sized verify join-backs
+  * (the df annotation join runs ONCE inside the standing docsets
+  * memo — `Dedup.docsetsFor`, r13 — so the query plan reads the
+  * checkpointed table instead of re-planning that subtree).
   */
 class NgramPlanSpec extends graft.SparkSpec {
 
@@ -33,8 +35,12 @@ class NgramPlanSpec extends graft.SparkSpec {
     // verification via the two-pointer kernel
     assert(fin.contains("graft_sorted_ix"),
       s"kernel verification (graft_sorted_ix) missing:\n$fin")
-    // df join + prefix self-join + two verify join-backs
-    assert(cnt("(BroadcastHash|SortMerge|ShuffledHash)Join") == 4,
-      s"expected df join + prefix self-join + 2 verify joins:\n$fin")
+    // prefix self-join + two verify join-backs (df join inside the memo)
+    assert(cnt("(BroadcastHash|SortMerge|ShuffledHash)Join") == 3,
+      s"expected prefix self-join + 2 verify joins:\n$fin")
+    // and the docsets subtree is NOT re-planned: no gram-keys kernel,
+    // no df-count aggregate — the plan starts from the checkpointed memo
+    assert(!fin.contains("graft_gram_keys"),
+      s"docsets subtree re-planned (memo not used):\n$fin")
   }
 }
