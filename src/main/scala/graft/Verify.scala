@@ -22,6 +22,20 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Production-hash dump mode (r13, verdict ask #4): the xxhash64
+    // mode a real cluster would run. The DuckDB oracle mirrors md5
+    // only, so dumps made in this mode are compared Spark-vs-Spark
+    // against an md5-mode dump (tools/prod_hash_check.py): the
+    // hash-independent majority must be bit-identical, the documented
+    // hash-dependent set is invariant-checked instead.
+    sys.env.get("SPARK_GRAFT_PRODUCTION_HASH").foreach(v =>
+      spark.conf.set(graft.functions.PortableHash.ConfKey,
+        (v.trim.toLowerCase(java.util.Locale.ROOT) match {
+          case "1" | "true" | "yes" | "on" => true
+          case "0" | "false" | "no" | "off" => false
+          case other => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_PRODUCTION_HASH must be a boolean, got: '$other'")
+        }).toString))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
       .foreach { case (name, fn) =>

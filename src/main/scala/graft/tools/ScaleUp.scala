@@ -50,7 +50,15 @@ object ScaleUp {
       edit: (DataFrame, Column) => DataFrame): DataFrame = {
     val copies = df.sparkSession.range(factor.toLong)
       .select(col("id").cast("int").as("copy"))
-    edit(df.crossJoin(broadcast(copies)), col("copy")).drop("copy")
+    // The driver fixtures are ONE file with one row group, so the
+    // crossJoin (and the heavy per-copy text/embedding perturbation
+    // above it) would otherwise run in a SINGLE task no matter the
+    // factor — fine at ×10, an hour-long straggler at ×1000. Fan the
+    // tiny source out first; the input shuffle moves input-sized (MBs)
+    // data, the output write repartitions anyway.
+    val fanned = df.repartition(
+      df.sparkSession.sparkContext.defaultParallelism)
+    edit(fanned.crossJoin(broadcast(copies)), col("copy")).drop("copy")
   }
 
   private def shift(keys: String*)(df: DataFrame, copy: Column): DataFrame =
