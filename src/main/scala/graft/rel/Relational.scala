@@ -817,7 +817,12 @@ object Relational {
     * only the REDUCE-side partition count needs to track the data.
     */
   val wideAggQueries: Set[String] = Set(
-    "rel_dominant_supplier", "rel_sole_late_supplier", "rel_supplier_parts")
+    "rel_dominant_supplier", "rel_sole_late_supplier", "rel_supplier_parts") ++
+    // Experiment hook: extend the scoped-conf set without a rebuild
+    // (isolated A/B runs on the second spill tier); winners graduate
+    // into the literal set above with their measurements.
+    sys.env.get("SPARK_GRAFT_WIDEAGG_EXTRA").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
 
   /** Reduce-task input target for [[wideAggConf]]: one shuffle
     * partition per this many bytes of the driving fact's on-disk
