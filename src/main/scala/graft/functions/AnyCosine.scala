@@ -122,9 +122,9 @@ object AnyCosine {
     * not round-trip keeps the 8-byte packing (`flatD`); exactly one
     * of flatF/flatD is non-null.
     */
-  private final class Mx(val flatF: Array[Float], val flatD: Array[Double],
-    val offs: Array[Int], val lens: Array[Int], val sqEn: Array[Double],
-    val cnt: Int)
+  private[functions] final class Mx(val flatF: Array[Float],
+    val flatD: Array[Double], val offs: Array[Int], val lens: Array[Int],
+    val sqEn: Array[Double], val cnt: Int)
 
   /** Per-task cache of the unpacked broadcast matrix, keyed on the
     * UNDERLYING buffer (base object identity + offset): the join's
@@ -165,6 +165,16 @@ object AnyCosine {
     val c = cache.get()
     if (c != null && (c.bo eq bo) && c.off == off && c.numEl == numEl &&
       c.size == size && c.head == head && c.tail == tail) return c.mx
+    val mx = packMx(evals)
+    cache.set(new Entry(bo, off, numEl, size, head, tail, mx))
+    mx
+  }
+
+  /** Pack one (ev, en)-struct array into a [[Mx]] — the uncached body
+    * of [[mxFor]], shared with [[AnyCosineCells]], which packs one Mx
+    * PER BUCKET of its cell index under its own cache.
+    */
+  private[functions] def packMx(evals: ArrayData): Mx = {
     val m = evals.numElements()
     val vecs = new Array[Array[Double]](m)
     val sqe = new Array[Double](m)
@@ -221,9 +231,7 @@ object AnyCosine {
       o += v.length
       j += 1
     }
-    val mx = new Mx(flatF, flatD, offs, lens, sqEn, cnt)
-    cache.set(new Entry(bo, off, numEl, size, head, tail, mx))
-    mx
+    new Mx(flatF, flatD, offs, lens, sqEn, cnt)
   }
 
   /** Called from generated code.
@@ -257,7 +265,7 @@ object AnyCosine {
     else anyGeD(vv, n, sq, mx, t)
   }
 
-  private def anyGeF(vv: Array[Double], n: Int, sq: Double, mx: Mx,
+  private[functions] def anyGeF(vv: Array[Double], n: Int, sq: Double, mx: Mx,
       t: Double): Boolean = {
     val flat = mx.flatF
     val offs = mx.offs
@@ -299,7 +307,7 @@ object AnyCosine {
     false
   }
 
-  private def anyGeD(vv: Array[Double], n: Int, sq: Double, mx: Mx,
+  private[functions] def anyGeD(vv: Array[Double], n: Int, sq: Double, mx: Mx,
       t: Double): Boolean = {
     val flat = mx.flatD
     val offs = mx.offs

@@ -1,0 +1,367 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types._
+
+/** Bucketed EXACT existential cosine screen:
+  * `graft_any_cosine_ge_cells(v, cells, t)` = does ANY eval vector in
+  * ANY cell have cosine(v, ev) ≥ t — [[AnyCosineGe]]'s decision over
+  * an eval set pre-grouped into direction buckets, with whole buckets
+  * skipped by a triangle-inequality bound instead of scanned.
+  *
+  * `cells` is one broadcast row of
+  * `array<struct<bkt: long, cv: array<double>, cr: double,
+  *              ms: array<struct<ev: array<double>, en: double>>>>`:
+  * per bucket a representative direction `cv` (the member mean — ANY
+  * vector works for correctness), the bucket's angular radius
+  * `cr = max over members of θ(ev, cv)`, and the members themselves in
+  * [[AnyCosineGe]]'s (ev, en) layout.
+  *
+  * The bound (why skipping is EXACT, never approximate): angular
+  * distance θ(a,b) = arccos(cos(a,b)) is a metric on the unit sphere,
+  * so for every member e of a cell with radius r:
+  * θ(v,e) ≥ θ(v,cv) − θ(e,cv) ≥ θ(v,cv) − r. If
+  * θ(v,cv) − r > θ_t := arccos(t), then cos(v,e) < t for ALL members
+  * and the cell cannot contain a match. Evaluated per row in the
+  * COSINE domain (no per-row acos): skip iff
+  * cos(v,cv) < cos(min(θ_t + r + Slack, π)), the right side
+  * precomputed once per cell at pack time. [[AnyCosineCells.Slack]]
+  * (1e-4 rad) swallows every rounding term — the plan-side
+  * acos(clamp(·)) that produced `cr`, the pack-time cos, and the
+  * per-row dot/divide (all ≤ 1e-7 in the θ domain away from the
+  * clamped poles, where the clamp itself caps the error at ~1e-6) —
+  * so a borderline cell is SCANNED, never skipped: pruning can drop
+  * only cells that pass the test with ≥ Slack/2 to spare, and the
+  * members that decide the verdict go through [[AnyCosine.anyGeF]]/
+  * [[AnyCosine.anyGeD]] — bit-identical arithmetic to the flat
+  * kernel and the Column chain.
+  *
+  * Conservative fallbacks (scan, never skip) whenever the bound is
+  * not trustworthy: null/missing cv or cr, a null cv element, cv
+  * length ≠ v length, zero/NaN norms (NaN comparisons are false in
+  * Java, which lands on "scan" by construction), θ_t + r ≥ π. A
+  * null cells entry or empty/null ms contributes nothing (no member
+  * could match — same verdict as the chain's NULL cosine).
+  *
+  * Why cells instead of [[AnyCosineGe]]'s flat matrix: the flat
+  * screen's per-row floor is the FULL |evals|·dim multiply, which is
+  * quadratic when the eval set grows with the corpus — measured 933 s
+  * at sf100 (it was 9.2 s at sf10: 101× for 10× data, |corpus|·|evals|
+  * by construction). The bucketed screen's floor is |cells| bound
+  * checks (one dot each) + the few boundary cells' members; at a
+  * FIXED real-world eval set both forms are linear in the corpus, but
+  * the bucketed one stays linear when the eval side scales too.
+  */
+case class AnyCosineGeCells(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  private def v = first
+  private def cells = second
+  private def threshold = third
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def msOk(dt: DataType): Boolean = dt match {
+      case ArrayType(StructType(fs), _) if fs.length == 2 =>
+        (fs(0).dataType, fs(1).dataType) match {
+          case (ArrayType(DoubleType, _), DoubleType) => true
+          case _ => false
+        }
+      case _ => false
+    }
+    val cellsOk = cells.dataType match {
+      case ArrayType(StructType(fs), _) if fs.length == 4 =>
+        fs(0).dataType == LongType &&
+          (fs(1).dataType match {
+            case ArrayType(DoubleType, _) => true
+            case _ => false
+          }) &&
+          fs(2).dataType == DoubleType && msOk(fs(3).dataType)
+      case _ => false
+    }
+    if (v.dataType != ArrayType(DoubleType, containsNull = true) &&
+      v.dataType != ArrayType(DoubleType, containsNull = false))
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_any_cosine_ge_cells expects array<double> v, got ${v.dataType.simpleString}")
+    else if (!cellsOk)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_any_cosine_ge_cells expects array<struct<bkt: long, cv: array<double>, " +
+          s"cr: double, ms: array<struct<ev: array<double>, en: double>>>> cells, " +
+          s"got ${cells.dataType.simpleString}")
+    else if (threshold.dataType != DoubleType || !threshold.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_any_cosine_ge_cells threshold must be a double literal")
+    else if (threshold.eval(null) == null)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_any_cosine_ge_cells threshold must not be null")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_any_cosine_ge_cells"
+
+  @transient private lazy val t: Double =
+    threshold.eval(null).asInstanceOf[Double]
+
+  /** The shared kernel (also called from generated code). */
+  def anyGe(vd: ArrayData, cs: ArrayData): Boolean =
+    AnyCosineCells.anyGe(vd, cs, t)
+
+  override protected def nullSafeEval(vd: Any, cs: Any, th: Any): Any =
+    anyGe(vd.asInstanceOf[ArrayData], cs.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("anyCosineCells", this,
+      classOf[AnyCosineGeCells].getName)
+    nullSafeCodeGen(ctx, ev, (vd, cs, _) =>
+      s"${ev.value} = $self.anyGe($vd, $cs);")
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): AnyCosineGeCells =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object AnyCosineCells {
+
+  /** Conservative slack, radians, added to every cell's skip bound.
+    * Orders of magnitude above the worst accumulated rounding of the
+    * bound arithmetic (≤ ~1e-6 near the acos poles), and orders of
+    * magnitude below any useful pruning margin (θ_t is ~1.16 rad at
+    * the fixture threshold), so it costs scanning only cells that
+    * were within 1e-4 rad of being skipped anyway.
+    */
+  val Slack = 1e-4
+
+  /** Packed cell index: per cell the centroid (kept as DOUBLES — a
+    * mean is not float-exact, and the bound math must reproduce the
+    * pack-time values deterministically), sqrt of its norm, the
+    * precomputed cosine-domain skip bound (−2 = unboundable: cos can
+    * never be < −2, so the cell always scans), and the members packed
+    * by [[AnyCosine.packMx]] (float-exact layout and all).
+    *
+    * The BOUNDABLE cells whose centroids share the dominant length
+    * additionally pack CONTIGUOUSLY (flatCv, one cell every flatLen
+    * doubles; flatIx maps back to the cell index): the bound pass is
+    * the per-row floor once pruning works — |cells| dots — and as a
+    * one-chain loop over scattered arrays it was measured to cap the
+    * sf100 win at 3.8×; the flat layout runs the same 4-wide
+    * register-blocked fold as [[AnyCosine.anyGeF]] (each cell's dot
+    * still its own in-order fold — blocking reorders nothing within
+    * a fold, so bounds are bit-identical to the scalar loop).
+    * Remaining cells (degenerate centroid, odd length, zero norm)
+    * stay on the scalar path, which scans them — conservative.
+    */
+  private final class Cx(val cv: Array[Array[Double]],
+    val sqCn: Array[Double], val cosBound: Array[Double],
+    val ms: Array[AnyCosine.Mx], val cnt: Int,
+    val inFlat: Array[Boolean], val flatCv: Array[Double],
+    val flatSqCn: Array[Double], val flatBound: Array[Double],
+    val flatIx: Array[Int], val flatLen: Int, val flatCnt: Int)
+
+  /** Same hardened fingerprint key as [[AnyCosine]]'s cache, plus the
+    * threshold (the skip bounds bake in θ_t, and two expressions with
+    * different thresholds over one buffer must not share entries).
+    */
+  private final class Entry(val bo: AnyRef, val off: Long, val numEl: Int,
+    val size: Long, val head: Long, val tail: Long, val t: Double,
+    val cx: Cx)
+
+  private val cache = new ThreadLocal[Entry]()
+
+  private def cxFor(cells: ArrayData, t: Double): Cx = {
+    val (bo: AnyRef, off: Long, size: Long) = cells match {
+      case u: UnsafeArrayData => (u.getBaseObject, u.getBaseOffset,
+        u.getSizeInBytes.toLong)
+      case g => (g, 0L, -1L)
+    }
+    val numEl = cells.numElements()
+    val head =
+      if (size >= 8) org.apache.spark.unsafe.Platform.getLong(bo, off) else 0L
+    val tail =
+      if (size >= 16)
+        org.apache.spark.unsafe.Platform.getLong(bo, off + size - 8)
+      else 0L
+    val c = cache.get()
+    if (c != null && (c.bo eq bo) && c.off == off && c.numEl == numEl &&
+      c.size == size && c.head == head && c.tail == tail && c.t == t)
+      return c.cx
+    val m = numEl
+    val cv = new Array[Array[Double]](m)
+    val sqCn = new Array[Double](m)
+    val cosBound = new Array[Double](m)
+    val ms = new Array[AnyCosine.Mx](m)
+    val thetaT = math.acos(math.min(math.max(t, -1.0), 1.0))
+    var j = 0
+    while (j < m) {
+      cosBound(j) = -2.0
+      if (!cells.isNullAt(j)) {
+        val s = cells.getStruct(j, 4)
+        if (!s.isNullAt(3)) ms(j) = AnyCosine.packMx(s.getArray(3))
+        if (!s.isNullAt(1) && !s.isNullAt(2)) {
+          val a = s.getArray(1)
+          val n = a.numElements()
+          var hasNull = false
+          var i = 0
+          while (i < n && !hasNull) {
+            if (a.isNullAt(i)) hasNull = true
+            i += 1
+          }
+          if (!hasNull) {
+            val cvA = a.toDoubleArray()
+            var cn = 0.0
+            i = 0
+            while (i < n) { cn += cvA(i) * cvA(i); i += 1 }
+            val b = thetaT + s.getDouble(2) + Slack
+            // NaN b → NaN bound → per-row `cq < NaN` is false → scan;
+            // b ≥ π → keep −2 (cos of the capped angle is −1, and a
+            // rounded cq could legitimately reach −1: never skip);
+            // zero-norm centroid → keep −2 (its cq is NaN anyway).
+            if (!java.lang.Double.isNaN(b) && b < math.Pi && cn > 0.0) {
+              cv(j) = cvA
+              sqCn(j) = math.sqrt(cn)
+              cosBound(j) = math.cos(b)
+            }
+          }
+        }
+      }
+      j += 1
+    }
+    // Contiguous repack of the boundable majority-length cells (with
+    // non-empty members — empty cells need neither bound nor scan).
+    var flatLen = -1
+    j = 0
+    while (j < m && flatLen < 0) {
+      if (cv(j) != null && ms(j) != null && ms(j).cnt > 0) flatLen = cv(j).length
+      j += 1
+    }
+    var flatCnt = 0
+    j = 0
+    while (j < m) {
+      if (cv(j) != null && cv(j).length == flatLen &&
+        ms(j) != null && ms(j).cnt > 0) flatCnt += 1
+      j += 1
+    }
+    val flatCv = new Array[Double](math.max(0, flatCnt * math.max(0, flatLen)))
+    val flatSqCn = new Array[Double](flatCnt)
+    val flatBound = new Array[Double](flatCnt)
+    val flatIx = new Array[Int](flatCnt)
+    val inFlat = new Array[Boolean](m)
+    var f = 0
+    j = 0
+    while (j < m) {
+      if (cv(j) != null && cv(j).length == flatLen &&
+        ms(j) != null && ms(j).cnt > 0) {
+        System.arraycopy(cv(j), 0, flatCv, f * flatLen, flatLen)
+        flatSqCn(f) = sqCn(j)
+        flatBound(f) = cosBound(j)
+        flatIx(f) = j
+        inFlat(j) = true // the scalar pass skips it; the flat pass owns it
+        f += 1
+      }
+      j += 1
+    }
+    val cx = new Cx(cv, sqCn, cosBound, ms, m,
+      inFlat, flatCv, flatSqCn, flatBound, flatIx, flatLen, flatCnt)
+    cache.set(new Entry(bo, off, numEl, size, head, tail, t, cx))
+    cx
+  }
+
+  /** Called from generated code. Corpus-vector handling is
+    * [[AnyCosine.anyGe]]'s, verbatim: a null element returns false.
+    */
+  def anyGe(vd: ArrayData, cells: ArrayData, t: Double): Boolean = {
+    val n = vd.numElements()
+    val vv = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (vd.isNullAt(i)) return false
+      vv(i) = vd.getDouble(i)
+      i += 1
+    }
+    var nrm = 0.0
+    i = 0
+    while (i < n) { nrm += vv(i) * vv(i); i += 1 }
+    val sq = math.sqrt(nrm)
+    val cx = cxFor(cells, t)
+    // Flat pass: 4-wide register-blocked bounds over the contiguous
+    // centroid block, member scan only for survivors. If q's length
+    // differs from the block's, no flat bound is valid — scan them all
+    // (their members then fail the length guard individually, exactly
+    // as the flat kernel would decide).
+    if (cx.flatCnt > 0) {
+      if (cx.flatLen == n) {
+        val fc = cx.flatCv
+        var f = 0
+        while (f + 4 <= cx.flatCnt) {
+          val o0 = f * n; val o1 = o0 + n; val o2 = o1 + n; val o3 = o2 + n
+          var a0 = 0.0; var a1 = 0.0; var a2 = 0.0; var a3 = 0.0
+          var k = 0
+          while (k < n) {
+            val x = vv(k)
+            a0 += x * fc(o0 + k); a1 += x * fc(o1 + k)
+            a2 += x * fc(o2 + k); a3 += x * fc(o3 + k)
+            k += 1
+          }
+          // `cq < bound` false (incl. NaN cq) → survivor → scan
+          if (!(a0 / (sq * cx.flatSqCn(f)) < cx.flatBound(f)) &&
+            scanFlat(cx, f, vv, n, sq, t)) return true
+          if (!(a1 / (sq * cx.flatSqCn(f + 1)) < cx.flatBound(f + 1)) &&
+            scanFlat(cx, f + 1, vv, n, sq, t)) return true
+          if (!(a2 / (sq * cx.flatSqCn(f + 2)) < cx.flatBound(f + 2)) &&
+            scanFlat(cx, f + 2, vv, n, sq, t)) return true
+          if (!(a3 / (sq * cx.flatSqCn(f + 3)) < cx.flatBound(f + 3)) &&
+            scanFlat(cx, f + 3, vv, n, sq, t)) return true
+          f += 4
+        }
+        while (f < cx.flatCnt) {
+          val o = f * n
+          var acc = 0.0
+          var k = 0
+          while (k < n) { acc += vv(k) * fc(o + k); k += 1 }
+          if (!(acc / (sq * cx.flatSqCn(f)) < cx.flatBound(f)) &&
+            scanFlat(cx, f, vv, n, sq, t)) return true
+          f += 1
+        }
+      } else {
+        var f = 0
+        while (f < cx.flatCnt) {
+          if (scanFlat(cx, f, vv, n, sq, t)) return true
+          f += 1
+        }
+      }
+    }
+    // Scalar pass: the irregular remainder (degenerate centroids, odd
+    // lengths) — bound when possible, scan otherwise.
+    var j = 0
+    while (j < cx.cnt) {
+      val mx = cx.ms(j)
+      if (!cx.inFlat(j) && mx != null && mx.cnt > 0) {
+        var scan = true
+        val cvA = cx.cv(j)
+        if (cvA != null && cvA.length == n) {
+          var dq = 0.0
+          var k = 0
+          while (k < n) { dq += vv(k) * cvA(k); k += 1 }
+          val cq = dq / (sq * cx.sqCn(j))
+          // NaN cq (zero norms) compares false → scan: conservative.
+          if (cq < cx.cosBound(j)) scan = false
+        }
+        if (scan && (if (mx.flatF != null) AnyCosine.anyGeF(vv, n, sq, mx, t)
+          else AnyCosine.anyGeD(vv, n, sq, mx, t))) return true
+      }
+      j += 1
+    }
+    false
+  }
+
+  private def scanFlat(cx: Cx, f: Int, vv: Array[Double], n: Int,
+      sq: Double, t: Double): Boolean = {
+    val mx = cx.ms(cx.flatIx(f))
+    if (mx.flatF != null) AnyCosine.anyGeF(vv, n, sq, mx, t)
+    else AnyCosine.anyGeD(vv, n, sq, mx, t)
+  }
+}

@@ -95,6 +95,14 @@ object GraftFunctions {
   def graftAnyCosineGe(v: Column, evals: Column, threshold: Column): Column =
     call_function("graft_any_cosine_ge", v, evals, threshold)
 
+  /** Column-API form of [[AnyCosineGeCells]] — the bucketed EXACT
+    * variant: same verdict, whole direction-buckets skipped by a
+    * triangle-inequality bound.
+    */
+  def graftAnyCosineGeCells(v: Column, cells: Column,
+      threshold: Column): Column =
+    call_function("graft_any_cosine_ge_cells", v, cells, threshold)
+
   /** Column-API form of [[PqEncode]]: codebook/norms must be literal
     * (foldable) columns — a trained codebook is a driver constant.
     */
@@ -220,6 +228,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       DotProduct(c(0), c(1))))
     ext.injectFunction(fn("graft_any_cosine_ge", classOf[AnyCosineGe], 3)(c =>
       AnyCosineGe(c(0), c(1), c(2))))
+    ext.injectFunction(fn("graft_any_cosine_ge_cells",
+      classOf[AnyCosineGeCells], 3)(c => AnyCosineGeCells(c(0), c(1), c(2))))
     ext.injectFunction(fn("graft_byte_stride", classOf[ByteStride], 2)(c =>
       ByteStride(c(0), c(1))))
     ext.injectFunction(fn("graft_pq_encode", classOf[PqEncode], 3)(c =>

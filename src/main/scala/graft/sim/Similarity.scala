@@ -143,6 +143,28 @@ object Similarity {
     }
   }
 
+  /** Sign bits for [[embDecontaminate]]'s eval-side direction buckets
+    * (a third md5-seeded ±1 family, `"e:p,j"` — independent of
+    * [[planes]] and [[annPlanes]]). 16 bits because the SCREEN BOUND,
+    * not recall, is what bucketing serves here: skipping a bucket
+    * needs θ(q, centroid) > θ_t + radius with θ_t = acos(0.4) ≈ 66°,
+    * so radii must stay tens of degrees — i.e. buckets must isolate
+    * the eval set's angular clusters, not merely correlate with them.
+    * 2¹⁶ key space holds ~10³–10⁴ NON-EMPTY buckets on real eval
+    * benchmarks (only non-empty cells materialize); the per-corpus-row
+    * bound work is one dot per non-empty bucket.
+    */
+  val ScreenPlanes = 16
+  lazy val screenPlanes: IndexedSeq[IndexedSeq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until ScreenPlanes).map { p =>
+      (0 until Dim).map { j =>
+        val h = md.digest(s"e:$p,$j".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 1) == 1) 1 else -1
+      }
+    }
+  }
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -676,32 +698,76 @@ object Similarity {
     * cross-set sibling of [[semDedup]] (within-set near-dup → keep one;
     * cross-set near-dup → drop the corpus side).
     *
-    * Scale notes: the eval side is a BENCHMARK — tiny by construction —
-    * so it rides as ONE aggregated broadcast row (array of (ev, ‖ev‖²)
-    * structs) cross-joined to the corpus, and the membership test is
-    * the [[graft.functions.AnyCosineGe]] kernel: one call per corpus
-    * row that loops the task-cached unpacked eval matrix in place with
-    * early exit on the first hit. The prior form — a broadcast
-    * nested-loop join with the cosine as its join condition — paid the
-    * join machinery per PAIR: ~320 ns × 3.6 G pairs = 36 s at sf10
-    * against this shape's 12.1 s, decisions identical (AnyCosineSpec
-    * pins parity, plus the zero-norm edge where the kernel is a total
-    * extension of the ANSI chain). The corpus never
-    * shuffles in either form. For an eval set too big to broadcast,
-    * assign both sides to IVF cells and probe (the semDedup chain) —
-    * the threshold semantics are unchanged.
+    * Scale notes: the eval side rides as ONE aggregated broadcast row
+    * cross-joined to the corpus — the corpus never shuffles — but
+    * pre-grouped into [[screenPlanes]] sign-bit direction buckets,
+    * each carrying its member mean and ANGULAR RADIUS, and the
+    * membership test is the [[graft.functions.AnyCosineGeCells]]
+    * kernel: per corpus row, one dot against each non-empty bucket's
+    * centroid decides by triangle inequality
+    * (θ(q,c) − radius > acos(t) ⇒ no member can match — EXACT, see
+    * the kernel scaladoc) whether the bucket's members are scanned at
+    * all; survivors go through the same bit-identical member test as
+    * the flat [[graft.functions.AnyCosineGe]] kernel (AnyCosineSpec
+    * pins three-way parity: chain ≡ flat kernel ≡ cells kernel).
+    *
+    * Why the history matters at 100 TB: the r11 broadcast nested-loop
+    * join paid ~320 ns per PAIR (36 s at sf10); the r12 flat kernel
+    * cut the pair cost to the arithmetic floor (9.2 s at sf10) but
+    * kept the FULL |corpus|·|evals| multiply — measured 933 s at
+    * sf100, 101× for 10× data, because the fixture's eval set grows
+    * with the corpus. The bucketed bound removes that quadratic term:
+    * clean rows (the overwhelming majority) now pay |buckets| dots
+    * instead of |evals|, and only rows angularly near an eval cluster
+    * scan that cluster's members. A real eval benchmark is fixed-size,
+    * but "the screen's cost must not be |corpus|·|evals|" is exactly
+    * the property a 100 TB decontamination pass needs. Radii are
+    * computed IN-PLAN (one pass over the eval side), so there is no
+    * training, no driver collect, and no approximation anywhere —
+    * the oracle keeps hash-matching bit-for-bit.
     */
   private def embDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val withLabel = emb(s, dir)
       .select(col("vec_id"), col("label"), vCol(col("embedding")).as("v"))
       .withColumn("nrm", dot(col("v"), col("v")))
-    val evalM = withLabel.filter(col("label") === EmbEvalLabel)
-      .agg(collect_list(struct(col("v").as("ev"), col("nrm").as("en")))
-        .as("evals"))
+    // 16 sign bits → bucket key (long). A null projection (null v or
+    // null element) makes bkt NULL: those rows group into the null
+    // bucket, whose members can never match (chain-NULL semantics,
+    // enforced by the kernel's member packing).
+    val bkt = (0 until ScreenPlanes).map { p =>
+      val w = array(screenPlanes(p).map(x => lit(x.toDouble)): _*)
+      when(dot(col("v"), w) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    // Per bucket: members (the flat kernel's (ev, en) layout), the
+    // member MEAN as the representative direction, and the angular
+    // radius max θ(ev, mean). acos inputs are clamped to [−1, 1];
+    // degenerate members (zero norm → NaN cosine → NaN radius via
+    // greatest, or null elements → null cv) disable the bound for
+    // their bucket — the kernel then scans it unconditionally, so
+    // degeneracy costs pruning, never correctness. Everything here is
+    // one scan of the eval side; collect_list state is the eval set
+    // itself, exactly as the flat form's single aggregate was.
+    val perCell = withLabel.filter(col("label") === EmbEvalLabel)
+      .withColumn("bkt", bkt)
+      .groupBy("bkt")
+      .agg(array_sort(collect_list(struct(col("v").as("ev"),
+        col("nrm").as("en")))).as("ms"))
+      .withColumn("cv", transform(
+        aggregate(col("ms"), array_repeat(lit(0.0), Dim),
+          (acc, x) => zip_with(acc, x.getField("ev"), (a, b) => a + b)),
+        sElem => sElem / size(col("ms"))))
+      .withColumn("cn", dot(col("cv"), col("cv")))
+      .withColumn("cr", aggregate(col("ms"), lit(0.0), (mxAcc, x) =>
+        greatest(mxAcc, acos(least(greatest(
+          dot(x.getField("ev"), col("cv")) /
+            (sqrt(x.getField("en")) * sqrt(col("cn"))),
+          lit(-1.0)), lit(1.0))))))
+    val idx = perCell.agg(sort_array(collect_list(
+      struct(col("bkt"), col("cv"), col("cr"), col("ms")))).as("cells"))
     withLabel.filter(col("label") =!= EmbEvalLabel)
-      .crossJoin(broadcast(evalM))
-      .filter(!coalesce(graft.functions.GraftFunctions.graftAnyCosineGe(
-        col("v"), col("evals"), lit(EmbDecontamThreshold)), lit(false)))
+      .crossJoin(broadcast(idx))
+      .filter(!coalesce(graft.functions.GraftFunctions.graftAnyCosineGeCells(
+        col("v"), col("cells"), lit(EmbDecontamThreshold)), lit(false)))
       .select(col("vec_id"), col("label"))
       .orderBy("vec_id")
   }
