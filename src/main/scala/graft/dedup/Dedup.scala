@@ -1099,11 +1099,20 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count_distinct(col("shk")).as("n_shared_keys"))
 
-  /** Bloom capacity for [[decontaminateBloom]]'s eval-key sketch: a
-    * FIXED build bound (no extra counting job), 10 bits/key ≈ 1% false
-    * positives at capacity. A production run sizes this from the known
-    * eval-suite volume; the aggregate errors loudly past Spark's
-    * 4M-item guard rather than silently degrading.
+  /** Bloom sizing floor for [[decontaminateBloom]]'s eval-key sketch —
+    * the build sizes the sketch from the MEASURED distinct-key count
+    * at 10 bits/key ≈ 1% false positives (a fixed build bound
+    * saturates silently the moment the eval side outgrows it: the r13
+    * sf100 run measured the then-fixed 2²⁰-key sketch at ~12M eval
+    * keys ≈ 100% false positives — every probe paid, nothing
+    * filtered). The floor only stops a degenerate eval side from
+    * producing a uselessly tiny sketch; the CEILING is the session's
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/`maxNumBits`
+    * guards (Spark validates the aggregate against them), clamped to
+    * rather than tripped: past the ceiling the sketch degrades toward
+    * pass-through gracefully — correctness never depends on the FP
+    * rate because the exact semi-join decides. A production run raises
+    * the two guards to keep 10 bits/key at its real eval volume.
     */
   val DecontamBloomKeys = 1L << 20
 
@@ -1125,10 +1134,25 @@ object Dedup {
     */
   def decontaminateBloom(corpus: DataFrame, evalDocs: DataFrame): DataFrame = {
     val production = graft.functions.PortableHash.enabled(corpus)
+    // Eager localCheckpoint (the docsetsFor discipline — block-manager
+    // backed, freed by the context cleaner when the plan is dropped, no
+    // cache-manager residue): the distinct eval keys are read THREE
+    // times — the sizing count, the sketch aggregate, and the exact
+    // confirm join's broadcast build — and the key derivation
+    // (tokenize + digest + distinct exchange) is the expensive part of
+    // the eval side; before this the build re-derived it per consumer
+    // (measured as most of the query's super-linear sf100 tail).
     val evalKeys = decontamKeys(evalDocs, production).select("shk").distinct()
+      .localCheckpoint()
+    val conf = corpus.sparkSession.conf
+    val maxItems = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    val est = math.min(math.max(evalKeys.count(), DecontamBloomKeys), maxItems)
+    val bits = math.min(est * 10, maxBits)
     val bloom = evalKeys.agg(graft.functions.GraftFunctions
-        .graftBloomAgg(col("shk"), lit(DecontamBloomKeys),
-          lit(DecontamBloomKeys * 10)).as("bf"))
+        .graftBloomAgg(col("shk"), lit(est), lit(bits)).as("bf"))
       .head().getAs[Array[Byte]](0)
     val contaminated = decontamKeys(corpus, production)
       .filter(graft.functions.GraftFunctions

@@ -21,6 +21,21 @@ import org.apache.spark.sql.types._
   * `cr = max over members of θ(ev, cv)`, and the members themselves in
   * [[AnyCosineGe]]'s (ev, en) layout.
   *
+  * An optional FIFTH field adds a second bound level:
+  * `subs: array<struct<cv: array<double>, cr: double,
+  *              ms: array<struct<ev: array<double>, en: double>>>>` —
+  * sub-cells of the bucket, each with its own representative
+  * direction, radius, and member block. When a bucket SURVIVES its
+  * level-1 bound (it is angularly near the query), its sub-cells are
+  * bound-checked individually and only the surviving sub-cells' members
+  * are scanned — the recursive-bounds refinement for the case where
+  * boundary buckets hold many members but only a thin angular shell of
+  * them can actually decide the verdict. The kernel scans the UNION of
+  * a cell's `ms` and its `subs` members (a packer puts each member in
+  * exactly one place; redundant packing costs time, never correctness),
+  * and every degenerate sub (null/odd cv, NaN radius, zero norm) is
+  * scanned unconditionally — the same conservative contract as level 1.
+  *
   * The bound (why skipping is EXACT, never approximate): angular
   * distance θ(a,b) = arccos(cos(a,b)) is a metric on the unit sphere,
   * so for every member e of a cell with radius r:
@@ -72,14 +87,24 @@ case class AnyCosineGeCells(first: Expression, second: Expression,
         }
       case _ => false
     }
+    def subsOk(dt: DataType): Boolean = dt match {
+      case ArrayType(StructType(fs), _) if fs.length == 3 =>
+        (fs(0).dataType match {
+          case ArrayType(DoubleType, _) => true
+          case _ => false
+        }) && fs(1).dataType == DoubleType && msOk(fs(2).dataType)
+      case _ => false
+    }
     val cellsOk = cells.dataType match {
-      case ArrayType(StructType(fs), _) if fs.length == 4 =>
+      case ArrayType(StructType(fs), _)
+          if fs.length == 4 || fs.length == 5 =>
         fs(0).dataType == LongType &&
           (fs(1).dataType match {
             case ArrayType(DoubleType, _) => true
             case _ => false
           }) &&
-          fs(2).dataType == DoubleType && msOk(fs(3).dataType)
+          fs(2).dataType == DoubleType && msOk(fs(3).dataType) &&
+          (fs.length == 4 || subsOk(fs(4).dataType))
       case _ => false
     }
     if (v.dataType != ArrayType(DoubleType, containsNull = true) &&
@@ -106,9 +131,18 @@ case class AnyCosineGeCells(first: Expression, second: Expression,
   @transient private lazy val t: Double =
     threshold.eval(null).asInstanceOf[Double]
 
+  /** Struct arity of a cells element (4 = flat, 5 = with sub-cells) —
+    * fixed by the child's dataType, threaded into the kernel so the
+    * unpack reads exactly the fields that exist.
+    */
+  @transient private lazy val cellArity: Int = cells.dataType match {
+    case ArrayType(StructType(fs), _) => fs.length
+    case _ => 4
+  }
+
   /** The shared kernel (also called from generated code). */
   def anyGe(vd: ArrayData, cs: ArrayData): Boolean =
-    AnyCosineCells.anyGe(vd, cs, t)
+    AnyCosineCells.anyGe(vd, cs, t, cellArity)
 
   override protected def nullSafeEval(vd: Any, cs: Any, th: Any): Any =
     anyGe(vd.asInstanceOf[ArrayData], cs.asInstanceOf[ArrayData])
@@ -155,24 +189,34 @@ object AnyCosineCells {
     * Remaining cells (degenerate centroid, odd length, zero norm)
     * stay on the scalar path, which scans them — conservative.
     */
+  /** One packed sub-cell: representative direction (null = never
+    * boundable, always scan), its norm sqrt, the precomputed
+    * cosine-domain skip bound, and the member block.
+    */
+  private final class Sub(val cv: Array[Double], val sqCn: Double,
+    val cosBound: Double, val mx: AnyCosine.Mx)
+
   private final class Cx(val cv: Array[Array[Double]],
     val sqCn: Array[Double], val cosBound: Array[Double],
-    val ms: Array[AnyCosine.Mx], val cnt: Int,
+    val ms: Array[AnyCosine.Mx], val subs: Array[Array[Sub]],
+    val cnt: Int,
     val inFlat: Array[Boolean], val flatCv: Array[Double],
     val flatSqCn: Array[Double], val flatBound: Array[Double],
     val flatIx: Array[Int], val flatLen: Int, val flatCnt: Int)
 
   /** Same hardened fingerprint key as [[AnyCosine]]'s cache, plus the
     * threshold (the skip bounds bake in θ_t, and two expressions with
-    * different thresholds over one buffer must not share entries).
+    * different thresholds over one buffer must not share entries) and
+    * the struct arity (a 4- and a 5-field view of one buffer must not
+    * share an unpack).
     */
   private final class Entry(val bo: AnyRef, val off: Long, val numEl: Int,
     val size: Long, val head: Long, val tail: Long, val t: Double,
-    val cx: Cx)
+    val arity: Int, val cx: Cx)
 
   private val cache = new ThreadLocal[Entry]()
 
-  private def cxFor(cells: ArrayData, t: Double): Cx = {
+  private def cxFor(cells: ArrayData, t: Double, arity: Int): Cx = {
     val (bo: AnyRef, off: Long, size: Long) = cells match {
       case u: UnsafeArrayData => (u.getBaseObject, u.getBaseOffset,
         u.getSizeInBytes.toLong)
@@ -187,62 +231,103 @@ object AnyCosineCells {
       else 0L
     val c = cache.get()
     if (c != null && (c.bo eq bo) && c.off == off && c.numEl == numEl &&
-      c.size == size && c.head == head && c.tail == tail && c.t == t)
+      c.size == size && c.head == head && c.tail == tail && c.t == t &&
+      c.arity == arity)
       return c.cx
     val m = numEl
     val cv = new Array[Array[Double]](m)
     val sqCn = new Array[Double](m)
     val cosBound = new Array[Double](m)
     val ms = new Array[AnyCosine.Mx](m)
+    val subs = new Array[Array[Sub]](m)
     val thetaT = math.acos(math.min(math.max(t, -1.0), 1.0))
+    // Shared direction-bound unpack (levels 1 and 2 use the same
+    // arithmetic): (cv, sqCn, cosBound) of a (dir, radius) pair, or
+    // null/−2 when the bound is untrustworthy (scan, never skip).
+    def dirBound(a: ArrayData, r: Double): (Array[Double], Double, Double) = {
+      val n = a.numElements()
+      var hasNull = false
+      var i = 0
+      while (i < n && !hasNull) {
+        if (a.isNullAt(i)) hasNull = true
+        i += 1
+      }
+      if (hasNull) return (null, 0.0, -2.0)
+      val cvA = a.toDoubleArray()
+      var cn = 0.0
+      i = 0
+      while (i < n) { cn += cvA(i) * cvA(i); i += 1 }
+      val b = thetaT + r + Slack
+      // NaN b → NaN bound → per-row `cq < NaN` is false → scan;
+      // b ≥ π → −2 (cos of the capped angle is −1, and a rounded cq
+      // could legitimately reach −1: never skip);
+      // zero-norm centroid → −2 (its cq is NaN anyway).
+      if (!java.lang.Double.isNaN(b) && b < math.Pi && cn > 0.0)
+        (cvA, math.sqrt(cn), math.cos(b))
+      else (null, 0.0, -2.0)
+    }
     var j = 0
     while (j < m) {
       cosBound(j) = -2.0
       if (!cells.isNullAt(j)) {
-        val s = cells.getStruct(j, 4)
+        val s = cells.getStruct(j, arity)
         if (!s.isNullAt(3)) ms(j) = AnyCosine.packMx(s.getArray(3))
         if (!s.isNullAt(1) && !s.isNullAt(2)) {
-          val a = s.getArray(1)
-          val n = a.numElements()
-          var hasNull = false
-          var i = 0
-          while (i < n && !hasNull) {
-            if (a.isNullAt(i)) hasNull = true
-            i += 1
+          val (cvA, sq, bnd) = dirBound(s.getArray(1), s.getDouble(2))
+          if (cvA != null) {
+            cv(j) = cvA
+            sqCn(j) = sq
+            cosBound(j) = bnd
           }
-          if (!hasNull) {
-            val cvA = a.toDoubleArray()
-            var cn = 0.0
-            i = 0
-            while (i < n) { cn += cvA(i) * cvA(i); i += 1 }
-            val b = thetaT + s.getDouble(2) + Slack
-            // NaN b → NaN bound → per-row `cq < NaN` is false → scan;
-            // b ≥ π → keep −2 (cos of the capped angle is −1, and a
-            // rounded cq could legitimately reach −1: never skip);
-            // zero-norm centroid → keep −2 (its cq is NaN anyway).
-            if (!java.lang.Double.isNaN(b) && b < math.Pi && cn > 0.0) {
-              cv(j) = cvA
-              sqCn(j) = math.sqrt(cn)
-              cosBound(j) = math.cos(b)
+        }
+        if (arity >= 5 && !s.isNullAt(4)) {
+          val sa = s.getArray(4)
+          val sn = sa.numElements()
+          if (sn > 0) {
+            val arr = new Array[Sub](sn)
+            var k = 0
+            var kept = 0
+            while (k < sn) {
+              if (!sa.isNullAt(k)) {
+                val ss = sa.getStruct(k, 3)
+                val mx =
+                  if (!ss.isNullAt(2)) AnyCosine.packMx(ss.getArray(2))
+                  else null
+                // A sub with no members contributes nothing — drop it.
+                if (mx != null && mx.cnt > 0) {
+                  val (scv, ssq, sbnd) =
+                    if (!ss.isNullAt(0) && !ss.isNullAt(1))
+                      dirBound(ss.getArray(0), ss.getDouble(1))
+                    else (null, 0.0, -2.0)
+                  arr(kept) = new Sub(scv, ssq, sbnd, mx)
+                  kept += 1
+                }
+              }
+              k += 1
             }
+            if (kept > 0)
+              subs(j) =
+                if (kept == sn) arr else java.util.Arrays.copyOf(arr, kept)
           }
         }
       }
       j += 1
     }
     // Contiguous repack of the boundable majority-length cells (with
-    // non-empty members — empty cells need neither bound nor scan).
+    // members at either level — memberless cells need neither bound
+    // nor scan).
+    def hasM(j: Int): Boolean =
+      (ms(j) != null && ms(j).cnt > 0) || subs(j) != null
     var flatLen = -1
     j = 0
     while (j < m && flatLen < 0) {
-      if (cv(j) != null && ms(j) != null && ms(j).cnt > 0) flatLen = cv(j).length
+      if (cv(j) != null && hasM(j)) flatLen = cv(j).length
       j += 1
     }
     var flatCnt = 0
     j = 0
     while (j < m) {
-      if (cv(j) != null && cv(j).length == flatLen &&
-        ms(j) != null && ms(j).cnt > 0) flatCnt += 1
+      if (cv(j) != null && cv(j).length == flatLen && hasM(j)) flatCnt += 1
       j += 1
     }
     val flatCv = new Array[Double](math.max(0, flatCnt * math.max(0, flatLen)))
@@ -253,8 +338,7 @@ object AnyCosineCells {
     var f = 0
     j = 0
     while (j < m) {
-      if (cv(j) != null && cv(j).length == flatLen &&
-        ms(j) != null && ms(j).cnt > 0) {
+      if (cv(j) != null && cv(j).length == flatLen && hasM(j)) {
         System.arraycopy(cv(j), 0, flatCv, f * flatLen, flatLen)
         flatSqCn(f) = sqCn(j)
         flatBound(f) = cosBound(j)
@@ -264,16 +348,17 @@ object AnyCosineCells {
       }
       j += 1
     }
-    val cx = new Cx(cv, sqCn, cosBound, ms, m,
+    val cx = new Cx(cv, sqCn, cosBound, ms, subs, m,
       inFlat, flatCv, flatSqCn, flatBound, flatIx, flatLen, flatCnt)
-    cache.set(new Entry(bo, off, numEl, size, head, tail, t, cx))
+    cache.set(new Entry(bo, off, numEl, size, head, tail, t, arity, cx))
     cx
   }
 
   /** Called from generated code. Corpus-vector handling is
     * [[AnyCosine.anyGe]]'s, verbatim: a null element returns false.
     */
-  def anyGe(vd: ArrayData, cells: ArrayData, t: Double): Boolean = {
+  def anyGe(vd: ArrayData, cells: ArrayData, t: Double,
+      arity: Int): Boolean = {
     val n = vd.numElements()
     val vv = new Array[Double](n)
     var i = 0
@@ -286,7 +371,7 @@ object AnyCosineCells {
     i = 0
     while (i < n) { nrm += vv(i) * vv(i); i += 1 }
     val sq = math.sqrt(nrm)
-    val cx = cxFor(cells, t)
+    val cx = cxFor(cells, t, arity)
     // Flat pass: 4-wide register-blocked bounds over the contiguous
     // centroid block, member scan only for survivors. If q's length
     // differs from the block's, no flat bound is valid — scan them all
@@ -338,8 +423,8 @@ object AnyCosineCells {
     // lengths) — bound when possible, scan otherwise.
     var j = 0
     while (j < cx.cnt) {
-      val mx = cx.ms(j)
-      if (!cx.inFlat(j) && mx != null && mx.cnt > 0) {
+      if (!cx.inFlat(j) &&
+        ((cx.ms(j) != null && cx.ms(j).cnt > 0) || cx.subs(j) != null)) {
         var scan = true
         val cvA = cx.cv(j)
         if (cvA != null && cvA.length == n) {
@@ -350,8 +435,7 @@ object AnyCosineCells {
           // NaN cq (zero norms) compares false → scan: conservative.
           if (cq < cx.cosBound(j)) scan = false
         }
-        if (scan && (if (mx.flatF != null) AnyCosine.anyGeF(vv, n, sq, mx, t)
-          else AnyCosine.anyGeD(vv, n, sq, mx, t))) return true
+        if (scan && scanCell(cx, j, vv, n, sq, t)) return true
       }
       j += 1
     }
@@ -359,9 +443,42 @@ object AnyCosineCells {
   }
 
   private def scanFlat(cx: Cx, f: Int, vv: Array[Double], n: Int,
+      sq: Double, t: Double): Boolean =
+    scanCell(cx, cx.flatIx(f), vv, n, sq, t)
+
+  /** Member test of a level-1 SURVIVOR: the cell-level member block
+    * (if any), then each sub-cell behind its own bound — a surviving
+    * sub scans its members, a bounded-out sub is skipped by the same
+    * exact triangle-inequality argument as level 1. Existential OR, so
+    * member partition and visit order cannot change the verdict, and
+    * every member that IS tested goes through [[AnyCosine.anyGeF]]/
+    * [[AnyCosine.anyGeD]] — bit-identical arithmetic at every level.
+    */
+  private def scanCell(cx: Cx, j: Int, vv: Array[Double], n: Int,
       sq: Double, t: Double): Boolean = {
-    val mx = cx.ms(cx.flatIx(f))
-    if (mx.flatF != null) AnyCosine.anyGeF(vv, n, sq, mx, t)
-    else AnyCosine.anyGeD(vv, n, sq, mx, t)
+    val mx = cx.ms(j)
+    if (mx != null && mx.cnt > 0 &&
+      (if (mx.flatF != null) AnyCosine.anyGeF(vv, n, sq, mx, t)
+      else AnyCosine.anyGeD(vv, n, sq, mx, t))) return true
+    val ss = cx.subs(j)
+    if (ss != null) {
+      var k = 0
+      while (k < ss.length) {
+        val sub = ss(k)
+        var scan = true
+        if (sub.cv != null && sub.cv.length == n) {
+          var dq = 0.0
+          var i = 0
+          while (i < n) { dq += vv(i) * sub.cv(i); i += 1 }
+          // NaN cq compares false → scan: conservative.
+          if (dq / (sq * sub.sqCn) < sub.cosBound) scan = false
+        }
+        if (scan &&
+          (if (sub.mx.flatF != null) AnyCosine.anyGeF(vv, n, sq, sub.mx, t)
+          else AnyCosine.anyGeD(vv, n, sq, sub.mx, t))) return true
+        k += 1
+      }
+    }
+    false
   }
 }

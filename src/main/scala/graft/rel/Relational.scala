@@ -97,21 +97,37 @@ object Relational {
         .orderBy("p_brand")
     }),
     // Hierarchical aggregation: ROLLUP over (returnflag, linestatus)
-    // emits per-group, per-flag subtotal, and grand-total rows in one
-    // pass (one shuffle; Catalyst expands the grouping sets map-side).
+    // emits per-group, per-flag subtotal, and grand-total rows.
+    // Two-phase: Catalyst lowers rollup/cube to Expand, which feeds
+    // every input row through the partial aggregate once PER GROUPING
+    // SET (3x for rollup, 4x for cube) — at sf100 that is 1.8 B
+    // aggregate-input rows for a 6-group result. Aggregating to the
+    // finest grain first (one plain shuffle, ~6 rows) and rolling up
+    // the tiny aggregate removes the multiplier exactly: counts re-sum
+    // as longs, money re-sums in decimal(28,10) BEFORE the double
+    // cast, so the exact total — and the output hash — is unchanged.
     "rel_rollup" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      li.rollup("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      val fine = li.groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n0"),
+          sum(col("l_quantity").cast("decimal(28,10)")).as("s0"))
+      fine.rollup("l_returnflag", "l_linestatus")
+        .agg(sum(col("n0")).as("n"),
+          sum(col("s0")).cast("double").as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)
     }),
     // CUBE completes the grouping-sets family: all 4 grouping
-    // combinations (full, per-flag, per-status, grand total) in one pass.
+    // combinations (full, per-flag, per-status, grand total), same
+    // two-phase shape as rel_rollup (4x Expand multiplier removed).
     "rel_cube" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      li.cube("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("n"), dsum(col("l_discount")).as("sum_disc"))
+      val fine = li.groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n0"),
+          sum(col("l_discount").cast("decimal(28,10)")).as("s0"))
+      fine.cube("l_returnflag", "l_linestatus")
+        .agg(sum(col("n0")).as("n"),
+          sum(col("s0")).cast("double").as("sum_disc"))
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)
     }),

@@ -165,6 +165,39 @@ object Similarity {
     }
   }
 
+  /** Sign bits for the SECOND bound level inside each screen bucket
+    * (plane indices continue the same md5-seeded `"e:p,j"` family, so
+    * the sub-directions are independent of the bucket directions).
+    * Why a hierarchy instead of more level-1 planes: the level-1 bound
+    * pass costs one dot per NON-EMPTY bucket on EVERY corpus row, so
+    * widening level 1 trades member dots for bound dots 1:1; sub-cell
+    * bounds are paid only by rows that already SURVIVED their bucket's
+    * bound (the thin angular boundary shell), so their cost scales
+    * with survivors, not the corpus. Default from a measured sf100
+    * sweep (199k eval vectors, single-sample isolated walls):
+    * 4→99.6 s, 6→84.2, 8→80.7, 10→69.8, 12→60.0, 14→59.6, 16→52.9,
+    * **20→47.8**, 24→61.7 — high sub-plane counts keep winning because
+    * the fixture's tight clusters (median radius 5.6°) co-land their
+    * members in FEW sub-keys regardless (sign bits of near-parallel
+    * directions agree), so sub-cells stay multi-member where pruning
+    * leverage matters and only the diffuse mass spreads; past ~20 the
+    * singleton-sub overhead (one bound dot standing in for one member
+    * dot) takes over. Sweepable via SPARK_GRAFT_SCREEN_SUBPLANES
+    * (pruning is exact at any value, so the verdict — and the oracle
+    * hash — is invariant under the knob).
+    */
+  val ScreenSubPlanes: Int = sys.env.get("SPARK_GRAFT_SCREEN_SUBPLANES")
+    .map(_.toInt).getOrElse(20)
+  lazy val screenSubPlanes: IndexedSeq[IndexedSeq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (ScreenPlanes until ScreenPlanes + ScreenSubPlanes).map { p =>
+      (0 until Dim).map { j =>
+        val h = md.digest(s"e:$p,$j".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 1) == 1) 1 else -1
+      }
+    }
+  }
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -738,32 +771,62 @@ object Similarity {
       val w = array(screenPlanes(p).map(x => lit(x.toDouble)): _*)
       when(dot(col("v"), w) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-    // Per bucket: members (the flat kernel's (ev, en) layout), the
-    // member MEAN as the representative direction, and the angular
-    // radius max θ(ev, mean). acos inputs are clamped to [−1, 1];
-    // degenerate members (zero norm → NaN cosine → NaN radius via
-    // greatest, or null elements → null cv) disable the bound for
-    // their bucket — the kernel then scans it unconditionally, so
-    // degeneracy costs pruning, never correctness. Everything here is
-    // one scan of the eval side; collect_list state is the eval set
-    // itself, exactly as the flat form's single aggregate was.
-    val perCell = withLabel.filter(col("label") === EmbEvalLabel)
+    // Two-level index, one scan of the eval side. Level 2 first: the
+    // members of each (bucket, sub-key) cell — sub-keys from the
+    // [[screenSubPlanes]] family — with the member MEAN as the
+    // representative direction and the angular radius max θ(ev, mean).
+    // acos inputs are clamped to [−1, 1]; degenerate members (zero
+    // norm → NaN cosine → NaN radius via greatest, or null elements →
+    // null cv) disable the bound for their cell — the kernel then
+    // scans it unconditionally, so degeneracy costs pruning, never
+    // correctness. A null sub-projection groups into sub-key NULL,
+    // which sorts like any other sub-cell.
+    val sbkt = (0 until ScreenSubPlanes).map { p =>
+      val w = array(screenSubPlanes(p).map(x => lit(x.toDouble)): _*)
+      when(dot(col("v"), w) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    def meanOf(msCol: org.apache.spark.sql.Column) = transform(
+      aggregate(msCol, array_repeat(lit(0.0), Dim),
+        (acc, x) => zip_with(acc, x.getField("ev"), (a, b) => a + b)),
+      sElem => sElem / size(msCol))
+    def radiusOf(msCol: org.apache.spark.sql.Column,
+        cvCol: org.apache.spark.sql.Column,
+        cnCol: org.apache.spark.sql.Column) =
+      aggregate(msCol, lit(0.0), (mxAcc, x) =>
+        greatest(mxAcc, acos(least(greatest(
+          dot(x.getField("ev"), cvCol) /
+            (sqrt(x.getField("en")) * sqrt(cnCol)),
+          lit(-1.0)), lit(1.0)))))
+    val perSub = withLabel.filter(col("label") === EmbEvalLabel)
       .withColumn("bkt", bkt)
-      .groupBy("bkt")
+      .withColumn("sbkt", sbkt)
+      .groupBy("bkt", "sbkt")
       .agg(array_sort(collect_list(struct(col("v").as("ev"),
         col("nrm").as("en")))).as("ms"))
-      .withColumn("cv", transform(
-        aggregate(col("ms"), array_repeat(lit(0.0), Dim),
-          (acc, x) => zip_with(acc, x.getField("ev"), (a, b) => a + b)),
-        sElem => sElem / size(col("ms"))))
+      .withColumn("scv", meanOf(col("ms")))
+      .withColumn("scn", dot(col("scv"), col("scv")))
+      .withColumn("scr", radiusOf(col("ms"), col("scv"), col("scn")))
+    // Level 1: per bucket, the sub-cells (sorted by sub-key — a
+    // deterministic pack order) plus the bucket's own direction and a
+    // radius over ALL its members (the flattened sub-cell blocks), so
+    // the level-1 bound covers exactly what the sub-cells hold. The
+    // bucket-level `ms` is a typed NULL: every member lives in exactly
+    // one sub-cell, and the kernel scans the union.
+    val msType = "array<struct<ev:array<double>,en:double>>"
+    val perCell = perSub.groupBy("bkt")
+      .agg(array_sort(collect_list(struct(col("sbkt"), col("scv"),
+        col("scr"), col("ms")))).as("subsRaw"))
+      .withColumn("allms", flatten(transform(col("subsRaw"),
+        x => x.getField("ms"))))
+      .withColumn("cv", meanOf(col("allms")))
       .withColumn("cn", dot(col("cv"), col("cv")))
-      .withColumn("cr", aggregate(col("ms"), lit(0.0), (mxAcc, x) =>
-        greatest(mxAcc, acos(least(greatest(
-          dot(x.getField("ev"), col("cv")) /
-            (sqrt(x.getField("en")) * sqrt(col("cn"))),
-          lit(-1.0)), lit(1.0))))))
+      .withColumn("cr", radiusOf(col("allms"), col("cv"), col("cn")))
+      .withColumn("subs", transform(col("subsRaw"), x =>
+        struct(x.getField("scv").as("cv"), x.getField("scr").as("cr"),
+          x.getField("ms").as("ms"))))
     val idx = perCell.agg(sort_array(collect_list(
-      struct(col("bkt"), col("cv"), col("cr"), col("ms")))).as("cells"))
+      struct(col("bkt"), col("cv"), col("cr"),
+        lit(null).cast(msType).as("ms"), col("subs")))).as("cells"))
     withLabel.filter(col("label") =!= EmbEvalLabel)
       .crossJoin(broadcast(idx))
       .filter(!coalesce(graft.functions.GraftFunctions.graftAnyCosineGeCells(

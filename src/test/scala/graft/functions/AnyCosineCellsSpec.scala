@@ -22,6 +22,11 @@ private[functions] case class CellsSpecEv(ev: Seq[Double],
   en: java.lang.Double)
 private[functions] case class CellsSpecCell(bkt: java.lang.Long,
   cv: Seq[Double], cr: java.lang.Double, ms: Seq[CellsSpecEv])
+private[functions] case class CellsSpecSub(cv: Seq[Double],
+  cr: java.lang.Double, ms: Seq[CellsSpecEv])
+private[functions] case class CellsSpecCell5(bkt: java.lang.Long,
+  cv: Seq[Double], cr: java.lang.Double, ms: Seq[CellsSpecEv],
+  subs: Seq[CellsSpecSub])
 
 class AnyCosineCellsSpec extends graft.SparkSpec {
 
@@ -86,6 +91,64 @@ class AnyCosineCellsSpec extends graft.SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
   }
 
+  private def cellsLiteral5(corpus: DataFrame, cs: Seq[CellsSpecCell5],
+      t: Double): Set[Long] = {
+    import spark.implicits._
+    val idx = Seq(Tuple1(cs)).toDF("cells")
+    corpus.crossJoin(broadcast(idx))
+      .filter(coalesce(GraftFunctions.graftAnyCosineGeCells(
+        col("v"), col("cells"), lit(t)), lit(false)))
+      .select("id").collect().map(_.getLong(0)).toSet
+  }
+
+  /** The TWO-LEVEL index construction (the real query's shape),
+    * parameterized on arbitrary bucket and sub-bucket keys — parity
+    * must hold for ANY nested partition of the eval set.
+    */
+  private def cells2(corpus: DataFrame, eval: DataFrame, groups: Int,
+      subGroups: Int, dims: Int, t: Double): Set[Long] = {
+    val e = eval
+      .withColumn("en", GraftFunctions.graftDot(col("v"), col("v")))
+      .withColumn("bkt", pmod(col("id"), lit(groups.toLong)))
+      .withColumn("sbkt", pmod(col("id") * 7L, lit(subGroups.toLong)))
+    def mean(ms: org.apache.spark.sql.Column) = transform(
+      aggregate(ms, array_repeat(lit(0.0), dims),
+        (acc, x) => zip_with(acc, x.getField("ev"), (a, b) => a + b)),
+      sElem => sElem / size(ms))
+    def radius(ms: org.apache.spark.sql.Column,
+        cv: org.apache.spark.sql.Column, cn: org.apache.spark.sql.Column) =
+      aggregate(ms, lit(0.0), (mxAcc, x) =>
+        greatest(mxAcc, acos(least(greatest(
+          GraftFunctions.graftDot(x.getField("ev"), cv) /
+            (sqrt(x.getField("en")) * sqrt(cn)),
+          lit(-1.0)), lit(1.0)))))
+    val perSub = e.groupBy("bkt", "sbkt")
+      .agg(array_sort(collect_list(struct(col("v").as("ev"),
+        col("en").as("en")))).as("ms"))
+      .withColumn("scv", mean(col("ms")))
+      .withColumn("scn", GraftFunctions.graftDot(col("scv"), col("scv")))
+      .withColumn("scr", radius(col("ms"), col("scv"), col("scn")))
+    val perCell = perSub.groupBy("bkt")
+      .agg(array_sort(collect_list(struct(col("sbkt"), col("scv"),
+        col("scr"), col("ms")))).as("subsRaw"))
+      .withColumn("allms", flatten(transform(col("subsRaw"),
+        x => x.getField("ms"))))
+      .withColumn("cv", mean(col("allms")))
+      .withColumn("cn", GraftFunctions.graftDot(col("cv"), col("cv")))
+      .withColumn("cr", radius(col("allms"), col("cv"), col("cn")))
+      .withColumn("subs", transform(col("subsRaw"), x =>
+        struct(x.getField("scv").as("cv"), x.getField("scr").as("cr"),
+          x.getField("ms").as("ms"))))
+    val idx = perCell.agg(sort_array(collect_list(
+      struct(col("bkt"), col("cv"), col("cr"),
+        lit(null).cast("array<struct<ev:array<double>,en:double>>").as("ms"),
+        col("subs")))).as("cells"))
+    corpus.crossJoin(broadcast(idx))
+      .filter(coalesce(GraftFunctions.graftAnyCosineGeCells(
+        col("v"), col("cells"), lit(t)), lit(false)))
+      .select("id").collect().map(_.getLong(0)).toSet
+  }
+
   test("randomized parity with the flat kernel under arbitrary cell counts") {
     val rnd = new scala.util.Random(13)
     def v(): Seq[Double] = Seq.fill(8)(rnd.nextGaussian())
@@ -103,6 +166,76 @@ class AnyCosineCellsSpec extends graft.SparkSpec {
       val c = cells(corpus, evalDf, groups, 8, t)
       assert(c === f, s"t=$t groups=$groups")
     }
+  }
+
+  test("randomized parity with the flat kernel under nested sub-cells") {
+    val rnd = new scala.util.Random(29)
+    def v(): Seq[Double] = Seq.fill(8)(rnd.nextGaussian())
+    val evalVecs = (1000L until 1040L).map(_ -> v())
+    val corpus = vf((0L until 200L).map { i =>
+      if (i % 2 == 0) i -> v()
+      else {
+        val base = evalVecs((i % 40).toInt)._2
+        i -> base.map(x => x + rnd.nextGaussian() * 0.01)
+      }
+    })
+    val evalDf = vf(evalVecs)
+    for (t <- Seq(0.4, 0.9); groups <- Seq(1, 7); subGroups <- Seq(1, 3, 16)) {
+      val f = flat(corpus, evalDf, t)
+      val c = cells2(corpus, evalDf, groups, subGroups, 8, t)
+      assert(c === f, s"t=$t groups=$groups subGroups=$subGroups")
+    }
+  }
+
+  test("sub-cell union semantics and degenerate sub shapes scan") {
+    val m1 = Ev(Seq(1.0, 0.0), 1.0) // matches corpus 1
+    val m2 = Ev(Seq(0.0, 1.0), 1.0) // matches corpus 2
+    val corpus = vf(Seq(1L -> Seq(2.0, 0.0), 2L -> Seq(0.0, 3.0)))
+    // members split between the cell-level block and a sub-cell: the
+    // kernel must scan the UNION (cell cv/cr cover both members).
+    val both = CellsSpecCell5(0L, Seq(1.0, 1.0), math.Pi / 4 + 0.01,
+      Seq(m1), Seq(CellsSpecSub(Seq(0.0, 1.0), 0.0, Seq(m2))))
+    assert(cellsLiteral5(corpus, Seq(both), 0.9) === Set(1L, 2L))
+    // every degenerate SUB bound shape must still find its member
+    val subShapes = Seq(
+      CellsSpecSub(null, 0.0, Seq(m1)), // null cv
+      CellsSpecSub(Seq(1.0, 0.0), null, Seq(m1)), // null cr
+      CellsSpecSub(Seq(1.0), 0.0, Seq(m1)), // cv length mismatch
+      CellsSpecSub(Seq(0.0, 0.0), 0.0, Seq(m1)), // zero-norm cv
+      CellsSpecSub(Seq(-1.0, 0.0), Double.NaN, Seq(m1))) // NaN radius
+    subShapes.foreach { ss =>
+      val c = CellsSpecCell5(0L, Seq(1.0, 0.0), 0.0, null, Seq(ss))
+      assert(cellsLiteral5(corpus, Seq(c), 0.9) === Set(1L), s"sub $ss")
+    }
+    // empty/null sub blocks contribute nothing
+    assert(cellsLiteral5(corpus, Seq(CellsSpecCell5(0L, Seq(1.0, 0.0), 0.0,
+      null, Seq(CellsSpecSub(Seq(1.0, 0.0), 0.0, Seq.empty),
+        null.asInstanceOf[CellsSpecSub]))), 0.9) === Set.empty)
+  }
+
+  test("sub-cell pruning fires and verdicts still match the flat kernel") {
+    // two tight sub-clusters inside one wide bucket: a probe near
+    // sub-cluster A must not scan sub-cluster B's members (exactness
+    // is pinned by parity; this shape is the hierarchy's happy path).
+    val e1 = Seq(1.0, 0.0, 0.0, 0.0)
+    val e2 = Seq(0.0, 1.0, 0.0, 0.0)
+    def jig(base: Seq[Double], k: Int): Seq[Double] =
+      base.zipWithIndex.map { case (x, j) => x + 0.003 * ((k + j) % 3 - 1) }
+    val evalDf = vf(
+      (1000L until 1010L).map(i => i -> jig(e1, i.toInt)) ++
+        (1011L until 1021L).map(i => i -> jig(e2, i.toInt)))
+    val corpus = vf(Seq(
+      1L -> Seq(2.0, 0.02, 0.0, 0.0),
+      2L -> Seq(0.0, -3.0, 0.0, 0.0),
+      3L -> Seq(0.0, 0.0, 5.0, 0.0),
+      4L -> Seq(1.0, 1.0, 0.0, 0.0),
+      5L -> Seq(0.01, 0.99, 0.0, 0.0)))
+    // ONE bucket (groups=1) so the two clusters share a cell whose
+    // radius is ~90° — the level-1 bound can prune nothing, and any
+    // pruning that happens is the sub-cells'.
+    val f = flat(corpus, evalDf, 0.9)
+    assert(cells2(corpus, evalDf, 1, 21, 4, 0.9) === f)
+    assert(f === Set(1L, 5L))
   }
 
   test("parity where pruning fires: tight clusters far apart") {
