@@ -367,12 +367,17 @@ object Relational {
       val sizes = Seq(1, 5, 10, 15, 20, 25, 30, 35)
       // distinct's map-side partial collapses ~nothing here (pairs are
       // near-unique per line) while its per-scan-task hash map spills at
-      // scale — shuffle raw pairs by the pair key instead and dedup on
-      // the reduce side, sized by the scoped wide-agg partition override
-      // (same rationale as dominantSupplier, measured at sf10).
+      // scale — shuffle raw pairs instead and dedup on the reduce side,
+      // sized by the scoped wide-agg partition override (same rationale
+      // as dominantSupplier, measured at sf10). Partitioned by PARTKEY
+      // alone (a subset of the dedup key, so the distinct still runs
+      // where the rows land): the part attach below joins on partkey,
+      // and the subset partitioning feeds it exchange-free — the
+      // pair-key variant re-shuffled the whole deduped pair stream for
+      // the join (measured sf100: 68.1 → 50.6 s).
       val pairs = t(s, dir, "lineitem")
         .select("l_partkey", "l_suppkey")
-        .repartition(col("l_partkey"), col("l_suppkey")).distinct()
+        .repartition(col("l_partkey")).distinct()
       val flagged = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
         .select("s_suppkey")
       val parts = t(s, dir, "part")
@@ -816,10 +821,17 @@ object Relational {
     // cell key costs the same exchange bytes as the uncollapsed
     // partial results and moves every hash map to the reduce side,
     // where [[wideAggConf]] sizes partitions to the data.
+    // Repartition by (part, yr) — a strict SUBSET of the cell key — so
+    // ONE exchange satisfies BOTH aggregates' clustering (hash on a
+    // subset co-locates every superset group): the cell aggregate runs
+    // where the rows land AND the (part, yr) collapse above it stays
+    // exchange-free. The previous 3-key repartition satisfied only the
+    // cell aggregate and re-shuffled the ~1:1 cell stream a second
+    // time (cells ≈ lines, so that exchange was full-data-sized).
     val cells = lineitem
       .select(col("l_partkey"), year(col("l_shipdate")).as("yr"),
         col("l_suppkey"), col("l_quantity").cast("long").as("qd"))
-      .repartition(col("l_partkey"), col("yr"), col("l_suppkey"))
+      .repartition(col("l_partkey"), col("yr"))
       .groupBy("l_partkey", "yr", "l_suppkey")
       .agg(sum(col("qd")).as("sq"))
     cells.groupBy("l_partkey", "yr")
