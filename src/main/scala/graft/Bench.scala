@@ -141,15 +141,6 @@ object Bench {
       // (see containment's in-bucket verification).
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // Headroom for decontaminateBloom's measured-count sketch sizing
-      // (it clamps to these guards): the fixture eval side reaches ~12M
-      // distinct keys at sf100, and 10 bits/key needs the bits guard
-      // above its 64M default. Sizing, not behavior — runtime join
-      // pruning keeps its own thresholds.
-      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
-        (64L << 20).toString)
-      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
-        (1L << 30).toString)
     maxPartitionBytes.foreach(b =>
       builder.config("spark.sql.files.maxPartitionBytes", b.toLong))
     val spark = builder.getOrCreate()
