@@ -1108,13 +1108,31 @@ object Dedup {
     * filtered). The floor only stops a degenerate eval side from
     * producing a uselessly tiny sketch; the CEILING is the session's
     * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/`maxNumBits`
-    * guards (Spark validates the aggregate against them), clamped to
-    * rather than tripped: past the ceiling the sketch degrades toward
-    * pass-through gracefully — correctness never depends on the FP
-    * rate because the exact semi-join decides. A production run raises
-    * the two guards to keep 10 bits/key at its real eval volume.
+    * producing a uselessly tiny sketch; [[DecontamBloomMaxKeys]] is the
+    * explicit CEILING. Within [floor, ceiling] the build raises the
+    * session's `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/
+    * `maxNumBits` guards around just the one sketch job so the
+    * aggregate validates (never lowers them — the raise takes
+    * max(needed, registered current) where an unset conf reads its
+    * REGISTERED default, 4M items / 64M bits, not zero). Past the
+    * ceiling the sketch is clamped — keys beyond it only degrade the
+    * FP rate toward pass-through, with a stderr warning so the
+    * degradation is never silent — because sizing strictly from the
+    * measured count is unbounded in the eval-key volume (500M keys →
+    * a ~625 MB driver-collected byte array → driver OOM). Correctness
+    * never depends on the FP rate: the exact semi-join decides.
     */
   val DecontamBloomKeys = 1L << 20
+
+  /** Absolute ceiling on [[decontaminateBloom]]'s sketch size, in
+    * distinct eval keys: 2²⁵ keys × 10 bits ≈ 42 MB — comfortably
+    * driver-collectable and executor-broadcastable, ~3× the sf100
+    * fixture's measured ~12M keys. An eval side beyond this keeps the
+    * 42 MB sketch and accepts a higher FP rate (more survivors reach
+    * the exact confirm join) rather than an unbounded driver
+    * collection.
+    */
+  val DecontamBloomMaxKeys = 1L << 25
 
   /** [[decontaminate]]'s exact result behind a bloom PRE-filter — the
     * 100 TB variant for when the eval side outgrows a comfortable
@@ -1127,10 +1145,12 @@ object Dedup {
     * bloom false positives. False negatives don't exist in a bloom
     * filter, so the result is hash-checked IDENTICAL to
     * [[decontaminate]] (same oracle SQL, no weaker gate). Eager at
-    * build (documented registry entry): the sketch is collected from
-    * the tiny benchmark side — bounded by [[DecontamBloomKeys]]·10
-    * bits ≈ 1.3 MB — and re-entered as a literal, the stopword
-    * side-input discipline.
+    * build (documented registry entry): the sketch is sized from the
+    * measured distinct-key count — floored at [[DecontamBloomKeys]]
+    * (≈1.3 MB), hard-capped at [[DecontamBloomMaxKeys]] (≈42 MB, FP
+    * rate degrades past it rather than the collection growing
+    * unbounded) — collected to the driver and re-entered as a
+    * literal, the stopword side-input discipline.
     */
   def decontaminateBloom(corpus: DataFrame, evalDocs: DataFrame): DataFrame = {
     val production = graft.functions.PortableHash.enabled(corpus)
@@ -1144,7 +1164,14 @@ object Dedup {
     // (measured as most of the query's super-linear sf100 tail).
     val evalKeys = decontamKeys(evalDocs, production).select("shk").distinct()
       .localCheckpoint()
-    val est = math.max(evalKeys.count(), DecontamBloomKeys)
+    val measured = evalKeys.count()
+    if (measured > DecontamBloomMaxKeys)
+      Console.err.println(
+        s"graft.decontaminateBloom: eval side has $measured distinct keys, " +
+          s"past the $DecontamBloomMaxKeys sketch ceiling — clamping; the " +
+          "bloom pre-filter degrades toward pass-through (exact semi-join " +
+          "still decides, result unchanged)")
+    val est = math.min(math.max(measured, DecontamBloomKeys), DecontamBloomMaxKeys)
     val bits = est * 10
     // The sketch AGGREGATE validates its size against the session's
     // runtime-bloom guards (maxNumItems 4M / maxNumBits 64M by
@@ -1156,15 +1183,28 @@ object Dedup {
     // first and showed no plan change on this suite (per-query
     // spill/shuffle bytes byte-identical), but scoping removes the
     // side-effect surface instead of relying on that observation.
-    val conf = corpus.sparkSession.conf
+    val session = corpus.sparkSession
+    val conf = session.conf
     val guards = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> est,
       "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> bits)
-    val saved = guards.map { case (k, _) => k -> conf.getOption(k) }
-    val bloom =
+    // The set/run/restore window mutates SESSION-level confs, so it is
+    // serialized on the session: two overlapping builds (or a caller's
+    // own guard writes racing the restore) would otherwise interleave
+    // and leave a stale value behind. Unrelated queries PLANNED on
+    // other threads inside the window still see the raised guards —
+    // callers sharing one session with concurrent planning should use
+    // session.newSession() for isolation.
+    val bloom = session.synchronized {
+      val saved = guards.map { case (k, _) => k -> conf.getOption(k) }
       try {
         guards.foreach { case (k, v) =>
-          conf.set(k, math.max(v, conf.get(k, "0").toLong).toString)
+          // conf.get(k) with NO fallback resolves a registered conf to
+          // its default (4M items / 64M bits) when unset; a literal-"0"
+          // fallback would make the "raise" LOWER the guards whenever
+          // est sits below those defaults.
+          val current = scala.util.Try(conf.get(k).toLong).getOrElse(0L)
+          conf.set(k, math.max(v, current).toString)
         }
         evalKeys.agg(graft.functions.GraftFunctions
             .graftBloomAgg(col("shk"), lit(est), lit(bits)).as("bf"))
@@ -1173,6 +1213,7 @@ object Dedup {
         case (k, Some(v)) => conf.set(k, v)
         case (k, None) => conf.unset(k)
       }
+    }
     val contaminated = decontamKeys(corpus, production)
       .filter(graft.functions.GraftFunctions
         .graftMightContain(lit(bloom), col("shk")))
@@ -1376,8 +1417,9 @@ object Dedup {
 
   private def labelsFor(s: SparkSession, dir: String): DataFrame =
     labelsCache.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, _ =>
-      nearDupLabels(ngramJaccardPairsOn(docsetsFor(s, dir), JaccardThreshold)
-        .select("doc_a", "doc_b")))
+      graft.BuildWall.timed("cc_labels")(
+        nearDupLabels(ngramJaccardPairsOn(docsetsFor(s, dir), JaccardThreshold)
+          .select("doc_a", "doc_b"))))
 
   /** Standing per-fixture docsets table: `dedup_ngram_jaccard`,
     * `dedup_containment`, and the CC label build ([[labelsFor]]) all
@@ -1404,7 +1446,8 @@ object Dedup {
     val production = graft.functions.PortableHash.enabled(d)
     docsetsCache.computeIfAbsent(
       s"${s.sparkContext.applicationId}|$dir|$production",
-      _ => dfOrderedDocsets(d, production, MaxShingleDf).localCheckpoint())
+      _ => graft.BuildWall.timed("docsets")(
+        dfOrderedDocsets(d, production, MaxShingleDf).localCheckpoint()))
   }
 
   // ---- DuckDB oracle SQL ------------------------------------------------

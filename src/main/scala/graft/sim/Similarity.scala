@@ -779,8 +779,10 @@ object Similarity {
     // norm → NaN cosine → NaN radius via greatest, or null elements →
     // null cv) disable the bound for their cell — the kernel then
     // scans it unconditionally, so degeneracy costs pruning, never
-    // correctness. A null sub-projection groups into sub-key NULL,
-    // which sorts like any other sub-cell.
+    // correctness. A null projection takes the `otherwise` branch, so
+    // every plane contributes 0 and all null-element vectors collapse
+    // into one concrete sub-key per bucket (never a NULL sub-key) —
+    // one sub-cell whose null cv disables its bound as above.
     val sbkt = (0 until ScreenSubPlanes).map { p =>
       val w = array(screenSubPlanes(p).map(x => lit(x.toDouble)): _*)
       when(dot(col("v"), w) >= 0, lit(1L << p)).otherwise(lit(0L))

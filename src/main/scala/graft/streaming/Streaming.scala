@@ -280,7 +280,11 @@ object StreamingAttribution {
   * stream consumer dedups downstream). Across batches the cap freezes
   * admission at arrival order — the documented divergence, mirroring
   * StreamingAnomaly's static-reference divergence note. State per
-  * bucket is ≤ cap doc_ids; oracle-mode hashing (md5) — flip
+  * bucket is ≤ cap doc_ids, but the NUMBER of buckets is
+  * corpus-proportional — unbounded on an endless ingest — so
+  * [[candidatesTtl]] adds an event-time state TTL that evicts idle
+  * buckets (semantics consequence documented there); oracle-mode
+  * hashing (md5) — flip
   * [[graft.functions.PortableHash]]'s flag story does not reach this
   * scalar path, which a production deployment would switch to xxhash64
   * wholesale.
@@ -361,6 +365,102 @@ object StreamingNearDup {
             } yield if (m < a) Cand(m, a) else Cand(a, m)
             state.update(BucketState(st.members ++ arrivals, poisoned = false))
             (inBatch ++ cross).iterator
+          }
+      }
+  }
+
+  /** Timestamped arrival for [[candidatesTtl]] — `ts` is the doc's
+    * ingest event time, the clock the TTL eviction runs on.
+    */
+  case class TsDoc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+
+  /** Per-bucket state for the TTL variant: membership + poison as in
+    * [[BucketState]], plus the max event time that touched the bucket
+    * (the idle clock's zero point).
+    */
+  case class TtlBucketState(members: List[Long], poisoned: Boolean,
+      lastTouchMs: Long)
+
+  /** [[candidates]] with an EVENT-TIME state TTL — the bounded-state
+    * production shape. Without a TTL, one `BucketState` per ever-seen
+    * band bucket accumulates forever: state grows ∝ corpus (measured
+    * 54 MB at 47.5k docs, r13 StreamBench) and an endless ingest
+    * eventually exhausts the store. Here a bucket untouched for
+    * `ttlMs` of EVENT time is evicted via `EventTimeTimeout` — the
+    * watermark clock, not the wall clock, so a checkpoint replay or a
+    * backfill burst reproduces the same evictions (and, unlike
+    * `ProcessingTimeTimeout`, the engine re-batches only while the
+    * watermark advances, so it quiesces with the data).
+    *
+    * Documented semantics consequence (spec-pinned in
+    * StreamingNearDupSpec):
+    *  - recall — a doc arriving after its near-twin's bucket was
+    *    evicted re-opens an EMPTY bucket, so the cross-eviction pair
+    *    is never emitted; size `ttlMs` to the true near-dup arrival
+    *    horizon (crawl re-visit cadence);
+    *  - cap — eviction also forgets POISON, so each TTL window
+    *    re-applies the drop-oversized-bucket rule from scratch;
+    *  - lateness — `watermarkDelay` is the out-of-order tolerance:
+    *    docs later than it can meet an already-evicted bucket.
+    */
+  def candidatesTtl(docs: Dataset[TsDoc], ttlMs: Long,
+      maxBucketSize: Int = graft.dedup.Dedup.MaxBucketSize,
+      watermarkDelay: String = "0 seconds"): Dataset[Cand] = {
+    import docs.sparkSession.implicits._
+    require(ttlMs > 0, s"ttlMs must be positive, got $ttlMs")
+    docs
+      .filter(d => d.text != null && d.text.nonEmpty)
+      .flatMap(d => sigOf(d.text).toSeq
+        .flatMap(sig => bucketKeysOf(sig).map(k => (k, d.doc_id, d.ts))))
+      // the watermark goes ON the exploded posting stream: a typed
+      // flatMap strips column metadata, so a watermark placed upstream
+      // never reaches the stateful operator's input and the analyzer
+      // rejects EventTimeTimeout ("watermark must be specified")
+      .toDF("bk", "doc_id", "ts")
+      .withWatermark("ts", watermarkDelay)
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TtlBucketState, Cand](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, batch: Iterator[(String, Long, java.sql.Timestamp)],
+            state: GroupState[TtlBucketState]) =>
+          if (state.hasTimedOut) {
+            // idle past the TTL: evict membership AND poison
+            state.remove()
+            Iterator.empty
+          } else {
+            val st = state.getOption
+              .getOrElse(TtlBucketState(Nil, poisoned = false, 0L))
+            val rows = batch.toSeq
+            val touch = math.max(st.lastTouchMs, rows.map(_._3.getTime).max)
+            // the timeout must stay ahead of the current watermark
+            // (setting it at-or-before throws): a very-late touch
+            // extends the lease minimally instead of failing the batch
+            def lease(s: TtlBucketState): Unit = {
+              state.update(s)
+              state.setTimeoutTimestamp(
+                math.max(touch + ttlMs, state.getCurrentWatermarkMs() + 1))
+            }
+            // redelivery guard, as in [[candidates]]
+            val arrivals = rows.map(_._2).distinct.sorted
+              .filterNot(st.members.toSet)
+            if (st.poisoned || arrivals.isEmpty) {
+              lease(st.copy(lastTouchMs = touch))
+              Iterator.empty
+            } else if (st.members.size + arrivals.size > maxBucketSize) {
+              lease(TtlBucketState(Nil, poisoned = true, touch))
+              Iterator.empty
+            } else {
+              val inBatch = for {
+                (a, i) <- arrivals.zipWithIndex; b <- arrivals.drop(i + 1)
+              } yield Cand(a, b)
+              val cross = for {
+                a <- arrivals; m <- st.members
+              } yield if (m < a) Cand(m, a) else Cand(a, m)
+              lease(TtlBucketState(st.members ++ arrivals,
+                poisoned = false, touch))
+              (inBatch ++ cross).iterator
+            }
           }
       }
   }

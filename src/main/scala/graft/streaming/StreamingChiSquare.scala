@@ -167,7 +167,7 @@ object StreamingChiSquare {
       sys.props("java.io.tmpdir"), "graft_chi2_replay",
       dir.replaceAll("[^A-Za-z0-9.]", "_"))
     val marker = store.resolve("_REPLAY_DONE")
-    if (!Files.exists(marker)) {
+    if (!Files.exists(marker)) graft.BuildWall.timed("replay_store") {
       deleteRecursively(store)
       Files.createDirectories(store)
       val d = s.read.parquet(s"$dir/documents.parquet")

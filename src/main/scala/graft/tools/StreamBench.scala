@@ -29,6 +29,19 @@ import org.apache.spark.sql.functions._
   * MemoryStream — harness-side only (MemoryStream's addData contract),
   * never a pattern in the operators themselves.
   *
+  * Volume / state-bound knobs (r13 verdict ask #6):
+  *  - SPARK_GRAFT_STREAM_REPEAT=N (default 1) replays the corpus N
+  *    times, each repetition with offset doc_ids and rep-salted text
+  *    (distinct shingles → distinct LSH buckets), simulating an
+  *    N×-longer ingest of FRESH documents — the regime where the
+  *    near-dup bucket state grows without bound;
+  *  - SPARK_GRAFT_STREAM_TTL_MS (default 300000 = 5 synthetic minutes
+  *    = 5 micro-batches) sizes the `neardup_ttl` arm: same stream
+  *    through [[graft.streaming.StreamingNearDup.candidatesTtl]] with
+  *    one-minute-per-batch event time, so earlier repetitions' idle
+  *    buckets evict and final_state_rows reads the BOUNDED high-water
+  *    mark next to the unbounded arm's total.
+  *
   * Usage: SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_STREAM_BATCH=5000
   *        sbt "runMain graft.tools.StreamBench"
   */
@@ -99,8 +112,22 @@ object StreamBench {
       .filter(col("source") =!= lit(graft.dedup.Dedup.DecontamEvalSource))
       .select("doc_id", "text").orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getString(1)))
-    val nBatches = (corpus.length + batchSize - 1) / batchSize
-    println(s"streambench: ${corpus.length} docs, $nBatches batches of $batchSize, $sfDir")
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPEAT", "1").toInt.max(1)
+    val ttlMs = sys.env.getOrElse("SPARK_GRAFT_STREAM_TTL_MS", "300000").toLong
+    val idSpan = corpus.map(_._1).max + 1
+    // rep 0 is the corpus verbatim; reps 1..N−1 are fresh documents
+    // (offset ids, salted text → disjoint shingles/buckets) — a longer
+    // ingest, not a redelivery storm (redelivery is a no-op by design).
+    def repBatches: Iterator[Seq[graft.streaming.StreamingNearDup.Doc]] =
+      (0 until repeat).iterator.flatMap { rep =>
+        corpus.iterator.map { case (id, t) =>
+          graft.streaming.StreamingNearDup.Doc(
+            id + rep * idSpan, if (rep == 0) t else s"r$rep $t")
+        }.grouped(batchSize)
+      }
+    val nBatches = repeat * ((corpus.length + batchSize - 1) / batchSize)
+    println(s"streambench: ${corpus.length} docs x$repeat reps, " +
+      s"$nBatches batches of $batchSize, $sfDir")
     val lines = scala.collection.mutable.ArrayBuffer[String]()
 
     // ---- arm 1: stateful LSH near-dup candidates --------------------
@@ -109,12 +136,36 @@ object StreamBench {
       val q = graft.streaming.StreamingNearDup.candidates(stream.toDS())
         .writeStream.format("noop").outputMode("append").start()
       try {
-        corpus.grouped(batchSize).foreach { b =>
-          stream.addData(b.map { case (id, t) =>
-            graft.streaming.StreamingNearDup.Doc(id, t) })
+        repBatches.foreach { b =>
+          stream.addData(b)
           q.processAllAvailable()
         }
-        lines += report("neardup", progressOf(q))
+        lines += report("neardup", progressOf(q),
+          Map("repeat" -> repeat.toString))
+      } finally q.stop()
+    }
+
+    // ---- arm 1b: same stream, state bounded by event-time TTL --------
+    // Each micro-batch advances event time by one minute; buckets idle
+    // past the TTL (default 5 min = 5 batches) evict, so
+    // final_state_rows reads the bounded high-water mark next to the
+    // unbounded arm's corpus-proportional total.
+    {
+      val stream = MemoryStream[graft.streaming.StreamingNearDup.TsDoc]
+      val q = graft.streaming.StreamingNearDup
+        .candidatesTtl(stream.toDS(), ttlMs = ttlMs)
+        .writeStream.format("noop").outputMode("append").start()
+      try {
+        repBatches.zipWithIndex.foreach { case (b, i) =>
+          // (i+1): a ts-0 batch would sit AT the initial watermark and
+          // be dropped as late (see StreamingNearDupSpec's note)
+          val t = new java.sql.Timestamp((i + 1) * 60000L)
+          stream.addData(b.map(d =>
+            graft.streaming.StreamingNearDup.TsDoc(d.doc_id, d.text, t)))
+          q.processAllAvailable()
+        }
+        lines += report("neardup_ttl", progressOf(q),
+          Map("repeat" -> repeat.toString, "ttl_ms" -> ttlMs.toString))
       } finally q.stop()
     }
 
