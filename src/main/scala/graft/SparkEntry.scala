@@ -52,6 +52,8 @@ object SparkEntry {
     if (sys.env.get("SPARK_GRAFT_SCOPED_CONFS").contains("false")) Map.empty
     else if (rel.Relational.wideAggQueries(name))
       rel.Relational.wideAggConf(sfDir, cpus)
+    else if (dedup.Dedup.pairShuffleQueries(name))
+      dedup.Dedup.pairShuffleConf(sfDir, cpus)
     else Map.empty
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1292,6 +1292,59 @@ object Dedup {
       .groupBy(identity).map { case (sz, xs) => (sz, xs.size.toLong) }
       .toSeq.sortBy(_._1)
 
+  /** Queries whose shuffles carry the exploded posting/pair streams of
+    * the shared docsets build (~25 hashed keys per doc, plus the
+    * collect_list array states of the per-doc aggregate): at the
+    * session's cpu-count shuffle partitions the per-task aggregate
+    * state crosses the spill tier around ×1000 the gate — and
+    * containment's shuffle_hash build side outgrows a task's execution
+    * memory entirely ("Can't acquire ... to build hash relation", the
+    * r14 sf100 base arm's hard error). [[pairShuffleConf]] gives them
+    * reduce tasks ∝ the documents fixture instead. Measured at sf100
+    * (r14, same host back-to-back, builds separated): docsets build
+    * 251.7→159.3 s, ngram_jaccard 231.8→29.5 s with 122.8 GB mem +
+    * 53.1 GB disk spill → ZERO, containment error→39.2 s, CC label
+    * build 105.6→42.9 s; at sf10 the family is flat (the spill tier
+    * isn't crossed either way) and at sf0.1 the conf is a no-op (the
+    * cpus floor binds).
+    */
+  val pairShuffleQueries: Set[String] = Set(
+    "dedup_ngram_jaccard", "dedup_containment", "dedup_cluster_sizes",
+    "dedup_near_apply") ++
+    // Experiment hook, mirroring Relational.wideAggQueries: extend the
+    // scoped-conf set without a rebuild; winners graduate into the
+    // literal set with their measurements.
+    sys.env.get("SPARK_GRAFT_PAIRSHUFFLE_EXTRA").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+  /** Reduce-task sizing for [[pairShuffleConf]]: one task per MB of
+    * compressed documents parquet ≈ the measured-winning geometry
+    * (sf100: 0.77 GB docs → ~740 tasks vs the 676 the winning A/B arm
+    * used; sf10: ~73; sf0.1: under the cpus floor). The divisor is
+    * small because a documents byte explodes ~25× into hashed posting
+    * rows plus array state before the first exchange.
+    */
+  val PairBytesPerTask: Long = 1L << 20
+
+  /** Scoped shuffle-partition override for [[pairShuffleQueries]] —
+    * the wideAggConf discipline: set around one query's build +
+    * execution by the harnesses, never session-wide. Values never
+    * change results (every covered query is exact-typed and
+    * oracle-checked under the conf).
+    */
+  def pairShuffleConf(sfDir: String, cpus: Int): Map[String, String] = {
+    val parts = math.max(cpus.toLong, math.min(2048L,
+      graft.rel.Relational.pathBytes(s"$sfDir/documents.parquet")
+        / PairBytesPerTask)).toInt
+    if (parts <= cpus) Map.empty
+    else Map(
+      "spark.sql.shuffle.partitions" -> parts.toString,
+      // pinned off for the same measured reason as wideAggConf: AQE's
+      // parallelism-first coalescing re-merges the hand-sized
+      // exchanges back to ~defaultParallelism
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: one row per distinct normalized text, keeper = min id.
     "dedup_exact" -> ((s, dir) =>

@@ -94,7 +94,7 @@ object ChiSquareQueries {
       dir.replaceAll("[^A-Za-z0-9.]", "_"))
     val complete = java.nio.file.Files.exists(out.resolve("_SUCCESS")) &&
       java.nio.file.Files.exists(out.resolve("malformed.json"))
-    if (!complete) {
+    if (!complete) graft.BuildWall.timed("jsonl_mirror") {
       docs(s, dir)
         .select(col("text").as("reviewText"), col("lang").as("category"))
         .write.mode("overwrite").json(out.toString)
@@ -116,7 +116,7 @@ object ChiSquareQueries {
       dir.replaceAll("[^A-Za-z0-9.]", "_"))
     val complete = java.nio.file.Files.exists(out.resolve("_SUCCESS")) &&
       java.nio.file.Files.exists(out.resolve("malformed.csv"))
-    if (!complete) {
+    if (!complete) graft.BuildWall.timed("csv_mirror") {
       docs(s, dir)
         .select(col("text").as("reviewText"), col("lang").as("category"))
         .write.mode("overwrite").csv(out.toString)

@@ -193,6 +193,15 @@ object Relational {
     // so the filter is bit-portable by construction). The part join is
     // unhinted: AQE broadcasts it at fixture scale; at full scale a
     // shuffle join on the already-partitioned key is the right plan.
+    // The aggregate-then-join alternative (per-partkey sum/cnt + a
+    // shuffle_hash join-back, skipping the window sort) was MEASURED
+    // and LOSES at both scales (r14): sf10 12.6 s vs 7.0 with 16.1 GB
+    // spill vs 4.8 (the join-back re-shuffles the fact AND re-scans it
+    // for the aggregate, and the ~|parts|-group hash costs more than
+    // the sort it saves); sf100 136.0 vs 71.6 s, spill 73.7 GB vs
+    // 28.5. A lineitem-sized partition override was also measured and
+    // loses slightly on both forms (81.4/154.4) — the window's sort
+    // spill is bounded and the extra reduce tasks only add scheduling.
     "rel_small_qty_revenue" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_partkey"))
       val qd = col("l_quantity").cast("decimal(12,4)")
@@ -903,7 +912,7 @@ object Relational {
   /** On-disk size of a local fixture path (file or directory of part
     * files); 0 when absent — sizing falls back to the session default.
     */
-  private def pathBytes(p: String): Long = {
+  private[graft] def pathBytes(p: String): Long = {
     val f = new java.io.File(p)
     if (f.isDirectory) f.listFiles().map(_.length()).sum
     else if (f.isFile) f.length()
