@@ -167,6 +167,11 @@ object Bench {
     BuildWall.drain()
     var measuredBuilds = Vector.empty[(String, Double)]
     val results = selected.toSeq.map { case (name, fn) =>
+      // stderr breadcrumb (never stdout — the handshake line must stay
+      // last): scale runs that die mid-suite (heap OOM, ENOSPC) need
+      // the dying QUERY attributable from the log; the r14 sf100 runs
+      // cost three 25-minute attempts before this existed.
+      Console.err.println(s"[bench] running $name")
       if (barriers) System.gc()
       listener.reset()
       HeapPeak.reset()
