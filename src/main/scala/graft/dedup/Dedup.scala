@@ -1106,8 +1106,6 @@ object Dedup {
     * sf100 run measured the then-fixed 2²⁰-key sketch at ~12M eval
     * keys ≈ 100% false positives — every probe paid, nothing
     * filtered). The floor only stops a degenerate eval side from
-    * producing a uselessly tiny sketch; the CEILING is the session's
-    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/`maxNumBits`
     * producing a uselessly tiny sketch; [[DecontamBloomMaxKeys]] is the
     * explicit CEILING. Within [floor, ceiling] the build raises the
     * session's `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/

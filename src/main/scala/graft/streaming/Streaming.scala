@@ -102,8 +102,8 @@ object StreamingAnomaly {
   * cluster), partitioned by hash — the stream shuffles each micro-batch
   * once, exactly like the batch groupBy. No timeout: exact dedup state
   * is permanent by definition; a deployment that cannot afford
-  * unbounded state chooses a retention window (timeout) and accepts
-  * re-admitted duplicates past it.
+  * unbounded state chooses [[dedupTtl]] — a retention window on the
+  * watermark clock — and accepts re-admitted duplicates past it.
   */
 object StreamingDedup {
 
@@ -136,6 +136,83 @@ object StreamingDedup {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     md.digest(text.toLowerCase(java.util.Locale.ROOT).getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
+  }
+
+  /** Timestamped arrival for [[dedupTtl]] — `ts` is the doc's ingest
+    * event time, the clock the TTL eviction runs on.
+    */
+  case class TsDoc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+
+  /** Per-hash state for the TTL variant: the admitted keeper plus the
+    * max event time that touched the hash (the idle clock's zero
+    * point).
+    */
+  case class TtlSeenState(keeper: Long, lastTouchMs: Long)
+
+  /** [[dedup]] with an EVENT-TIME state TTL — the bounded-state
+    * production shape, the same move [[StreamingNearDup.candidatesTtl]]
+    * makes for LSH buckets. Without a TTL, [[dedup]] keeps one state
+    * row per EVER-SEEN text hash — exact-dedup state is permanent by
+    * definition, so on an endless ingest the store grows ∝ distinct
+    * corpus and eventually exhausts it. Here a hash untouched (neither
+    * admitted nor re-suppressed) for `ttlMs` of EVENT time evicts via
+    * `EventTimeTimeout` — the watermark clock, so a checkpoint replay
+    * or backfill burst reproduces the same evictions, and the engine
+    * quiesces with the data (no empty wall-clock re-batches).
+    *
+    * Documented semantics consequence (spec-pinned in
+    * StreamingDedupSpec): this is dedup over a sliding RETENTION
+    * WINDOW, not exact dedup — a duplicate re-arriving after its
+    * hash's eviction is RE-ADMITTED (emitted again, under the new
+    * arrival's doc_id). Every suppression within `ttlMs` of the last
+    * touch is still exact, and each suppression RENEWS the lease, so a
+    * hash only evicts after `ttlMs` with no copies at all — the right
+    * contract for dedup-on-ingest where re-crawls cluster in time.
+    * Size `ttlMs` to the re-delivery horizon; a deployment needing
+    * true forever-exact dedup keeps [[dedup]] and pays the state.
+    */
+  def dedupTtl(docs: Dataset[TsDoc], ttlMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[Kept] = {
+    import docs.sparkSession.implicits._
+    require(ttlMs > 0, s"ttlMs must be positive, got $ttlMs")
+    docs
+      .filter(d => d.text != null && d.text.nonEmpty)
+      .map(d => (hashOf(d.text), d.doc_id, d.ts))
+      // watermark on the hashed stream, after the typed map — the same
+      // analyzer constraint candidatesTtl documents: metadata from an
+      // upstream watermark does not survive a typed transform
+      .toDF("text_hash", "doc_id", "ts")
+      .withWatermark("ts", watermarkDelay)
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TtlSeenState, Kept](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (hash: String, batch: Iterator[(String, Long, java.sql.Timestamp)],
+            state: GroupState[TtlSeenState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // idle past the TTL: forget the hash
+            Iterator.empty
+          } else {
+            val rows = batch.toSeq
+            val touch = rows.map(_._3.getTime).max
+            def lease(s: TtlSeenState): Unit = {
+              state.update(s)
+              // the timeout must stay strictly ahead of the watermark
+              state.setTimeoutTimestamp(
+                math.max(s.lastTouchMs + ttlMs,
+                  state.getCurrentWatermarkMs() + 1))
+            }
+            state.getOption match {
+              case Some(st) => // suppression renews the lease
+                lease(TtlSeenState(st.keeper, math.max(st.lastTouchMs, touch)))
+                Iterator.empty
+              case None =>
+                val keeper = rows.map(_._2).min
+                lease(TtlSeenState(keeper, touch))
+                Iterator.single(Kept(keeper, hash))
+            }
+          }
+      }
   }
 }
 

@@ -31,10 +31,12 @@ import org.apache.spark.sql.functions._
   *
   * Volume / state-bound knobs (r13 verdict ask #6):
   *  - SPARK_GRAFT_STREAM_REPEAT=N (default 1) replays the corpus N
-  *    times, each repetition with offset doc_ids and rep-salted text
-  *    (distinct shingles → distinct LSH buckets), simulating an
-  *    N×-longer ingest of FRESH documents — the regime where the
-  *    near-dup bucket state grows without bound;
+  *    times, each repetition with offset doc_ids and EVERY token
+  *    rep-salted (disjoint shingle sets → disjoint LSH buckets; a
+  *    prefix-only salt keeps reps in rep 0's buckets — r14's 10× run
+  *    measured that shared-bucket regime, corrected in r15),
+  *    simulating an N×-longer ingest of FRESH documents — the regime
+  *    where the near-dup bucket state grows without bound;
   *  - SPARK_GRAFT_STREAM_TTL_MS (default 300000 = 5 synthetic minutes
   *    = 5 micro-batches) sizes the `neardup_ttl` arm: same stream
   *    through [[graft.streaming.StreamingNearDup.candidatesTtl]] with
@@ -114,15 +116,25 @@ object StreamBench {
       .collect().map(r => (r.getLong(0), r.getString(1)))
     val repeat = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPEAT", "1").toInt.max(1)
     val ttlMs = sys.env.getOrElse("SPARK_GRAFT_STREAM_TTL_MS", "300000").toLong
+    if (corpus.isEmpty) {
+      println(s"streambench: empty corpus at $sfDir — nothing to drive")
+      spark.stop(); return
+    }
     val idSpan = corpus.map(_._1).max + 1
-    // rep 0 is the corpus verbatim; reps 1..N−1 are fresh documents
-    // (offset ids, salted text → disjoint shingles/buckets) — a longer
-    // ingest, not a redelivery storm (redelivery is a no-op by design).
+    // rep 0 is the corpus verbatim; reps 1..N−1 are fresh documents:
+    // offset ids and EVERY token salted with the rep number, so every
+    // n-gram shingle of a salted rep differs from rep 0's (a prefix-only
+    // salt would preserve all original 3-grams — minima mostly unchanged
+    // → reps land in rep 0's buckets, a redelivery storm, not fresh
+    // ingest; measured r14 before this fix). Disjoint shingle sets →
+    // disjoint MinHash minima → fresh LSH buckets per rep.
     def repBatches: Iterator[Seq[graft.streaming.StreamingNearDup.Doc]] =
       (0 until repeat).iterator.flatMap { rep =>
         corpus.iterator.map { case (id, t) =>
           graft.streaming.StreamingNearDup.Doc(
-            id + rep * idSpan, if (rep == 0) t else s"r$rep $t")
+            id + rep * idSpan,
+            if (rep == 0) t
+            else t.split("\\s+").iterator.map(w => s"$w$rep").mkString(" "))
         }.grouped(batchSize)
       }
     val nBatches = repeat * ((corpus.length + batchSize - 1) / batchSize)
@@ -165,6 +177,45 @@ object StreamBench {
           q.processAllAvailable()
         }
         lines += report("neardup_ttl", progressOf(q),
+          Map("repeat" -> repeat.toString, "ttl_ms" -> ttlMs.toString))
+      } finally q.stop()
+    }
+
+    // ---- arm 1c: exact dedup-on-arrival, unbounded state -------------
+    // One state row per ever-seen text hash; the salted reps are
+    // distinct texts, so state grows ∝ total distinct ingest.
+    {
+      val stream = MemoryStream[graft.streaming.StreamingDedup.Doc]
+      val q = graft.streaming.StreamingDedup.dedup(stream.toDS())
+        .writeStream.format("noop").outputMode("append").start()
+      try {
+        repBatches.foreach { b =>
+          stream.addData(b.map(d =>
+            graft.streaming.StreamingDedup.Doc(d.doc_id, d.text)))
+          q.processAllAvailable()
+        }
+        lines += report("dedup", progressOf(q),
+          Map("repeat" -> repeat.toString))
+      } finally q.stop()
+    }
+
+    // ---- arm 1d: same stream, hash state bounded by event-time TTL ---
+    // Same minute-per-batch event clock as 1b: hashes idle past the TTL
+    // evict, so final_state_rows reads the retention-window plateau
+    // next to arm 1c's ingest-proportional total.
+    {
+      val stream = MemoryStream[graft.streaming.StreamingDedup.TsDoc]
+      val q = graft.streaming.StreamingDedup
+        .dedupTtl(stream.toDS(), ttlMs = ttlMs)
+        .writeStream.format("noop").outputMode("append").start()
+      try {
+        repBatches.zipWithIndex.foreach { case (b, i) =>
+          val t = new java.sql.Timestamp((i + 1) * 60000L)
+          stream.addData(b.map(d =>
+            graft.streaming.StreamingDedup.TsDoc(d.doc_id, d.text, t)))
+          q.processAllAvailable()
+        }
+        lines += report("dedup_ttl", progressOf(q),
           Map("repeat" -> repeat.toString, "ttl_ms" -> ttlMs.toString))
       } finally q.stop()
     }

@@ -65,4 +65,87 @@ class StreamingDedupSpec extends SparkSpec {
       "one-batch streaming replay must equal the batch keeper set " +
         "(same hash, same min-doc_id tie-break)")
   }
+
+  // ---- event-time TTL (dedupTtl) — same deterministic protocol as
+  // StreamingNearDupSpec: the watermark for batch N is computed from
+  // batches < N, so an eviction lands one batch after the timestamp
+  // that makes it due; timestamps start at t=1000s (a ts at the initial
+  // epoch-0 watermark would be dropped as late).
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  test("dedupTtl: suppression within the window is exact and renews the lease") {
+    val s = spark; import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val stream = MemoryStream[StreamingDedup.TsDoc]
+    val q = StreamingDedup.dedupTtl(stream.toDS(), ttlMs = 100000L)
+      .writeStream.format("memory").queryName("dedup_ttl_exact")
+      .outputMode("append").start()
+    stopAfter(q) {
+      stream.addData(StreamingDedup.TsDoc(10, "alpha beta", ts(1000)))
+      q.processAllAvailable()
+      // 90 s later (inside the 100 s TTL): suppressed, lease renewed
+      stream.addData(StreamingDedup.TsDoc(11, "ALPHA BETA", ts(1090)))
+      q.processAllAvailable()
+      // 90 s after the RENEWED touch — 180 s after first arrival, so
+      // only the renewal keeps the hash alive: still suppressed
+      stream.addData(StreamingDedup.TsDoc(12, "Alpha Beta", ts(1180)))
+      q.processAllAvailable()
+      val got = s.table("dedup_ttl_exact").as[StreamingDedup.Kept]
+        .collect().map(_.doc_id).toSeq
+      assert(got == Seq(10L),
+        "in-window duplicates must be suppressed; each suppression " +
+          "must renew the eviction lease")
+    }
+  }
+
+  test("dedupTtl: a duplicate re-arriving after eviction is RE-ADMITTED") {
+    val s = spark; import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val stream = MemoryStream[StreamingDedup.TsDoc]
+    val q = StreamingDedup.dedupTtl(stream.toDS(), ttlMs = 100000L)
+      .writeStream.format("memory").queryName("dedup_ttl_readmit")
+      .outputMode("append").start()
+    stopAfter(q) {
+      stream.addData(StreamingDedup.TsDoc(10, "alpha beta", ts(1000)))
+      q.processAllAvailable()
+      // an unrelated doc 200 s later advances the watermark past doc
+      // 10's lease (due at t=1100); the eviction fires on this batch
+      stream.addData(StreamingDedup.TsDoc(99, "unrelated text", ts(1200)))
+      q.processAllAvailable()
+      // the SAME text after eviction: re-admitted under the new id —
+      // the documented retention-window semantics, not exact dedup
+      stream.addData(StreamingDedup.TsDoc(20, "alpha beta", ts(1210)))
+      q.processAllAvailable()
+      // and a further copy inside the fresh window is suppressed again
+      stream.addData(StreamingDedup.TsDoc(21, "alpha beta", ts(1220)))
+      q.processAllAvailable()
+      val got = s.table("dedup_ttl_readmit").as[StreamingDedup.Kept]
+        .collect().map(_.doc_id).sorted.toSeq
+      assert(got == Seq(10L, 20L, 99L),
+        "post-eviction duplicate must be re-admitted exactly once")
+    }
+  }
+
+  test("dedupTtl: one-batch replay equals the unbounded twin (TTL inert in-window)") {
+    val s = spark; import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "text").as[StreamingDedup.Doc].collect().toSeq
+    val stream = MemoryStream[StreamingDedup.TsDoc]
+    val q = StreamingDedup.dedupTtl(stream.toDS(), ttlMs = 100000L)
+      .writeStream.format("memory").queryName("dedup_ttl_replay")
+      .outputMode("append").start()
+    val got = stopAfter(q) {
+      stream.addData(docs.map(d =>
+        StreamingDedup.TsDoc(d.doc_id, d.text, ts(1000))))
+      q.processAllAvailable()
+      s.table("dedup_ttl_replay").as[StreamingDedup.Kept].collect()
+        .map(_.doc_id).sorted.toSeq
+    }
+    val want = graft.SparkEntry.queries("dedup_apply")(s, dir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want,
+      "within one window the TTL arm must equal the batch keeper set")
+  }
 }
