@@ -37,10 +37,15 @@ if os.environ.get("GRAFT_DUCKDB_TEMP"):
 if os.environ.get("GRAFT_DUCKDB_THREADS"):
     con.execute(f"SET threads={os.environ['GRAFT_DUCKDB_THREADS']}")
 
-p = f"{SF}/documents.parquet"
-if os.path.isdir(p):
-    p = f"{p}/*.parquet"
-con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+for t in TABLES:
+    p = f"{SF}/{t}.parquet"
+    if os.path.isdir(p):
+        p = f"{p}/*.parquet"
+    elif not os.path.exists(p):
+        continue
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 sql = json.load(open(f"{OUT}/oracle_sql.json"))[QUERY]
 
@@ -149,6 +154,87 @@ elif QUERY in ("text_unigram_logprob", "text_ppl_buckets"):
     barrier("lg")         # streaming 89-step reduce projection over sc
     con.execute("DROP VIEW sc"); con.execute("DROP TABLE sc__t")
     CHUNKS = int(os.environ.get("GRAFT_ORACLE_CHUNKS", "8"))
+elif QUERY == "rel_dominant_supplier":
+    # The single-statement plan evaluates the doubly-correlated `dom`
+    # by re-deriving `ps` (the 3-key lineitem aggregate) once per
+    # correlated reference (ps, p2, p3) — three concurrent full-width
+    # materializations spilled ~47 GB of DuckDB temp at sf100 (ENOSPC
+    # twice, r14). Materializing ps ONCE (body verbatim) leaves the
+    # decorrelated per-(partkey, yr) aggregates to run over the temp
+    # table — one pipeline's footprint at a time.
+    barrier("ps")
+elif QUERY == "sim_embedding_decontam":
+    # The single-statement `hits` re-computes the full |corpus|x|eval|
+    # cosine through per-element list_reduce SQL (~2e12 FLOPs at sf100;
+    # DuckDB ground 45+ min interpreted and was killed, r14). Staged
+    # form: materialize `nl` (vectors + norms, bodies verbatim — the
+    # norms that enter every cosine are DuckDB's own values), then
+    # compute the EXISTENTIAL hit set with blocked BLAS and re-check
+    # every borderline pair with the oracle's exact sequential
+    # accumulation order — the oracle-side mirror of the kernel's
+    # conservative-slack discipline:
+    #  - BLAS reorders the 64-term dot accumulation, so its cosine can
+    #    differ from the canonical left-fold by rounding; any pair with
+    #    |cos_blas - t| > EPS (EPS = 1e-9, ~1e5 times the worst 64-term
+    #    reorder error for unit-scale data) has a certain verdict;
+    #  - borderline pairs re-run the dot as the literal i=1..64 left
+    #    fold (acc += v[i]*ev[i]) — bit-identical to list_reduce — and
+    #    decide exactly. Hit sets are existential unions over blocks,
+    #    so blocking cannot change the verdict.
+    barrier("nl")
+    t = 0.4
+    EPS = 1e-9
+    ev_df = con.execute(
+        "SELECT v, nrm FROM nl WHERE label = 0").df()
+    E = np.array(ev_df["v"].tolist(), dtype=np.float64)
+    en = ev_df["nrm"].to_numpy(dtype=np.float64)
+    c_df = con.execute(
+        "SELECT vec_id, v, nrm FROM nl WHERE label <> 0").df()
+    C = np.array(c_df["v"].tolist(), dtype=np.float64)
+    cn = c_df["nrm"].to_numpy(dtype=np.float64)
+    cid = c_df["vec_id"].to_numpy()
+    del ev_df, c_df
+    sq_en = np.sqrt(en)
+    sq_cn = np.sqrt(cn)
+    hit = np.zeros(len(cid), dtype=bool)
+    CB, EB = 16384, 16384
+    reconsidered = 0
+    for ci in range(0, len(cid), CB):
+        Cb = C[ci:ci + CB]
+        sb = sq_cn[ci:ci + CB]
+        hb = hit[ci:ci + CB]
+        for ei in range(0, len(en), EB):
+            pend = ~hb  # rows already hit need no more blocks
+            if not pend.any():
+                break
+            cos = (Cb[pend] @ E[ei:ei + EB].T) / (
+                sb[pend, None] * sq_en[None, ei:ei + EB])
+            sure = cos >= t + EPS
+            hb[np.flatnonzero(pend)[sure.any(axis=1)]] = True
+            border = (np.abs(cos - t) <= EPS) & ~sure
+            if border.any():
+                pi = np.flatnonzero(pend)
+                for r, e in zip(*np.nonzero(border)):
+                    gi = pi[r]
+                    if hb[gi]:
+                        continue
+                    reconsidered += 1
+                    acc = 0.0
+                    cv, evv = Cb[gi], E[ei + e]
+                    for i in range(64):
+                        acc += cv[i] * evv[i]
+                    if acc / (sq_cn[ci + gi] * sq_en[ei + e]) >= t:
+                        hb[gi] = True
+        print(f"hits block {ci // CB + 1}/{(len(cid) + CB - 1) // CB}: "
+              f"{int(hit.sum())} hit so far", flush=True)
+    print(f"hits: {int(hit.sum())} of {len(cid)} corpus vectors "
+          f"({reconsidered} borderline pairs re-checked exactly)", flush=True)
+    hits_df = pd.DataFrame({"vec_id": np.sort(cid[hit])})
+    con.register("hits_src", hits_df)
+    con.execute("CREATE TEMP TABLE hits__t AS SELECT * FROM hits_src")
+    con.execute("CREATE TEMP VIEW hits AS SELECT * FROM hits__t")
+    done.add("hits")
+    del C, E
 else:
     sys.exit(f"unsupported query {QUERY}")
 
