@@ -36,6 +36,23 @@ import org.apache.spark.sql.types._
   * and every degenerate sub (null/odd cv, NaN radius, zero norm) is
   * scanned unconditionally — the same conservative contract as level 1.
   *
+  * A sub-cell struct may itself carry an optional FOURTH field —
+  * `subs: array<struct<cv, cr, ms>>` (leaf shape, no further nesting;
+  * SQL struct types are finite, so the depth is fixed at three) — a
+  * THIRD bound level: a sub-cell that survives its level-2 bound
+  * bound-checks its sub-sub-cells and scans only the survivors'
+  * members, by exactly the level-2 contract (union of own `ms` and
+  * children; degenerate shapes scan). Why a third level pays where
+  * more level-2 planes don't: past ~20 sub-planes the r14 sweep
+  * measured singleton-sub overhead taking over — the DIFFUSE member
+  * mass splits into one-member subs whose bound dot merely replaces
+  * the member dot 1:1 — while the TIGHT angular clusters that hold
+  * the pruning leverage co-land in few sub-keys regardless (sign bits
+  * of near-parallel directions agree). Level 3 re-splits exactly
+  * those surviving tight blocks, and its bound dots are paid only by
+  * rows that already survived level 2 — cost scales with the boundary
+  * shell of the boundary shell, not the corpus.
+  *
   * The bound (why skipping is EXACT, never approximate): angular
   * distance θ(a,b) = arccos(cos(a,b)) is a metric on the unit sphere,
   * so for every member e of a cell with radius r:
@@ -87,12 +104,22 @@ case class AnyCosineGeCells(first: Expression, second: Expression,
         }
       case _ => false
     }
-    def subsOk(dt: DataType): Boolean = dt match {
+    def leafSubsOk(dt: DataType): Boolean = dt match {
       case ArrayType(StructType(fs), _) if fs.length == 3 =>
         (fs(0).dataType match {
           case ArrayType(DoubleType, _) => true
           case _ => false
         }) && fs(1).dataType == DoubleType && msOk(fs(2).dataType)
+      case _ => false
+    }
+    def subsOk(dt: DataType): Boolean = dt match {
+      case ArrayType(StructType(fs), _)
+          if fs.length == 3 || fs.length == 4 =>
+        (fs(0).dataType match {
+          case ArrayType(DoubleType, _) => true
+          case _ => false
+        }) && fs(1).dataType == DoubleType && msOk(fs(2).dataType) &&
+          (fs.length == 3 || leafSubsOk(fs(3).dataType))
       case _ => false
     }
     val cellsOk = cells.dataType match {
@@ -140,9 +167,21 @@ case class AnyCosineGeCells(first: Expression, second: Expression,
     case _ => 4
   }
 
+  /** Struct arity of a sub-cell element (3 = leaf, 4 = with
+    * sub-sub-cells), same fixed-by-dataType contract as [[cellArity]].
+    */
+  @transient private lazy val subArity: Int = cells.dataType match {
+    case ArrayType(StructType(fs), _) if fs.length == 5 =>
+      fs(4).dataType match {
+        case ArrayType(StructType(sfs), _) => sfs.length
+        case _ => 3
+      }
+    case _ => 3
+  }
+
   /** The shared kernel (also called from generated code). */
   def anyGe(vd: ArrayData, cs: ArrayData): Boolean =
-    AnyCosineCells.anyGe(vd, cs, t, cellArity)
+    AnyCosineCells.anyGe(vd, cs, t, cellArity, subArity)
 
   override protected def nullSafeEval(vd: Any, cs: Any, th: Any): Any =
     anyGe(vd.asInstanceOf[ArrayData], cs.asInstanceOf[ArrayData])
@@ -191,10 +230,11 @@ object AnyCosineCells {
     */
   /** One packed sub-cell: representative direction (null = never
     * boundable, always scan), its norm sqrt, the precomputed
-    * cosine-domain skip bound, and the member block.
+    * cosine-domain skip bound, the member block (null = none at this
+    * level), and the packed sub-sub-cells (null = leaf).
     */
   private final class Sub(val cv: Array[Double], val sqCn: Double,
-    val cosBound: Double, val mx: AnyCosine.Mx)
+    val cosBound: Double, val mx: AnyCosine.Mx, val children: Array[Sub])
 
   private final class Cx(val cv: Array[Array[Double]],
     val sqCn: Array[Double], val cosBound: Array[Double],
@@ -212,11 +252,12 @@ object AnyCosineCells {
     */
   private final class Entry(val bo: AnyRef, val off: Long, val numEl: Int,
     val size: Long, val head: Long, val tail: Long, val t: Double,
-    val arity: Int, val cx: Cx)
+    val arity: Int, val subArity: Int, val cx: Cx)
 
   private val cache = new ThreadLocal[Entry]()
 
-  private def cxFor(cells: ArrayData, t: Double, arity: Int): Cx = {
+  private def cxFor(cells: ArrayData, t: Double, arity: Int,
+      subArity: Int): Cx = {
     val (bo: AnyRef, off: Long, size: Long) = cells match {
       case u: UnsafeArrayData => (u.getBaseObject, u.getBaseOffset,
         u.getSizeInBytes.toLong)
@@ -232,7 +273,7 @@ object AnyCosineCells {
     val c = cache.get()
     if (c != null && (c.bo eq bo) && c.off == off && c.numEl == numEl &&
       c.size == size && c.head == head && c.tail == tail && c.t == t &&
-      c.arity == arity)
+      c.arity == arity && c.subArity == subArity)
       return c.cx
     val m = numEl
     val cv = new Array[Array[Double]](m)
@@ -280,36 +321,8 @@ object AnyCosineCells {
             cosBound(j) = bnd
           }
         }
-        if (arity >= 5 && !s.isNullAt(4)) {
-          val sa = s.getArray(4)
-          val sn = sa.numElements()
-          if (sn > 0) {
-            val arr = new Array[Sub](sn)
-            var k = 0
-            var kept = 0
-            while (k < sn) {
-              if (!sa.isNullAt(k)) {
-                val ss = sa.getStruct(k, 3)
-                val mx =
-                  if (!ss.isNullAt(2)) AnyCosine.packMx(ss.getArray(2))
-                  else null
-                // A sub with no members contributes nothing — drop it.
-                if (mx != null && mx.cnt > 0) {
-                  val (scv, ssq, sbnd) =
-                    if (!ss.isNullAt(0) && !ss.isNullAt(1))
-                      dirBound(ss.getArray(0), ss.getDouble(1))
-                    else (null, 0.0, -2.0)
-                  arr(kept) = new Sub(scv, ssq, sbnd, mx)
-                  kept += 1
-                }
-              }
-              k += 1
-            }
-            if (kept > 0)
-              subs(j) =
-                if (kept == sn) arr else java.util.Arrays.copyOf(arr, kept)
-          }
-        }
+        if (arity >= 5 && !s.isNullAt(4))
+          subs(j) = unpackSubs(s.getArray(4), subArity, dirBound)
       }
       j += 1
     }
@@ -350,7 +363,8 @@ object AnyCosineCells {
     }
     val cx = new Cx(cv, sqCn, cosBound, ms, subs, m,
       inFlat, flatCv, flatSqCn, flatBound, flatIx, flatLen, flatCnt)
-    cache.set(new Entry(bo, off, numEl, size, head, tail, t, arity, cx))
+    cache.set(new Entry(bo, off, numEl, size, head, tail, t, arity,
+      subArity, cx))
     cx
   }
 
@@ -358,7 +372,7 @@ object AnyCosineCells {
     * [[AnyCosine.anyGe]]'s, verbatim: a null element returns false.
     */
   def anyGe(vd: ArrayData, cells: ArrayData, t: Double,
-      arity: Int): Boolean = {
+      arity: Int, subArity: Int): Boolean = {
     val n = vd.numElements()
     val vv = new Array[Double](n)
     var i = 0
@@ -371,7 +385,7 @@ object AnyCosineCells {
     i = 0
     while (i < n) { nrm += vv(i) * vv(i); i += 1 }
     val sq = math.sqrt(nrm)
-    val cx = cxFor(cells, t, arity)
+    val cx = cxFor(cells, t, arity, subArity)
     // Flat pass: 4-wide register-blocked bounds over the contiguous
     // centroid block, member scan only for survivors. If q's length
     // differs from the block's, no flat bound is valid — scan them all
@@ -461,24 +475,75 @@ object AnyCosineCells {
       (if (mx.flatF != null) AnyCosine.anyGeF(vv, n, sq, mx, t)
       else AnyCosine.anyGeD(vv, n, sq, mx, t))) return true
     val ss = cx.subs(j)
-    if (ss != null) {
-      var k = 0
-      while (k < ss.length) {
-        val sub = ss(k)
-        var scan = true
-        if (sub.cv != null && sub.cv.length == n) {
-          var dq = 0.0
-          var i = 0
-          while (i < n) { dq += vv(i) * sub.cv(i); i += 1 }
-          // NaN cq compares false → scan: conservative.
-          if (dq / (sq * sub.sqCn) < sub.cosBound) scan = false
-        }
-        if (scan &&
+    ss != null && scanSubs(ss, vv, n, sq, t)
+  }
+
+  /** One level of sub-cells behind their own bounds, recursing into
+    * sub-sub-cells for level-2 survivors. Same conservative contract
+    * at every depth: a trustworthy bound may skip, everything else
+    * scans.
+    */
+  private def scanSubs(ss: Array[Sub], vv: Array[Double], n: Int,
+      sq: Double, t: Double): Boolean = {
+    var k = 0
+    while (k < ss.length) {
+      val sub = ss(k)
+      var scan = true
+      if (sub.cv != null && sub.cv.length == n) {
+        var dq = 0.0
+        var i = 0
+        while (i < n) { dq += vv(i) * sub.cv(i); i += 1 }
+        // NaN cq compares false → scan: conservative.
+        if (dq / (sq * sub.sqCn) < sub.cosBound) scan = false
+      }
+      if (scan) {
+        if (sub.mx != null &&
           (if (sub.mx.flatF != null) AnyCosine.anyGeF(vv, n, sq, sub.mx, t)
           else AnyCosine.anyGeD(vv, n, sq, sub.mx, t))) return true
-        k += 1
+        if (sub.children != null && scanSubs(sub.children, vv, n, sq, t))
+          return true
       }
+      k += 1
     }
     false
+  }
+
+  /** Unpack one level of sub-cells: `arity` 3 = leaf, 4 = carries
+    * sub-sub-cells (unpacked at leaf arity — depth is schema-fixed).
+    * A sub with neither members nor children contributes nothing and
+    * is dropped; a sub with a degenerate direction keeps a −2 bound
+    * (never skipped).
+    */
+  private def unpackSubs(sa: ArrayData, arity: Int,
+      dirBound: (ArrayData, Double) => (Array[Double], Double, Double)): Array[Sub] = {
+    val sn = sa.numElements()
+    if (sn == 0) return null
+    val arr = new Array[Sub](sn)
+    var k = 0
+    var kept = 0
+    while (k < sn) {
+      if (!sa.isNullAt(k)) {
+        val ss = sa.getStruct(k, arity)
+        val mx0 =
+          if (!ss.isNullAt(2)) AnyCosine.packMx(ss.getArray(2)) else null
+        val mx = if (mx0 != null && mx0.cnt > 0) mx0 else null
+        val children =
+          if (arity >= 4 && !ss.isNullAt(3))
+            unpackSubs(ss.getArray(3), 3, dirBound)
+          else null
+        if (mx != null || children != null) {
+          val (scv, ssq, sbnd) =
+            if (!ss.isNullAt(0) && !ss.isNullAt(1))
+              dirBound(ss.getArray(0), ss.getDouble(1))
+            else (null, 0.0, -2.0)
+          arr(kept) = new Sub(scv, ssq, sbnd, mx, children)
+          kept += 1
+        }
+      }
+      k += 1
+    }
+    if (kept == 0) null
+    else if (kept == sn) arr
+    else java.util.Arrays.copyOf(arr, kept)
   }
 }

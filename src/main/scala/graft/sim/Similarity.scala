@@ -198,6 +198,38 @@ object Similarity {
     }
   }
 
+  /** Plane count for the THIRD bound level (sub-sub-cells inside each
+    * sub-cell; plane indices continue the md5 `"e:p,j"` family after
+    * the level-2 block). The level-3 key is CENTERED — sign of
+    * `dot(ev − scv, w_p)` against the sub-cell's own mean — not a raw
+    * sign bit: members of a tight cluster are near-parallel and agree
+    * on RAW sign planes by construction (the exact reason the r14
+    * level-2 sweep plateaued at 20 planes), while their differences
+    * from the cluster mean project to both signs of any plane — so
+    * centered keys split what raw keys cannot: multiple near-parallel
+    * clusters sharing one sub-key, and a cluster's own angular
+    * structure if it has any. Computed entirely IN-ARRAY (HOFs over
+    * the already-collected member block — no third exchange); level-3
+    * bound dots are paid only by rows that survived level 2. Pruning
+    * stays exact at any value (triangle inequality per level, member
+    * arithmetic bit-identical), so the verdict and the oracle hash are
+    * invariant under the knob; 0 disables the level (the r14
+    * two-level pack, byte-identical). Default from the r15 sf100
+    * sweep — see docs/BENCH_NOTES.md r15.
+    */
+  val ScreenSubSubPlanes: Int = sys.env.get("SPARK_GRAFT_SCREEN_SUBSUBPLANES")
+    .map(_.toInt).getOrElse(12)
+  lazy val screenSubSubPlanes: IndexedSeq[IndexedSeq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val base = ScreenPlanes + ScreenSubPlanes
+    (base until base + ScreenSubSubPlanes).map { p =>
+      (0 until Dim).map { j =>
+        val h = md.digest(s"e:$p,$j".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 1) == 1) 1 else -1
+      }
+    }
+  }
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -808,6 +840,41 @@ object Similarity {
       .withColumn("scv", meanOf(col("ms")))
       .withColumn("scn", dot(col("scv"), col("scv")))
       .withColumn("scr", radiusOf(col("ms"), col("scv"), col("scn")))
+    // Level 3 (optional, [[ScreenSubSubPlanes]] > 0): re-split each
+    // sub-cell's member block by CENTERED sign keys — sign of
+    // dot(ev − scv, w_p), i.e. which side of a plane THROUGH THE
+    // SUB-CELL MEAN the member falls on — entirely in-array (HOFs over
+    // the collected block, no further exchange). Each distinct key
+    // becomes one sub-sub-cell with its own mean + radius; keys
+    // partition the members, so the leaf blocks hold every member
+    // exactly once and level 2's packed ms is a typed NULL. Degenerate
+    // members (null elements → null dot → `otherwise` branch) collapse
+    // into one concrete key whose null-poisoned mean disables that
+    // leaf's bound — the kernel scans it, conservative as ever.
+    val perSub2 =
+      if (ScreenSubSubPlanes > 0) {
+        def subStruct(ms2: org.apache.spark.sql.Column) = {
+          val cv2 = meanOf(ms2)
+          val cn2 = dot(cv2, cv2)
+          struct(cv2.as("cv"), radiusOf(ms2, cv2, cn2).as("cr"),
+            ms2.as("ms"))
+        }
+        def keyOf(ev: org.apache.spark.sql.Column) =
+          (0 until ScreenSubSubPlanes).map { p =>
+            val w = array(screenSubSubPlanes(p).map(x => lit(x.toDouble)): _*)
+            when(dot(ev, w) - dot(col("scv"), w) >= 0, lit(1L << p))
+              .otherwise(lit(0L))
+          }.reduce(_ + _)
+        perSub
+          .withColumn("mk", transform(col("ms"), m => keyOf(m.getField("ev"))))
+          .withColumn("tagged", zip_with(col("ms"), col("mk"),
+            (m, k) => struct(k.as("k"), m.as("m"))))
+          .withColumn("subs2", transform(array_sort(array_distinct(col("mk"))),
+            k => subStruct(transform(
+              filter(col("tagged"), tm => tm.getField("k") === k),
+              tm => tm.getField("m")))))
+          .drop("mk", "tagged")
+      } else perSub
     // Level 1: per bucket, the sub-cells (sorted by sub-key — a
     // deterministic pack order) plus the bucket's own direction and a
     // radius over ALL its members (the flattened sub-cell blocks), so
@@ -815,17 +882,24 @@ object Similarity {
     // bucket-level `ms` is a typed NULL: every member lives in exactly
     // one sub-cell, and the kernel scans the union.
     val msType = "array<struct<ev:array<double>,en:double>>"
-    val perCell = perSub.groupBy("bkt")
-      .agg(array_sort(collect_list(struct(col("sbkt"), col("scv"),
-        col("scr"), col("ms")))).as("subsRaw"))
+    val subCols = Seq(col("sbkt"), col("scv"), col("scr"), col("ms")) ++
+      (if (ScreenSubSubPlanes > 0) Seq(col("subs2")) else Seq.empty)
+    val perCell = perSub2.groupBy("bkt")
+      .agg(array_sort(collect_list(struct(subCols: _*))).as("subsRaw"))
       .withColumn("allms", flatten(transform(col("subsRaw"),
         x => x.getField("ms"))))
       .withColumn("cv", meanOf(col("allms")))
       .withColumn("cn", dot(col("cv"), col("cv")))
       .withColumn("cr", radiusOf(col("allms"), col("cv"), col("cn")))
       .withColumn("subs", transform(col("subsRaw"), x =>
-        struct(x.getField("scv").as("cv"), x.getField("scr").as("cr"),
-          x.getField("ms").as("ms"))))
+        if (ScreenSubSubPlanes > 0)
+          // members live at the leaves; level 2 carries bounds + kids
+          struct(x.getField("scv").as("cv"), x.getField("scr").as("cr"),
+            lit(null).cast(msType).as("ms"),
+            x.getField("subs2").as("subs"))
+        else
+          struct(x.getField("scv").as("cv"), x.getField("scr").as("cr"),
+            x.getField("ms").as("ms"))))
     val idx = perCell.agg(sort_array(collect_list(
       struct(col("bkt"), col("cv"), col("cr"),
         lit(null).cast(msType).as("ms"), col("subs")))).as("cells"))

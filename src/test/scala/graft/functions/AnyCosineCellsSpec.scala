@@ -27,6 +27,11 @@ private[functions] case class CellsSpecSub(cv: Seq[Double],
 private[functions] case class CellsSpecCell5(bkt: java.lang.Long,
   cv: Seq[Double], cr: java.lang.Double, ms: Seq[CellsSpecEv],
   subs: Seq[CellsSpecSub])
+private[functions] case class CellsSpecSub4(cv: Seq[Double],
+  cr: java.lang.Double, ms: Seq[CellsSpecEv], subs: Seq[CellsSpecSub])
+private[functions] case class CellsSpecCell5b(bkt: java.lang.Long,
+  cv: Seq[Double], cr: java.lang.Double, ms: Seq[CellsSpecEv],
+  subs: Seq[CellsSpecSub4])
 
 class AnyCosineCellsSpec extends graft.SparkSpec {
 
@@ -211,6 +216,96 @@ class AnyCosineCellsSpec extends graft.SparkSpec {
     assert(cellsLiteral5(corpus, Seq(CellsSpecCell5(0L, Seq(1.0, 0.0), 0.0,
       null, Seq(CellsSpecSub(Seq(1.0, 0.0), 0.0, Seq.empty),
         null.asInstanceOf[CellsSpecSub]))), 0.9) === Set.empty)
+  }
+
+  private def cellsLiteral5b(corpus: DataFrame, cs: Seq[CellsSpecCell5b],
+      t: Double): Set[Long] = {
+    import spark.implicits._
+    val idx = Seq(Tuple1(cs)).toDF("cells")
+    corpus.crossJoin(broadcast(idx))
+      .filter(coalesce(GraftFunctions.graftAnyCosineGeCells(
+        col("v"), col("cells"), lit(t)), lit(false)))
+      .select("id").collect().map(_.getLong(0)).toSet
+  }
+
+  test("third level: sub-sub union semantics and degenerate shapes scan") {
+    val m1 = Ev(Seq(1.0, 0.0), 1.0) // matches corpus 1
+    val m2 = Ev(Seq(0.0, 1.0), 1.0) // matches corpus 2
+    val corpus = vf(Seq(1L -> Seq(2.0, 0.0), 2L -> Seq(0.0, 3.0)))
+    // members split between the level-2 block and a level-3 leaf:
+    // the kernel must scan the UNION of a sub's own ms and its kids.
+    val split = CellsSpecCell5b(0L, Seq(1.0, 1.0), math.Pi / 4 + 0.01,
+      null, Seq(CellsSpecSub4(Seq(1.0, 1.0), math.Pi / 4 + 0.01,
+        Seq(m1), Seq(CellsSpecSub(Seq(0.0, 1.0), 0.0, Seq(m2))))))
+    assert(cellsLiteral5b(corpus, Seq(split), 0.9) === Set(1L, 2L))
+    // every degenerate SUB-SUB bound shape must still find its member
+    val leafShapes = Seq(
+      CellsSpecSub(null, 0.0, Seq(m1)), // null cv
+      CellsSpecSub(Seq(1.0, 0.0), null, Seq(m1)), // null cr
+      CellsSpecSub(Seq(1.0), 0.0, Seq(m1)), // cv length mismatch
+      CellsSpecSub(Seq(0.0, 0.0), 0.0, Seq(m1)), // zero-norm cv
+      CellsSpecSub(Seq(-1.0, 0.0), Double.NaN, Seq(m1))) // NaN radius
+    leafShapes.foreach { leaf =>
+      val c = CellsSpecCell5b(0L, Seq(1.0, 0.0), 0.0, null,
+        Seq(CellsSpecSub4(Seq(1.0, 0.0), 0.0, null, Seq(leaf))))
+      assert(cellsLiteral5b(corpus, Seq(c), 0.9) === Set(1L), s"leaf $leaf")
+    }
+    // a degenerate LEVEL-2 bound with members only at level 3 still
+    // descends and finds the member (bound disabled ⇒ scan ⇒ recurse)
+    val degSub = CellsSpecCell5b(0L, Seq(1.0, 0.0), 0.0, null,
+      Seq(CellsSpecSub4(null, null, null,
+        Seq(CellsSpecSub(Seq(1.0, 0.0), 0.0, Seq(m1))))))
+    assert(cellsLiteral5b(corpus, Seq(degSub), 0.9) === Set(1L))
+    // empty/null leaves and member-less subs contribute nothing
+    assert(cellsLiteral5b(corpus, Seq(CellsSpecCell5b(0L, Seq(1.0, 0.0),
+      0.0, null, Seq(CellsSpecSub4(Seq(1.0, 0.0), 0.0, Seq.empty,
+        Seq(CellsSpecSub(Seq(1.0, 0.0), 0.0, Seq.empty),
+          null.asInstanceOf[CellsSpecSub]))))), 0.9) === Set.empty)
+  }
+
+  test("third level: leaf pruning is exact (tight leaves far apart)") {
+    // one bucket, one sub — both with ~90° radii so neither level can
+    // prune — holding two tight leaf clusters: verdicts must equal the
+    // flat kernel while only the leaf bounds do the pruning work.
+    val rnd = new scala.util.Random(47)
+    def jig(base: Seq[Double], k: Int): Seq[Double] =
+      base.zipWithIndex.map { case (x, j) => x + 0.003 * ((k + j) % 3 - 1) }
+    val e1 = Seq(1.0, 0.0, 0.0, 0.0)
+    val e2 = Seq(0.0, 1.0, 0.0, 0.0)
+    val evalVecs = (1000L until 1010L).map(i => i -> jig(e1, i.toInt)) ++
+      (1011L until 1021L).map(i => i -> jig(e2, i.toInt))
+    val corpus = vf(Seq(
+      1L -> Seq(2.0, 0.02, 0.0, 0.0),
+      2L -> Seq(0.0, -3.0, 0.0, 0.0),
+      3L -> Seq(0.0, 0.0, 5.0, 0.0),
+      4L -> Seq(1.0, 1.0, 0.0, 0.0),
+      5L -> Seq(0.01, 0.99, 0.0, 0.0)) ++
+      (10L until 30L).map(i => i -> Seq.fill(4)(rnd.nextGaussian())))
+    val evalDf = vf(evalVecs)
+    val f = flat(corpus, evalDf, 0.9)
+    import spark.implicits._
+    // hand-pack: leaf split by which base cluster the member hugs
+    def ev(s: Seq[Double]) = Ev(s, s.map(x => x * x).sum)
+    def leaf(ms: Seq[Seq[Double]]): CellsSpecSub = {
+      val n = ms.length
+      val cv = ms.transpose.map(_.sum / n)
+      val cn = math.sqrt(cv.map(x => x * x).sum)
+      val cr = ms.map { m =>
+        val d = m.zip(cv).map { case (a, b) => a * b }.sum
+        math.acos(math.min(1.0, math.max(-1.0,
+          d / (math.sqrt(m.map(x => x * x).sum) * cn))))
+      }.max
+      CellsSpecSub(cv, cr, ms.map(ev))
+    }
+    val leaves = Seq(
+      leaf(evalVecs.take(10).map(_._2)), leaf(evalVecs.drop(10).map(_._2)))
+    val c = CellsSpecCell5b(0L, Seq(0.5, 0.5, 0.0, 0.0), math.Pi - 0.01,
+      null, Seq(CellsSpecSub4(Seq(0.5, 0.5, 0.0, 0.0), math.Pi - 0.01,
+        null, leaves)))
+    assert(cellsLiteral5b(corpus, Seq(c), 0.9) === f)
+    // the deterministic probes decide as designed; the 4-d gaussians
+    // may legitimately land in a cluster cap, so only parity binds them
+    assert(Set(1L, 5L).subsetOf(f) && !Seq(2L, 3L, 4L).exists(f))
   }
 
   test("sub-cell pruning fires and verdicts still match the flat kernel") {
