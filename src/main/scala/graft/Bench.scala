@@ -130,6 +130,17 @@ object Bench {
     // have thousands of native splits); locally, scale runs set e.g.
     // SPARK_GRAFT_MAX_PARTITION_BYTES=2097152 so the scan parallelizes.
     val maxPartitionBytes = sys.env.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+    // Task-memory page-size pin for large-heap scale runs. Spark sizes
+    // TaskMemoryManager pages from the heap (128 MB pages at a 24-32 GB
+    // local JVM); under G1 every such page is a humongous allocation,
+    // and 32 concurrent tasks' pages fragment the old gen until an
+    // allocation storm OOMs — the r14/r15 full-sf100 failure mode
+    // (stage-1842 zombie tasks died allocating pages while the suite
+    // had ~10 GB of legitimate retention). Pinning 16-32 MB pages
+    // removes the humongous pressure without touching plan shapes;
+    // unset = Spark's default sizing (right on a real cluster's
+    // per-executor heaps).
+    val pageBytes = sys.env.get("SPARK_GRAFT_PAGE_BYTES")
     val builder = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
@@ -143,6 +154,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
     maxPartitionBytes.foreach(b =>
       builder.config("spark.sql.files.maxPartitionBytes", b.toLong))
+    pageBytes.foreach(b =>
+      builder.config("spark.buffer.pageSize", b.toLong))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     prodHash.foreach(b =>

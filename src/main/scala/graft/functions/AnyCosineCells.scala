@@ -68,9 +68,11 @@ import org.apache.spark.sql.types._
   * clamped poles, where the clamp itself caps the error at ~1e-6) —
   * so a borderline cell is SCANNED, never skipped: pruning can drop
   * only cells that pass the test with ≥ Slack/2 to spare, and the
-  * members that decide the verdict go through [[AnyCosine.anyGeF]]/
-  * [[AnyCosine.anyGeD]] — bit-identical arithmetic to the flat
-  * kernel and the Column chain.
+  * members that decide the verdict go through [[AnyCosine.scanMx]] —
+  * the int8-screened scan whose certain-hit/certain-miss bounds prove
+  * the exact comparison's outcome and whose borderline path is the
+  * same in-order fold as the flat kernel and the Column chain —
+  * verdict-identical at every level.
   *
   * Conservative fallbacks (scan, never skip) whenever the bound is
   * not trustworthy: null/missing cv or cr, a null cv element, cv
@@ -472,8 +474,7 @@ object AnyCosineCells {
       sq: Double, t: Double): Boolean = {
     val mx = cx.ms(j)
     if (mx != null && mx.cnt > 0 &&
-      (if (mx.flatF != null) AnyCosine.anyGeF(vv, n, sq, mx, t)
-      else AnyCosine.anyGeD(vv, n, sq, mx, t))) return true
+      AnyCosine.scanMx(vv, n, sq, mx, t)) return true
     val ss = cx.subs(j)
     ss != null && scanSubs(ss, vv, n, sq, t)
   }
@@ -498,8 +499,7 @@ object AnyCosineCells {
       }
       if (scan) {
         if (sub.mx != null &&
-          (if (sub.mx.flatF != null) AnyCosine.anyGeF(vv, n, sq, sub.mx, t)
-          else AnyCosine.anyGeD(vv, n, sq, sub.mx, t))) return true
+          AnyCosine.scanMx(vv, n, sq, sub.mx, t)) return true
         if (sub.children != null && scanSubs(sub.children, vv, n, sq, t))
           return true
       }
