@@ -506,19 +506,19 @@ object Relational {
       dominantSupplier(t(s, dir, "lineitem"), t(s, dir, "supplier")))
   )
 
-  /** Experiment arms (see [[soleLateSupplierPreAgg]]): bench-only,
+  /** Experiment arms (see [[soleLateSupplierArm]]): bench-only,
     * registered behind SPARK_GRAFT_EXPERIMENTS so the driver surface
     * never sees them.
     */
   private def experimentQueries: Map[String, (SparkSession, String) => DataFrame] =
     if (sys.env.contains("SPARK_GRAFT_EXPERIMENTS"))
       Map(
-        "rel_sole_late_supplier_e3a" -> ((s, dir) =>
-          soleLateSupplierPreAgg(t(s, dir, "lineitem"), t(s, dir, "orders"),
-            t(s, dir, "supplier"), preAggRepart = true)),
+        "rel_sole_late_supplier_e0" -> ((s, dir) =>
+          soleLateSupplierArm(t(s, dir, "lineitem"), t(s, dir, "orders"),
+            t(s, dir, "supplier"), Arm.JoinFirst)),
         "rel_sole_late_supplier_e3b" -> ((s, dir) =>
-          soleLateSupplierPreAgg(t(s, dir, "lineitem"), t(s, dir, "orders"),
-            t(s, dir, "supplier"), preAggRepart = false)))
+          soleLateSupplierArm(t(s, dir, "lineitem"), t(s, dir, "orders"),
+            t(s, dir, "supplier"), Arm.PreAggNatural)))
     else Map.empty
 
   /** TPC-H Q4 shape for [[queries]]' `rel_late_orders`, decorrelated:
@@ -611,73 +611,83 @@ object Relational {
     * late-count filter (= 1) holds, bounded rows per order. An order
     * qualifies iff n_supp > 1 ∧ n_late = 1; a qualifying order then
     * contributes one wait to its sole late supplier. No correlated
-    * probe survives: the only fact-volume exchanges are the
-    * orders⋈lineitem join (lag needs a column from each side, as in
-    * [[shipLag]]) and the (order, supplier) collapse; the supplier-name
-    * attach is a broadcast onto the per-supplier counts. The DuckDB
-    * oracle keeps the naive EXISTS/NOT-EXISTS form, so the rewrite's
-    * equivalence is hash-checked, not assumed.
+    * probe survives: the only fact-volume exchange is ONE explicit
+    * repartition of the 3-column lineitem projection on l_orderkey
+    * ALONE, which the composite-key collapse reuses (a subset-key hash
+    * partitioning satisfies the (order, supplier) clustered
+    * distribution) and the orders join reuses again — so the
+    * (order, supplier) collapse runs BEFORE the join and the join's
+    * sort/probe state holds collapsed rows, never raw line volume.
+    * The collapse itself carries `max(l_shipdate)`, not a lag flag:
+    * `o_orderdate` is constant per order and datediff is monotone in
+    * its first argument, so "any line late" ≡
+    * `datediff(max(l_shipdate), o_orderdate) > 90` — the join needs
+    * only the one collapsed date per (order, supplier). The
+    * supplier-name attach is a broadcast onto the per-supplier counts.
+    * The DuckDB oracle keeps the naive EXISTS/NOT-EXISTS form, so the
+    * rewrite's equivalence is hash-checked, not assumed.
+    *
+    * Plan choice is MEASURED, not assumed (r15 A/B, isolated
+    * interleaved JVMs, scoped wide-agg conf on every arm, sf100 at
+    * 40 GB/32 MB pages — docs/BENCH_NOTES.md r15): this form 67.2/61.9 s
+    * at sf100 (7.3 s sf10) vs the join-then-collapse form's 78.0/76.7
+    * (8.6) — the exchange bytes are identical (14.6 GB), the ~17% is
+    * the join working on ~4× fewer sorted rows — and vs the natural
+    * composite-key pre-aggregate's 127.8/121.0 (10.8), which pays TWO
+    * fact exchanges (26.7 GB: composite-key aggregate shuffle, then a
+    * re-exchange for the join) because map-side combine collapses
+    * almost nothing (~4 lines/order scattered across scan tasks). Both
+    * losers stay reproducible under SPARK_GRAFT_EXPERIMENTS
+    * (`rel_sole_late_supplier_e0`/`_e3b`).
     */
   def soleLateSupplier(lineitem: DataFrame, orders: DataFrame,
-      supplier: DataFrame): DataFrame = {
-    val o = orders.select("o_orderkey", "o_orderdate")
-    val li = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
-    val late = datediff(col("l_shipdate").cast("date"),
-      col("o_orderdate").cast("date")) > 90
-    val perSupp = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("l_orderkey"), col("l_suppkey"))
-      .agg(max(late).as("late"))
-    val perOrder = perSupp.groupBy("l_orderkey")
-      .agg(count(lit(1)).as("n_supp"),
-        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
-        max(when(col("late"), col("l_suppkey"))).as("late_supp"))
-      .filter(col("n_supp") > 1 && col("n_late") === 1)
-    perOrder.groupBy("late_supp")
-      .agg(count(lit(1)).as("numwait"))
-      .join(broadcast(supplier.select("s_suppkey", "s_name")),
-        col("late_supp") === col("s_suppkey"))
-      .select(col("s_suppkey"), col("s_name"), col("numwait"))
-      .orderBy(desc("numwait"), col("s_suppkey"))
+      supplier: DataFrame): DataFrame =
+    soleLateSupplierArm(lineitem, orders, supplier, Arm.PreAggRepart)
+
+  /** Plan arms for [[soleLateSupplier]] — the registered query runs
+    * [[Arm.PreAggRepart]] (measured winner, numbers in the scaladoc
+    * above); the losers stay registered under SPARK_GRAFT_EXPERIMENTS
+    * (`rel_sole_late_supplier_e0`/`_e3b`) so the A/B is reproducible
+    * without a rebuild. All three are result-identical (sym-diff 0 at
+    * sf10, oracle-hash PASS at sf0.01 for the registered form).
+    */
+  object Arm extends Enumeration {
+    /** Join raw lines to orders first, collapse after (the r9–r14
+      * registered form): the join sorts/probes RAW line volume. */
+    val JoinFirst = Value
+    /** Collapse per (order, supplier) before the join, riding one
+      * explicit l_orderkey repartition that the aggregate (subset
+      * rule) and the join both reuse. */
+    val PreAggRepart = Value
+    /** Collapse before the join with a natural composite-key groupBy:
+      * map-side combine collapses almost nothing (~4 lines/order
+      * scattered across scan tasks), and the join re-exchanges —
+      * two fact-volume shuffles. */
+    val PreAggNatural = Value
   }
 
-  /** A/B arms for [[soleLateSupplier]]'s sf100 spill-I/O tail (the
-    * r13/r14 verdict experiment): both exploit that `o_orderdate` is
-    * CONSTANT per order, so "any line late" ≡
-    * `datediff(max(l_shipdate), o_orderdate) > 90` (datediff is
-    * monotone in its first argument; max ignores nulls exactly as
-    * max-of-per-row-flags does) — which lets the (order, supplier)
-    * first-level collapse run BEFORE the orders join instead of after:
-    *
-    *  - `preAggRepart = true` (E3b-a, subset-key repartition): one
-    *    explicit exchange of raw lineitem rows on l_orderkey ALONE;
-    *    the composite-key aggregate reuses it (subset rule) AND the
-    *    orders join reuses it — the aggregate's hash state no longer
-    *    shares a task with live join state, and the join sees
-    *    collapsed rows.
-    *  - `preAggRepart = false` (E3b-b, natural pre-aggregate): a plain
-    *    composite-key groupBy — map-side partial agg collapses
-    *    duplicate (order, supplier) lines BEFORE the exchange (the
-    *    fixture's ~4 lines/order co-locate in scan partitions), so the
-    *    wide shuffle carries collapsed bytes; the join then
-    *    re-exchanges only the collapsed stream.
-    *
-    * Registered under `rel_sole_late_supplier_e3a`/`_e3b` ONLY when
-    * SPARK_GRAFT_EXPERIMENTS is set (the WIDEAGG_EXTRA precedent):
-    * bench arms, never driver surface. Measured result and the
-    * graduation decision live in docs/BENCH_NOTES.md r15.
-    */
-  def soleLateSupplierPreAgg(lineitem: DataFrame, orders: DataFrame,
-      supplier: DataFrame, preAggRepart: Boolean): DataFrame = {
+  def soleLateSupplierArm(lineitem: DataFrame, orders: DataFrame,
+      supplier: DataFrame, arm: Arm.Value): DataFrame = {
     val o = orders.select("o_orderkey", "o_orderdate")
     val li0 = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
-    val li = if (preAggRepart) li0.repartition(col("l_orderkey")) else li0
-    val collapsed = li
-      .groupBy(col("l_orderkey"), col("l_suppkey"))
-      .agg(max(col("l_shipdate")).as("max_ship"))
-    val perSupp = collapsed.join(o, col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_orderkey"), col("l_suppkey"),
-        (datediff(col("max_ship").cast("date"),
-          col("o_orderdate").cast("date")) > 90).as("late"))
+    val perSupp = arm match {
+      case Arm.JoinFirst =>
+        val late = datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date")) > 90
+        li0.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(max(late).as("late"))
+      case _ =>
+        val li =
+          if (arm == Arm.PreAggRepart) li0.repartition(col("l_orderkey"))
+          else li0
+        li.groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(max(col("l_shipdate")).as("max_ship"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (datediff(col("max_ship").cast("date"),
+              col("o_orderdate").cast("date")) > 90).as("late"))
+    }
     val perOrder = perSupp.groupBy("l_orderkey")
       .agg(count(lit(1)).as("n_supp"),
         sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
