@@ -161,8 +161,34 @@ elif QUERY == "rel_dominant_supplier":
     # materializations spilled ~47 GB of DuckDB temp at sf100 (ENOSPC
     # twice, r14). Materializing ps ONCE (body verbatim) leaves the
     # decorrelated per-(partkey, yr) aggregates to run over the temp
-    # table — one pipeline's footprint at a time.
+    # table — one pipeline's footprint at a time. At sf100 even that
+    # one pipeline (ps ⋈ its own per-cell aggregate, ~600M rows each
+    # side) exceeds the volume's temp headroom, so GRAFT_DOM_CHUNKS>1
+    # additionally evaluates `dom` (body verbatim) over partkey-residue
+    # slices of the materialized ps: every correlated probe in dom is
+    # confined to rows sharing (l_partkey, yr), a residue class keeps
+    # each such cell whole, and dom is a per-row existential — the
+    # chunk outputs union exactly. All arithmetic inside dom is
+    # DECIMAL/COUNT (exact, order-free), so chunking is bit-exact by
+    # construction (and validated against the unchunked staged form at
+    # sf0.01 before sf100 use).
     barrier("ps")
+    DOM_CHUNKS = int(os.environ.get("GRAFT_DOM_CHUNKS", "1"))
+    if DOM_CHUNKS > 1:
+        dom_body = dict(ctes)["dom"]
+        for k in range(DOM_CHUNKS):
+            con.execute("DROP VIEW ps")
+            con.execute(f"CREATE TEMP VIEW ps AS SELECT * FROM ps__t "
+                        f"WHERE (l_partkey % {DOM_CHUNKS}) = {k}")
+            if k == 0:
+                con.execute(f"CREATE TEMP TABLE dom__t AS {dom_body}")
+            else:
+                con.execute(f"INSERT INTO dom__t {dom_body}")
+            print(f"dom chunk {k + 1}/{DOM_CHUNKS}", flush=True)
+        con.execute("DROP VIEW ps")
+        con.execute("CREATE TEMP VIEW ps AS SELECT * FROM ps__t")
+        con.execute("CREATE TEMP VIEW dom AS SELECT * FROM dom__t")
+        done.add("dom")
 elif QUERY == "sim_embedding_decontam":
     # The single-statement `hits` re-computes the full |corpus|x|eval|
     # cosine through per-element list_reduce SQL (~2e12 FLOPs at sf100;
