@@ -54,6 +54,8 @@ object SparkEntry {
       rel.Relational.wideAggConf(sfDir, cpus)
     else if (dedup.Dedup.pairShuffleQueries(name))
       dedup.Dedup.pairShuffleConf(sfDir, cpus)
+    else if (text.Analysis.sortHeavyQueries(name))
+      text.Analysis.sortHeavyConf(sfDir, cpus)
     else Map.empty
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1009,6 +1009,34 @@ object Analysis {
         (col("n_exact_dup_docs").cast("double") / col("n_docs").cast("double"))
           .as("dup_rate"))
 
+  /** Queries whose reduce side sorts the full token-level explosion
+    * (tf ≈ hundreds of term rows per document, then a per-term window
+    * and a per-doc ordered fold). At 32 reduce partitions × sf100 the
+    * 32 concurrent sorters exhaust the execution pool outright
+    * (UNABLE_TO_ACQUIRE_MEMORY in growPointerArrayIfNecessary under
+    * the 32 MB page pin; the same stage passes with Spark's native
+    * page sizing only because 256 MB pages hit the pool's task-share
+    * wall later) — the same shape [[graft.dedup.Dedup.pairShuffleConf]]
+    * fixed for posting explosions, so the fix is the same scoped conf:
+    * reduce tasks ∝ documents bytes, AQE coalescing pinned off. Values
+    * are partition-count-invariant: each output row is a per-doc
+    * canonical ordered fold (unigram) or an order-free min/max/count
+    * bucket merge (ppl) — checked by a conf-on vs conf-off sym-diff at
+    * sf10 before graduation (docs/BENCH_NOTES.md r15).
+    */
+  val sortHeavyQueries: Set[String] =
+    Set("text_unigram_logprob", "text_ppl_buckets")
+
+  def sortHeavyConf(sfDir: String, cpus: Int): Map[String, String] = {
+    val parts = math.max(cpus.toLong, math.min(2048L,
+      graft.rel.Relational.pathBytes(s"$sfDir/documents.parquet")
+        / graft.dedup.Dedup.PairBytesPerTask)).toInt
+    if (parts <= cpus) Map.empty
+    else Map(
+      "spark.sql.shuffle.partitions" -> parts.toString,
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+  }
+
   // ---- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
