@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -112,9 +112,20 @@ object StreamingDedup {
 
   def dedup(docs: Dataset[Doc]): Dataset[Kept] = {
     import docs.sparkSession.implicits._
-    docs
+    dedupHashed(docs
       .filter(d => d.text != null && d.text.nonEmpty)
-      .map(d => (graft.streaming.StreamingDedup.hashOf(d.text), d.doc_id))
+      .map(d => (graft.streaming.StreamingDedup.hashOf(d.text), d.doc_id)))
+  }
+
+  /** The stateful core of [[dedup]] on a pre-hashed (text_hash, doc_id)
+    * stream — split out so the driver-oracle replay ([[replayDedup]])
+    * can feed it through a MemoryStream without shipping document TEXT
+    * through the driver (hashes are computed distributed; only the
+    * 80-byte (hash, id) pairs transit the replay source).
+    */
+  def dedupHashed(hashed: Dataset[(String, Long)]): Dataset[Kept] = {
+    import hashed.sparkSession.implicits._
+    hashed
       .groupByKey(_._1)
       .flatMapGroupsWithState[Long, Kept](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -137,6 +148,94 @@ object StreamingDedup {
     md.digest(text.toLowerCase(java.util.Locale.ROOT).getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
   }
+
+  /** Micro-batch count for [[replayDedup]]'s deterministic replay —
+    * matches [[StreamingChiSquare.NumReplayBatches]]' convention.
+    */
+  val NumReplayBatches = 3
+
+  /** Streaming REPLAY of [[dedup]] for the driver's oracle gate (the
+    * X101 move, VERDICT r15 ask #5): the fixture is split into
+    * [[NumReplayBatches]] deterministic micro-batches in ARRIVAL order
+    * (= doc_id order — contiguous doc_id slices, so the streaming
+    * first-arrival keeper coincides with the batch twin's min-doc_id
+    * keeper; a mod-N split would put a hash's later copy in an earlier
+    * batch and diverge by design, not by bug) and driven through the
+    * REAL `flatMapGroupsWithState` operator via a MemoryStream, one
+    * `processAllAvailable` per batch. The kept set then answers
+    * `dedup_apply`'s DuckDB oracle bit-for-bit.
+    *
+    * Driver-boundedness: hashing runs DISTRIBUTED (`sha2(lower(text))`
+    * — certified ≡ [[hashOf]] by StreamingDedupSpec); only (hash,
+    * doc_id) pairs (~80 B/doc — 8 MB at sf0.1, ~400 MB at sf100 vs the
+    * suite's 40 g heap) transit the driver, because MemoryStream is
+    * driver-fed by contract. That makes this a replay HARNESS bound,
+    * not a production path: a real deployment attaches [[dedup]] to a
+    * distributed source ([[graft.streaming.StreamingChiSquare.attach]]
+    * shape) and never funnels the corpus; a backfill uses the batch
+    * twin.
+    *
+    * Store discipline: same write-once marker memoization as
+    * [[StreamingChiSquare.replayTopTerms]] — the kept doc_ids are a
+    * pure function of the immutable fixture, built once per (app, dir)
+    * and joined back to `documents` lazily afterwards.
+    */
+  def replayDedup(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val store = Paths.get(
+      sys.props("java.io.tmpdir"), "graft_dedup_replay",
+      dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val marker = store.resolve("_REPLAY_DONE")
+    val kept = store.resolve("kept.parquet").toString
+    if (!Files.exists(marker)) graft.BuildWall.timed("dedup_replay_store") {
+      if (Files.exists(store)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(store).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      }
+      Files.createDirectories(store)
+      import s.implicits._
+      val pairs = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(sha2(lower(col("text")), 256).as("_1"),
+          col("doc_id").as("_2"))
+        .as[(String, Long)]
+        .collect()
+        .sortBy(_._2)
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val src =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+      val qname = s"dedup_replay_${System.nanoTime()}"
+      val q = dedupHashed(src.toDS())
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try {
+        val per = math.max(1, (pairs.length + NumReplayBatches - 1) / NumReplayBatches)
+        for (chunk <- pairs.grouped(per)) {
+          src.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(qname).select("doc_id").write.mode("overwrite").parquet(kept)
+      s.catalog.dropTempView(qname)
+      Files.write(marker, Array.emptyByteArray)
+    }
+    s.read.parquet(s"$dir/documents.parquet")
+      .join(s.read.parquet(kept), Seq("doc_id"))
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** Driver-contract registry surface for the streaming dedup arm. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("dedup_streaming_replay" -> ((s, dir) => replayDedup(s, dir)))
+
+  /** The replay must reproduce the batch keeper set exactly, so it
+    * shares `dedup_apply`'s oracle.
+    */
+  def oracleSql: Map[String, String] =
+    Map("dedup_streaming_replay" ->
+      graft.dedup.Dedup.oracleSql("dedup_apply"))
 
   /** Timestamped arrival for [[dedupTtl]] — `ts` is the doc's ingest
     * event time, the clock the TTL eviction runs on.

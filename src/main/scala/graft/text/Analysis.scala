@@ -618,47 +618,89 @@ object Analysis {
     * calls cost ≤ ~1.4e-7 absolute vs the ratio form, and the oracle
     * mirrors the decomposition op-for-op.
     *
-    * Scale notes: ONE corpus tokenization — the token stream collapses
-    * map-side into (doc, term) tf rows (the same first shuffle as
-    * [[tfidf]]); corpus term counts attach via a SUM WINDOW over term
-    * on the tf rows (vocab-keyed, tf-row-sized — the same
-    * single-materialization argument as tfidf's df window). An
-    * aggregate-then-join form (log2 once per vocab term, hash join
-    * instead of WindowExec's sort) was MEASURED SLOWER at sf10
-    * (15.7 s vs 11.0): everything above tf's (doc_id, t) exchange —
-    * the 300M-row final aggregation — re-executes once per consumer,
-    * and that second pass costs more than the sort plus the per-row
-    * 89-step log it saves; the window keeps the tf subtree
-    * single-consumer. The grand
-    * total is Σ_docs |toks| — a NARROW map-side scan-sum (size of the
-    * token array, no explode, no shuffle) riding a 1-row broadcast
-    * (chi2's G4 pattern): deriving it from the tf rows instead would
-    * re-plan the whole tokenize+aggregate subtree just for one number
-    * (HOF lambdas upstream defeat exchange reuse — explain-verified
-    * here, same finding as tfidf's df window). The per-doc sum folds
-    * tf·log2 cnt in TERM order (array_sort over the collected per-doc
-    * struct list, bounded by the doc's distinct terms) — double
-    * addition is order-sensitive, and a fixed fold order is what keeps
-    * the sum reproducible on any partitioning. Docs with zero admitted
-    * tokens report n_tokens=0, bits 0.0 — no silent drops.
+    * Scale notes — the r16 ORDER-FREE FIXED-POINT design (replacing
+    * r15's corpus-wide term window + per-doc
+    * `array_sort(collect_list(struct))` canonical fold, the pair that
+    * spilled 13.1/28.8 GB in-suite at sf100 under the 32 MB page pin;
+    * VERDICT r15 ask #1):
+    *
+    *  1. Corpus term counts come from a VOCAB-SIZED aggregate
+    *     (`tok.groupBy(t).count`) — map-side combine collapses the
+    *     token explosion to distinct-terms-per-partition before its
+    *     one exchange, and the 89-step [[portableLog2]] then runs once
+    *     per VOCAB TERM, not once per tf row (sf100: ~10⁵ folds vs
+    *     ~10⁸).
+    *  2. Each term's log weight is quantized ONCE to a fixed-point
+    *     long `q = floor(log2(cnt)·2^38 + 0.5)` ([[UnigramFpBits]]).
+    *     Every per-doc accumulation below is then INTEGER arithmetic —
+    *     `Σ tf·q` is exact and commutative, so the result is
+    *     bit-identical under ANY partitioning, merge order, or
+    *     spill path. No sort, no list materialization: the plan's
+    *     only operators after the scans are hash aggregates and one
+    *     shuffled HASH join (hinted — sort-merge would reintroduce
+    *     the corpus sort), and UnigramPlanSpec asserts zero SortExec.
+    *  3. tf rows attach q via tf ⋈ vocab on term. Deriving the vocab
+    *     counts from the tf rows instead (`tf.groupBy(t).sum`) would
+    *     single-tokenize but double-execute the 300M-row post-shuffle
+    *     tf aggregation (exchange reuse covers the exchange, not the
+    *     aggregate above it — the r15 measured finding); re-running
+    *     the cheap scan+split tokenization for the vocab branch is
+    *     the lighter second pass. Both arms are registered behind
+    *     SPARK_GRAFT_EXPERIMENTS (`_etok` / `_etf`) and A/B'd —
+    *     docs/BENCH_NOTES.md r16.
+    *
+    * The grand total stays a NARROW map-side scan-sum (array size, no
+    * explode, no shuffle) on a 1-row broadcast (chi2's G4 pattern),
+    * and `lg_tot` stays double: it multiplies `n_tokens` once per
+    * OUTPUT row, a single deterministic IEEE product mirrored
+    * op-for-op by the oracle. Quantization: |q/2^38 − log2 cnt| ≤
+    * 2^-39, so |Δsum_log2p| ≤ n_tokens·2^-39 and |Δbits_per_token| ≤
+    * 2^-39 ≈ 1.8e-12 — far below the 7e-8 the log itself carries.
+    * Overflow envelope: |Σ tf·q| ≤ n_tokens·log2(corpus)·2^38 <
+    * 2^63 whenever n_tokens·log2(corpus) < 2^25 — a 500k-token doc in
+    * a 2^45-token (≈3.5e13, 100 TB-scale) corpus sits 2× inside.
+    * Docs with zero admitted tokens report n_tokens=0, bits 0.0 — no
+    * silent drops.
     */
-  def unigramLogProb(d: DataFrame): DataFrame = {
+  def unigramLogProb(d: DataFrame): DataFrame =
+    unigramLogProbArm(d, cntFromTf = false)
+
+  /** Fixed-point fraction bits for [[unigramLogProb]]'s per-document
+    * accumulation: q = floor(log2(cnt)·2^38 + 0.5). 38 keeps the
+    * quantization (2^-39 per token) ~4 orders below the portable log's
+    * own 7e-8 envelope while leaving 2^25 of headroom for
+    * n_tokens·log2(corpus) in the long sum — see [[unigramLogProb]].
+    */
+  val UnigramFpBits: Int = 38
+
+  /** 2^38 as an exact double; the oracle twin writes the same literal. */
+  val UnigramFpScale: Double = 274877906944.0
+
+  /** [[unigramLogProb]] with the vocab-count provenance switchable for
+    * the r16 A/B: `cntFromTf = false` re-tokenizes for the vocab branch
+    * (two scans, each map-only); `true` derives counts from the tf rows
+    * (one scan, but the post-shuffle tf aggregate executes twice).
+    * Bit-identical results either way — cnt is Σ tf over docs in both.
+    */
+  def unigramLogProbArm(d: DataFrame, cntFromTf: Boolean): DataFrame = {
     val tok = d.select(col("doc_id"), explode(toksCol).as("t"))
     val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val cnt =
+      if (cntFromTf) tf.groupBy("t").agg(sum(col("tf")).as("cnt"))
+      else tok.groupBy("t").agg(count(lit(1)).as("cnt"))
+    val q = cnt.select(col("t"),
+      floor(portableLog2(col("cnt").cast("double")) * lit(UnigramFpScale)
+        + lit(0.5)).as("q"))
     val tot = d.agg(sum(size(toksCol)).cast("long").as("tot"))
       .select(portableLog2(col("tot").cast("double")).as("lg_tot"))
-    val byTerm = org.apache.spark.sql.expressions.Window.partitionBy("t")
-    val scored = tf.withColumn("cnt", sum(col("tf")).over(byTerm))
-      .withColumn("lg", portableLog2(col("cnt").cast("double")))
-    val perDoc = scored.groupBy("doc_id")
+    val perDoc = tf.join(q.hint("shuffle_hash"), Seq("t"))
+      .groupBy("doc_id")
       .agg(sum(col("tf")).as("n_tokens"),
-        aggregate(
-          array_sort(collect_list(struct(col("t"),
-            (col("tf").cast("double") * col("lg")).as("v")))),
-          lit(0.0), (acc, s) => acc + s.getField("v")).as("sfold"))
+        sum(col("tf") * col("q")).as("sfp"))
       .crossJoin(broadcast(tot))
       .select(col("doc_id"), col("n_tokens"),
-        (col("sfold") - col("n_tokens").cast("double") * col("lg_tot"))
+        (col("sfp").cast("double") / lit(UnigramFpScale)
+          - col("n_tokens").cast("double") * col("lg_tot"))
           .as("sum_log2p"))
     d.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1027,19 +1069,13 @@ object Analysis {
   val sortHeavyQueries: Set[String] =
     Set("text_unigram_logprob", "text_ppl_buckets")
 
-  def sortHeavyConf(sfDir: String, cpus: Int): Map[String, String] = {
-    val parts = math.max(cpus.toLong, math.min(2048L,
-      graft.rel.Relational.pathBytes(s"$sfDir/documents.parquet")
-        / graft.dedup.Dedup.PairBytesPerTask)).toInt
-    if (parts <= cpus) Map.empty
-    else Map(
-      "spark.sql.shuffle.partitions" -> parts.toString,
-      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
-  }
+  def sortHeavyConf(sfDir: String, cpus: Int): Map[String, String] =
+    graft.dedup.Dedup.pairShuffleConf(sfDir, cpus)
 
   // ---- registry ---------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     "text_langid" -> ((s, dir) => langId(docs(s, dir)).orderBy("doc_id")),
     "text_quality" -> ((s, dir) => quality(docs(s, dir)).orderBy("doc_id")),
     "text_quality_filter" -> ((s, dir) =>
@@ -1082,7 +1118,24 @@ object Analysis {
     "text_dataset_card" -> ((s, dir) => datasetCard(docs(s, dir))),
     "text_langid_eval" -> ((s, dir) =>
       langIdEval(docs(s, dir)).orderBy("actual_lang", "predicted_lang"))
-  )
+  ) ++ experimentQueries
+
+  /** A/B arms for [[unigramLogProbArm]]'s vocab-count provenance
+    * (bench-only, behind SPARK_GRAFT_EXPERIMENTS like
+    * [[graft.rel.Relational]]'s). The `_e` suffix convention lets
+    * SparkEntry.queryConfs give both arms the base query's scoped conf
+    * automatically (r15 ADVICE).
+    */
+  private def experimentQueries: Map[String, (SparkSession, String) => DataFrame] =
+    if (sys.env.contains("SPARK_GRAFT_EXPERIMENTS"))
+      Map(
+        "text_unigram_logprob_etok" -> ((s, dir) =>
+          unigramLogProbArm(docs(s, dir), cntFromTf = false)
+            .orderBy("doc_id")),
+        "text_unigram_logprob_etf" -> ((s, dir) =>
+          unigramLogProbArm(docs(s, dir), cntFromTf = true)
+            .orderBy("doc_id")))
+    else Map.empty
 
   // ---- DuckDB oracle SQL ------------------------------------------------
 
@@ -1180,30 +1233,33 @@ object Analysis {
 
   /** The [[unigramLogProb]] chain as CTEs ending in
     * ul(doc_id, n_tokens, sum_log2p, bits_per_token) — shared by the
-    * per-doc score oracle and the perplexity-bucket histogram.
+    * per-doc score oracle and the perplexity-bucket histogram. The
+    * fixed-point arithmetic is mirrored op-for-op: same vocab-level
+    * `floor(plog2·2^38 + 0.5)` quantization (the 2^38 literal is the
+    * exact integer, both engines' double product/floor are identical
+    * IEEE ops), same integer Σ tf·q (exact in any order — DuckDB's
+    * HUGEINT sum is narrowed back to BIGINT inside the envelope), same
+    * single double division + lg_tot product at the end.
     */
   private val unigramCtes: String =
     s"""$dCte, tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
        |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
-       |ltot AS (
+       |q AS (
+       |  SELECT t,
+       |         CAST(floor(${plog2Sql("CAST(cnt AS DOUBLE)")}
+       |           * CAST(274877906944 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q
+       |  FROM (SELECT t, count(*) AS cnt FROM tok GROUP BY 1)
+       |), ltot AS (
        |  SELECT ${plog2Sql("CAST(tot AS DOUBLE)")} AS lg_tot
        |  FROM (SELECT CAST(sum(len(toks)) AS BIGINT) AS tot FROM d)
-       |), sc AS (
-       |  SELECT doc_id, t, tf,
-       |         CAST(sum(tf) OVER (PARTITION BY t) AS BIGINT) AS cnt
-       |  FROM tf
-       |), lg AS (
-       |  SELECT doc_id, t, tf,
-       |         CAST(tf AS DOUBLE) * ${plog2Sql("CAST(cnt AS DOUBLE)")} AS v
-       |  FROM sc
        |), pd AS (
        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-       |         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(v ORDER BY t)),
-       |                     (a, x) -> a + x) AS sfold
-       |  FROM lg GROUP BY doc_id
+       |         CAST(sum(tf * q) AS BIGINT) AS sfp
+       |  FROM tf JOIN q USING (t) GROUP BY doc_id
        |), pj AS (
        |  SELECT doc_id, n_tokens,
-       |         sfold - CAST(n_tokens AS DOUBLE) * lg_tot AS sum_log2p
+       |         CAST(sfp AS DOUBLE) / CAST(274877906944 AS DOUBLE)
+       |           - CAST(n_tokens AS DOUBLE) * lg_tot AS sum_log2p
        |  FROM pd, ltot
        |), ul AS (
        |  SELECT d.doc_id,

@@ -66,6 +66,31 @@ class StreamingDedupSpec extends SparkSpec {
         "(same hash, same min-doc_id tie-break)")
   }
 
+  test("registered dedup_streaming_replay equals dedup_apply (multi-batch, real operator)") {
+    val s = spark; import s.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // the distributed sha2(lower(text)) the replay feeds the operator
+    // must equal the scalar hashOf the operator applies on a raw Doc
+    // stream — otherwise replay and attach paths dedup different keys
+    val hx = s.read.parquet(s"$dir/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+      .select(org.apache.spark.sql.functions.sha2(
+        org.apache.spark.sql.functions.lower(
+          org.apache.spark.sql.functions.col("text")), 256).as("h"),
+        org.apache.spark.sql.functions.col("text"))
+      .as[(String, String)].collect()
+    for ((h, text) <- hx.take(200))
+      assert(h == StreamingDedup.hashOf(text), "sha2 column ≡ hashOf")
+
+    val got = graft.SparkEntry.queries("dedup_streaming_replay")(s, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val want = graft.SparkEntry.queries("dedup_apply")(s, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == want.toSeq,
+      "3-batch arrival-order streaming replay must reproduce the batch " +
+        "keeper rows exactly (first arrival ≡ min doc_id)")
+  }
+
   // ---- event-time TTL (dedupTtl) — same deterministic protocol as
   // StreamingNearDupSpec: the watermark for batch N is computed from
   // batches < N, so an eviction lands one batch after the timestamp

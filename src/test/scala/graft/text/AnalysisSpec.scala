@@ -458,26 +458,51 @@ class AnalysisSpec extends SparkSpec {
     assert(got(math.pow(2, -40))._1 === -40.0)
   }
 
-  test("unigram logprob: hand case (MLE probabilities, term-ordered fold)") {
+  test("unigram logprob: hand case (MLE probabilities, fixed-point sum)") {
     val s = spark; import s.implicits._
     // corpus: "a a b" + "b c" → counts a:2 b:2 c:1, total 5
     val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     val got = Analysis.unigramLogProb(d).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
       .toMap
-    // decomposed form: Σ tf·plog2(cnt) − n·plog2(total)
-    val lg2 = plog2Ref(2.0); val lg1 = plog2Ref(1.0); val lgT = plog2Ref(5.0)
-    // doc 1: terms sorted (a, b), counts a:2 b:2: (2·lg2 + 1·lg2) − 3·lgT
-    val s1 = (0.0 + 2.0 * lg2 + 1.0 * lg2) - 3.0 * lgT
-    // doc 2: (b, c), counts b:2 c:1: (1·lg2 + 1·lg1) − 2·lgT
-    val s2 = (0.0 + 1.0 * lg2 + 1.0 * lg1) - 2.0 * lgT
+    // decomposed fixed-point form: (Σ tf·q(cnt))/2^38 − n·plog2(total),
+    // q(c) = floor(plog2(c)·2^38 + 0.5) — the exact arithmetic of both
+    // engines, mirrored here in scalar Scala
+    def q(c: Double): Long =
+      math.floor(plog2Ref(c) * Analysis.UnigramFpScale + 0.5).toLong
+    val lgT = plog2Ref(5.0)
+    // doc 1: a(tf 2, cnt 2), b(tf 1, cnt 2): sfp = 3·q(2)
+    val s1 = (3L * q(2.0)).toDouble / Analysis.UnigramFpScale - 3.0 * lgT
+    // doc 2: b(tf 1, cnt 2), c(tf 1, cnt 1): sfp = q(2) + q(1), q(1)=0
+    assert(q(1.0) === 0L)
+    val s2 = (q(2.0) + q(1.0)).toDouble / Analysis.UnigramFpScale - 2.0 * lgT
     assert(got(1L) === ((3L, s1, -(s1 / 3.0))))
     assert(got(2L) === ((2L, s2, -(s2 / 2.0))))
+    // both arms of the vocab-count A/B are bit-identical
+    val etf = Analysis.unigramLogProbArm(d, cntFromTf = true).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(etf === got)
     // fixture run: every doc scored, bits positive (p < 1 throughout)
     val fx = Analysis.queries("text_unigram_logprob")(
       spark, "/root/testdata/sf0.001").collect()
     assert(fx.length === 500)
     assert(fx.forall(r => r.getAs[Double]("bits_per_token") > 0.0))
+  }
+
+  test("unigram logprob plan is sortless: hash join + hash aggregates only") {
+    // the r16 contract (VERDICT r15 ask #1): no Sort operator of any
+    // kind — no WindowExec sort, no SortMergeJoin, no SortAggregate —
+    // so the result cannot depend on merge order and the sf100 spill
+    // regime of the r15 canonical fold cannot recur. The term join
+    // must be the hinted ShuffledHashJoin (sort-merge would
+    // reintroduce the corpus sort behind our back).
+    val df = Analysis.unigramLogProb(spark.read.parquet(
+      "/root/testdata/sf0.001/documents.parquet"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Sort"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("ShuffledHashJoin"), p.take(2000))
   }
 
   test("source profile: hand case; fixture totals agree with the per-doc queries") {
