@@ -115,6 +115,7 @@ object PlanDump {
         || `sim_semdedup` | the same IVF training sample (cell assignment embeds the trained centroids as literals) | ≤256 rows × 64 doubles |
         || `sim_bucket_stats` | the same IVF training sample, for the `ivf_cell` cap-audit row's cell assignment | ≤256 rows × 64 doubles |
         || `rel_salted_join` | the key-skew audit frame (one row per candidate join column) whose hottest flagged column becomes the salted join key | 2 rows |
+|| `dedup_substring` | NOTHING to the driver — the df-capped candidate-pair table and the semi-join-pruned positional postings are lazy-localCheckpointed (r16: three resp. two consumers each re-planned the gram-seq corpus subtree — 38 Exchanges → the documented two corpus scans), and under AQE wrapping a plan in a checkpoint RDD materializes its stages at build | pairs ≤ Σ df²/2 per capped anchor bucket; postings = candidate docs only |
         |
         |(`sim_ann_recall` composes `ivfTopK`, so it also performs the IVF
         |sample collect; its own bound is the 50-row exact result.)

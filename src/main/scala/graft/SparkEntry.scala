@@ -70,6 +70,9 @@ object SparkEntry {
     else if (text.Analysis.sortHeavyQueries(name) ||
       text.Analysis.sortHeavyQueries(base))
       text.Analysis.sortHeavyConf(sfDir, cpus)
+    else if (streaming.StreamingDedup.replayQueries(name) ||
+      streaming.StreamingDedup.replayQueries(base))
+      streaming.StreamingDedup.replayConf(sfDir, cpus)
     else Map.empty
   }
 

@@ -717,7 +717,19 @@ object Dedup {
       explode(graft.functions.GraftFunctions.graftWinnowSelect(
         col("ks"), lit(SubstrWinnow))).as("anchor"))
     // members sorted by doc_id → doc_a < doc_b by construction (the
-    // jaccard/containment bucket discipline)
+    // jaccard/containment bucket discipline). LAZY localCheckpoint
+    // (r16): `cand` has three consumers (both candDocs legs + the
+    // verify join) and `pos` two (the pa/pb self-join sides), and
+    // Spark reuses EXCHANGES, not arbitrary subtrees — the r15 plan
+    // re-planned the tokenize+gram-seq corpus pass ~5× (38 Exchanges).
+    // Checkpointing the two BOUNDED intermediates (cand: df-capped
+    // pairs; pos: candidate docs' postings only, already semi-join
+    // pruned) makes the executed query the documented two-corpus-scan
+    // design (guide §3.3 "materialise an intermediate"). eager=false
+    // keeps the registry's lazy-at-build contract: the RDD materializes
+    // inside the first action and later consumers read the persisted
+    // blocks. Values are untouched — downstream is aggregates/joins +
+    // a final orderBy, so block order cannot matter.
     val cand = anchors.groupBy("anchor")
       .agg(array_sort(collect_set(col("doc_id"))).as("docs"))
       .filter(size(col("docs")) >= 2 && size(col("docs")) <= maxAnchorDf)
@@ -726,11 +738,13 @@ object Dedup {
           b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
-    val candDocs = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+      .localCheckpoint(false)
+    val candDocs = cand.select(explode(array(col("doc_a"), col("doc_b")))
+      .as("doc_id")).distinct()
     val pos = seqs.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), posexplode(col("ks")))
       .select(col("doc_id"), col("pos"), col("col").as("hk"))
+      .localCheckpoint(false)
     val matches = cand
       .join(pos.select(col("doc_id").as("doc_a"), col("pos").as("pa"),
         col("hk")), Seq("doc_a"))

@@ -254,7 +254,7 @@ object Similarity {
     */
   def bucketCol(v: Column): Column = {
     val bits = (0 until NumPlanes).map { p =>
-      val w = array(planes(p).map(x => lit(x.toDouble)): _*)
+      val w = typedLit[Seq[Double]](planes(p).map(_.toDouble))
       when(dot(v, w) >= 0, "1").otherwise("0")
     }
     concat(bits: _*)
@@ -263,7 +263,7 @@ object Similarity {
   /** [[AnnPlanesPerTable]]-char bucket key for ANN table `t`. */
   def annBucketCol(v: Column, t: Int): Column = {
     val bits = (0 until AnnPlanesPerTable).map { p =>
-      val w = array(annPlanes(t)(p).map(x => lit(x.toDouble)): _*)
+      val w = typedLit[Seq[Double]](annPlanes(t)(p).map(_.toDouble))
       when(dot(v, w) >= 0, "1").otherwise("0")
     }
     concat(bits: _*)
@@ -450,7 +450,21 @@ object Similarity {
   private def subCol(v: Column, m: Int): Column =
     slice(v, m * PqSubDim + 1, PqSubDim)
 
-  private def litArr(cv: Seq[Double]): Column = array(cv.map(lit): _*)
+  /** A constant double array as ONE Literal node (`typedLit`), not a
+    * [[Dim]]-child `CreateArray(lit, …)` tree. Catalyst constant-folds
+    * both to the same ArrayData, so runtime values are identical — but
+    * the folded form only exists AFTER optimization, and every eager
+    * DataFrame transformation re-ANALYZES the whole tree first. With
+    * the PQ codebook embedded as nested CreateArray trees (~20k leaf
+    * nodes: 16 subspaces × 64 codewords × 4 dims, plus the 16×16×64
+    * norm tables), `sim_cosine_ann_pq` measured 1.4 s of warm BUILD
+    * time (plan construction alone) + inflated analyze/AQE-replan cost
+    * on every execution; single-node literals collapse that to
+    * microseconds (r16, guide §1.2 "per-task work" applied to the
+    * driver's plan work). Verified value-identical by the existing
+    * parity specs (IvfPlanSpec kernel ≡ unrolled ≡ driver argmin).
+    */
+  private def litArr(cv: Seq[Double]): Column = typedLit(cv)
 
   /** Per-row PQ codes for `vec` (the raw vector, or the IVF residual —
     * the encoder is agnostic): for each subspace, the 1-based LIST
@@ -474,8 +488,9 @@ object Similarity {
       cb: IndexedSeq[IndexedSeq[(Long, Seq[Double], Double)]],
       vec: Column): Column =
     graft.functions.GraftFunctions.graftPqEncode(vec,
-      array(cb.map(m => array(m.map { case (_, cv, _) => litArr(cv) }: _*)): _*),
-      array(cb.map(m => litArr(m.map(_._3))): _*))
+      typedLit[Seq[Seq[Seq[Double]]]](
+        cb.toSeq.map(_.toSeq.map(_._2.toSeq))),
+      typedLit[Seq[Seq[Double]]](cb.toSeq.map(_.toSeq.map(_._3))))
 
   /** The unrolled Column-expression twin of [[pqCodesCol]] — argmin
     * via array_min + FIRST-index array_position, identical to the
@@ -530,7 +545,8 @@ object Similarity {
   private def pqLutCol(
       cb: IndexedSeq[IndexedSeq[(Long, Seq[Double], Double)]]): Column =
     graft.functions.GraftFunctions.graftPqLut(col("v"),
-      array(cb.map(m => array(m.map { case (_, cv, _) => litArr(cv) }: _*)): _*))
+      typedLit[Seq[Seq[Seq[Double]]]](
+        cb.toSeq.map(_.toSeq.map(_._2.toSeq))))
 
   /** IVF+PQ ANN with RESIDUAL encoding and asymmetric-distance scoring
     * (the IVFADC construction; r10 encoded raw vectors and measured
@@ -569,14 +585,14 @@ object Similarity {
     // the id→position translation), centroid matrix (residual
     // subtraction), centroid norms, and per-(m, cell, code) norm terms
     // t = 2·dot(c_m, codeword) + ‖codeword‖²
-    val idArr = array(cents.map(ct => lit(ct._1)): _*)
-    val centMat = array(cents.map(ct => litArr(ct._2)): _*)
+    val idArr = typedLit[Seq[Long]](cents.map(_._1).toSeq)
+    val centMat = typedLit[Seq[Seq[Double]]](cents.map(_._2.toSeq).toSeq)
     val cnArr = litArr(cents.map(_._3))
     val tLit: IndexedSeq[Column] = (0 until PqM).map { m =>
-      array(cents.map { ct =>
+      typedLit[Seq[Seq[Double]]](cents.map { ct =>
         val csub = ct._2.slice(m * PqSubDim, (m + 1) * PqSubDim)
-        litArr(cb(m).map { case (_, cv, cn) => 2.0 * dotD(csub, cv) + cn })
-      }: _*)
+        cb(m).map { case (_, cv, cn) => 2.0 * dotD(csub, cv) + cn }.toSeq
+      }.toSeq)
     }
     val assign = c
       .withColumn("cell_id", element_at(coarse, 1).getField("cell_id"))
@@ -683,7 +699,7 @@ object Similarity {
     */
   private def probeCells(cents: Seq[(Long, Seq[Double], Double)]): Column =
     array_sort(array(cents.map { case (id, cv, cn) =>
-      val w = array(cv.map(lit): _*)
+      val w = litArr(cv)
       val d = dot(col("v"), w)
       struct((-(d / (sqrt(col("nrm")) * sqrt(lit(cn))))).as("neg"),
         lit(id).as("cell_id"), d.as("cdot"))
@@ -800,7 +816,7 @@ object Similarity {
     // bucket, whose members can never match (chain-NULL semantics,
     // enforced by the kernel's member packing).
     val bkt = (0 until ScreenPlanes).map { p =>
-      val w = array(screenPlanes(p).map(x => lit(x.toDouble)): _*)
+      val w = typedLit[Seq[Double]](screenPlanes(p).map(_.toDouble))
       when(dot(col("v"), w) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     // Two-level index, one scan of the eval side. Level 2 first: the
@@ -816,7 +832,7 @@ object Similarity {
     // into one concrete sub-key per bucket (never a NULL sub-key) —
     // one sub-cell whose null cv disables its bound as above.
     val sbkt = (0 until ScreenSubPlanes).map { p =>
-      val w = array(screenSubPlanes(p).map(x => lit(x.toDouble)): _*)
+      val w = typedLit[Seq[Double]](screenSubPlanes(p).map(_.toDouble))
       when(dot(col("v"), w) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     def meanOf(msCol: org.apache.spark.sql.Column) = transform(
@@ -861,7 +877,7 @@ object Similarity {
         }
         def keyOf(ev: org.apache.spark.sql.Column) =
           (0 until ScreenSubSubPlanes).map { p =>
-            val w = array(screenSubSubPlanes(p).map(x => lit(x.toDouble)): _*)
+            val w = typedLit[Seq[Double]](screenSubSubPlanes(p).map(_.toDouble))
             when(dot(ev, w) - dot(col("scv"), w) >= 0, lit(1L << p))
               .otherwise(lit(0L))
           }.reduce(_ + _)

@@ -230,6 +230,36 @@ object StreamingDedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("dedup_streaming_replay" -> ((s, dir) => replayDedup(s, dir)))
 
+  /** The two MemoryStream replay queries (this one and the χ²
+    * maintainer's) — covered by [[replayConf]] via SparkEntry.queryConfs.
+    */
+  val replayQueries: Set[String] =
+    Set("dedup_streaming_replay", "chi2_streaming_replay")
+
+  /** Scoped conf for the replay builds (r16): a stateful streaming
+    * micro-batch commits ONE state-store instance per shuffle partition
+    * per batch, so the replay pays `partitions × NumReplayBatches`
+    * store snapshot/commit rounds (file creates under the checkpoint
+    * dir) regardless of data volume — at the session's 32 partitions
+    * that was 96 commits to dedupe a 584 KB fixture (the dominant term
+    * of the 4.3 s first-build wall). Partition count scales with the
+    * fixture's documents bytes at the pair-shuffle sizing
+    * ([[graft.dedup.Dedup.PairBytesPerTask]] ≈ 1 MB of keyed state per
+    * partition), floored at 4 so the replay still exercises
+    * multi-partition state merge and capped at the pairShuffleConf
+    * ceiling: sf0.1 → 4, sf10 → ~58, sf100 → ~584 — data-proportional,
+    * not a local-core constant. Cannot change results: the kept set is
+    * decided per key whatever the key→partition mapping, and every
+    * consumer re-sorts (the χ² replay's store tables are re-aggregated
+    * to the same exact counts under any partitioning).
+    */
+  def replayConf(sfDir: String, cpus: Int): Map[String, String] = {
+    val parts = math.max(4L, math.min(2048L,
+      graft.rel.Relational.pathBytes(s"$sfDir/documents.parquet")
+        / graft.dedup.Dedup.PairBytesPerTask)).toInt
+    Map("spark.sql.shuffle.partitions" -> parts.toString)
+  }
+
   /** The replay must reproduce the batch keeper set exactly, so it
     * shares `dedup_apply`'s oracle.
     */

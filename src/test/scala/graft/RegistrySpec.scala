@@ -25,7 +25,13 @@ class RegistrySpec extends SparkSpec {
     "sim_cosine_ann_pq",    // same sample, feeding coarse + PQ codebook training
     "sim_semdedup",         // same ≤256-row sample (literal-embedded quantizer)
     "sim_bucket_stats",     // same sample, for the ivf_cell cap-audit row
-    "rel_salted_join"       // 2-row key-skew audit decides the salted key at build
+    "rel_salted_join",      // 2-row key-skew audit decides the salted key at build
+    // r16: the two bounded intermediates (df-capped candidate pairs +
+    // semi-join-pruned postings) are lazy-localCheckpointed so the
+    // verify pass stops re-planning the gram-seq corpus subtree ~5×;
+    // under AQE, wrapping a plan in a checkpoint RDD materializes its
+    // stages at build time (distributed jobs, nothing to the driver)
+    "dedup_substring"
   )
 
   /** Entries whose build-time work is MEMOIZED per fixture dir: eager

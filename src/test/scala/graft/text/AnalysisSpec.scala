@@ -2,6 +2,7 @@ package graft.text
 
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 class AnalysisSpec extends SparkSpec {
 
@@ -248,6 +249,30 @@ class AnalysisSpec extends SparkSpec {
     // HLL++ at rsd=0.02 on 51 distinct values: allow a generous 5× band
     assert(math.abs(r.getAs[Long]("vocab_approx") - 51L) <= 6L)
     assert(r.getAs[Double]("rel_err") >= 0.0)
+  }
+
+  test("vocab sketch: two-level aggregate is bit-identical to the one-pass twin") {
+    // r16 rewrote vocabSketch to sketch per-(lang, t) DISTINCT rows
+    // (HLL insertion is idempotent), with n_tokens folded back as
+    // sum of exact counts. This pins every column — including the raw
+    // HLL estimate — against the r15 one-pass formulation.
+    val s = spark; import s.implicits._
+    val d = (0 until 80).map(i =>
+      (i.toLong, s"tok$i tok${i % 7} tok${i % 13} shared",
+        if (i % 3 == 0) "en" else "de")).toDF("doc_id", "text", "lang")
+    val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+    val onePass = d.select(col("lang"), explode(toks).as("t"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        count_distinct(col("t")).as("vocab_exact"),
+        approx_count_distinct(col("t"), Analysis.VocabSketchRsd)
+          .as("vocab_approx"))
+      .withColumn("rel_err",
+        abs(col("vocab_approx") - col("vocab_exact")).cast("double") /
+          col("vocab_exact").cast("double"))
+      .orderBy("lang").collect().toSeq
+    val twoLevel = Analysis.vocabSketch(d).orderBy("lang").collect().toSeq
+    assert(twoLevel.map(_.toSeq) === onePass.map(_.toSeq))
   }
 
   test("repetition matches hand-computed gram counts; short docs report zeros") {
