@@ -71,17 +71,30 @@ object ChiSquarePipeline {
     * output (`chi2_formatted_lines`).
     */
   def formattedLines(top: DataFrame)(implicit spark: SparkSession): DataFrame = {
-    val catLines = top
+    // ONE pass over `top` (r16): the per-category lines and the
+    // dictionary line are two groupings of the same rows, so a ROLLUP
+    // computes both in a single aggregate (Expand ×2 over the ≤ k·|cats|
+    // top rows) — the union form planned the ENTIRE chi² subtree twice
+    // (tokenize → contingency → window), and Spark reuses exchanges,
+    // not the window/format work above them. Lines are byte-identical:
+    // the category groups emit the same rank-ordered kv string, the
+    // rollup's grand-total group emits the sorted distinct term
+    // dictionary (collect_set ≡ distinct), and `grouping()` — not a
+    // null test — marks the total row, so a hypothetical null category
+    // could never collide with it.
+    top
       .withColumn("kv", concat_ws(":", col("term"),
         format_string("%.6f", col("chi2"))))
-      .groupBy(col("category"))
+      .rollup(col("category"))
       .agg(concat_ws(" ", array_sort(collect_list(struct(col("rank"), col("kv"))))
-        .getField("kv")).as("terms"))
-      .select(concat_ws(" ", col("category"), col("terms")).as("line"),
-        col("category").as("sort_key"))
-    val dictLine = mergedDictionary(top)
-      .agg(concat_ws(" ", array_sort(collect_list(col("term")))).as("line"))
-      .select(col("line"), lit("￿").as("sort_key")) // dictionary last
-    catLines.unionByName(dictLine).orderBy("sort_key").select("line")
+        .getField("kv")).as("terms"),
+        concat_ws(" ", array_sort(collect_set(col("term")))).as("dict"),
+        grouping(col("category")).as("g"))
+      .select(
+        when(col("g") === 1, col("dict"))
+          .otherwise(concat_ws(" ", col("category"), col("terms"))).as("line"),
+        when(col("g") === 1, lit("￿")) // dictionary last
+          .otherwise(col("category")).as("sort_key"))
+      .orderBy("sort_key").select("line")
   }
 }

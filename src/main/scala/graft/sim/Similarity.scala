@@ -570,9 +570,18 @@ object Similarity {
     * joins codewords by code_id instead of position — an independent
     * reconstruction of the whole chain, hash-compared.
     */
-  private def pqTopK(s: SparkSession, dir: String): DataFrame = {
-    val c = prepared(s, dir, withBucket = false)
-    val sample = collectSample(c)
+  private def pqTopK(s: SparkSession, dir: String): DataFrame =
+    pqTopKFrom(prepared(s, dir, withBucket = false), None)
+
+  /** [[pqTopK]] with an optionally pre-collected training sample —
+    * `sim_ann_recall` builds all three ANN arms in one invocation, and
+    * before r16 the IVF and PQ arms each re-ran the [[collectSample]]
+    * job + driver Lloyd on the same [[TrainN]] rows (identical inputs →
+    * identical centroids, so sharing cannot change any value).
+    */
+  private def pqTopKFrom(c: DataFrame,
+      sampleIn: Option[Seq[(Long, Array[Double])]]): DataFrame = {
+    val sample = sampleIn.getOrElse(collectSample(c))
     val cents = lloydDriver(sample)
     val coarse = probeCells(cents)
     val cb = pqTrainDriver(residualSample(sample, cents))
@@ -717,9 +726,14 @@ object Similarity {
     * against the measured `sim_ann_recall` query, not by feel.
     * IvfPlanSpec pins the no-corpus-window shape.
     */
-  private def ivfTopK(s: SparkSession, dir: String): DataFrame = {
-    val c = prepared(s, dir, withBucket = false)
-    val cells = probeCells(centroidLiterals(c))
+  private def ivfTopK(s: SparkSession, dir: String): DataFrame =
+    ivfTopKFrom(prepared(s, dir, withBucket = false), None)
+
+  /** [[ivfTopK]] with an optionally shared training sample (see
+    * [[pqTopKFrom]]). */
+  private def ivfTopKFrom(c: DataFrame,
+      sampleIn: Option[Seq[(Long, Array[Double])]]): DataFrame = {
+    val cells = probeCells(lloydDriver(sampleIn.getOrElse(collectSample(c))))
     val assign = c.withColumn("cells", cells)
       .select(element_at(col("cells"), 1).getField("cell_id").as("cell_id"),
         col("vec_id"), col("v"), col("nrm"))
@@ -1169,6 +1183,11 @@ object Similarity {
       val ex = exactTopK(s, dir).select("query_id", "vec_id")
       val exact = s.createDataFrame(
         java.util.Arrays.asList(ex.collect(): _*), ex.schema)
+      // ONE training-sample collect shared by the IVF and PQ arms
+      // (identical input rows → identical driver-trained quantizers,
+      // so the shared sample cannot change any value — r16).
+      val c = prepared(s, dir, withBucket = false)
+      val sample = Some(collectSample(c))
       def rec(ann: DataFrame, variant: String): DataFrame =
         exact.join(
             ann.select(col("query_id"), col("vec_id"), lit(1).as("hit")),
@@ -1176,9 +1195,9 @@ object Similarity {
           .groupBy("query_id").agg(count(col("hit")).as("hits"))
           .select(lit(variant).as("variant"), col("query_id"), col("hits"),
             (col("hits").cast("double") / lit(TopK)).as("recall"))
-      rec(ivfTopK(s, dir), "ivf")
+      rec(ivfTopKFrom(c, sample), "ivf")
         .unionByName(rec(lshTopK(s, dir), "lsh"))
-        .unionByName(rec(pqTopK(s, dir), "pq"))
+        .unionByName(rec(pqTopKFrom(c, sample), "pq"))
         .orderBy("variant", "query_id")
     }),
     // Corpus-level near-dup pairs: per-bucket self-join + exact rescore.
