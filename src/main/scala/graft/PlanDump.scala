@@ -64,7 +64,7 @@ object PlanDump {
     "sim_semdedup" ->
       "Zero-shuffle cell assignment (16 literal centroid dots per row, same narrow map as IVF); ONE cell_id exchange carries both the count-window size guard and the per-cell collect_list, and pairs expand IN-ARRAY inside cap-admitted cells (the a×b self-join planned the assignment subtree four times — 1.75 → 0.92 s at sf0.1); the drop set re-attaches via a left join keyed on vec_id. At scale NumCells is the lever that keeps cells pair-expandable and the cell_id shuffle healthy.",
     "text_unigram_logprob" ->
-      "Linear chain, ONE corpus tokenization: the token stream collapses map-side into (doc, term) tf rows; corpus counts attach via a sum window over term (same single-materialization argument as tfidf's df window); the grand total broadcasts (1-row cross). The portable log2 is the native codegen'd graft_log2 expression (the Column-HOF fold form defeated whole-stage codegen and cost ~120 µs/row interpreted — 14 s of the sf0.1 stage; bit parity with the oracle's list_reduce fold is spec-pinned), evaluated per tf row — never per token instance — and the per-doc sum folds tf·log2p in term order off the collected per-doc struct list.",
+      "ORDER-FREE fixed-point form (r16): vocab counts come from a vocabulary-sized aggregate, each term's log2 weight quantizes ONCE to q = floor(log2(cnt)·2^38 + 0.5), and the per-doc score is the exact integer Σ tf·q — commutative, so bit-identical under any partitioning/merge order with NO corpus sort and NO per-doc list materialization (the r15 window+array_sort(collect_list) canonical fold, the sf100 in-suite spill pair, is gone; UnigramPlanSpec asserts zero SortExec). tf attaches q via a hinted shuffled-hash join; the grand total stays a narrow scan-sum on a 1-row broadcast; the portable log2 is the native graft_log2 kernel, evaluated once per VOCAB TERM.",
     "text_filter_funnel" ->
       "One corpus scan computes the shared quality features map-side; the first-failing-stage CASE collapses into a 4-group aggregate; the dense stage grid left-joins it (broadcast, 4 rows) and the share window runs over the grid, never the corpus.",
     "rel_small_qty_revenue" ->
