@@ -78,7 +78,7 @@ object Dedup {
   val MaxBucketSize = 200
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.sources.Tables.parquet(s, dir, "documents")
       .filter(col("text").isNotNull && length(col("text")) > 0)
 
   /** Whitespace tokens of the lowered text (non-empty only). */

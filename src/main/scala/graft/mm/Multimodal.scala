@@ -55,7 +55,7 @@ object Multimodal {
   val FakeDecoder: Array[Byte] => Array[Int] = b => b.map(x => x & 0xff)
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.sources.Tables.parquet(s, dir, "documents")
       .filter(col("text").isNotNull && length(col("text")) > 0)
 
   /** Deterministic media table derived from documents: one media row per

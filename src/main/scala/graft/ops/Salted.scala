@@ -107,7 +107,7 @@ object Salted {
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_salted_join" -> ((s, dir) => {
-      val d = s.read.parquet(s"$dir/documents.parquet")
+      val d = graft.sources.Tables.parquet(s, dir, "documents")
       val audit = graft.rel.Relational.keySkew(d, Seq("lang", "source"))
       val key = skewedKeys(audit).head._1
       val dim = d.groupBy(col(key)).agg(

@@ -321,24 +321,24 @@ object Sampling {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-doc assignment: the full reproducible-split contract
     "sample_split_assign" -> ((s, dir) =>
-      split(s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+      split(graft.sources.Tables.parquet(s, dir, "documents"), "doc_id")
         .select("doc_id", "bucket", "split")
         .orderBy("doc_id")),
     // split sizes per language: the sanity report a pipeline runs daily
     "sample_split_stats" -> ((s, dir) =>
-      split(s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+      split(graft.sources.Tables.parquet(s, dir, "documents"), "doc_id")
         .groupBy("lang", "split").agg(count(lit(1)).as("n"))
         .orderBy("lang", "split")),
     // the corpus after language reweighting (the apply step)
     "sample_mix_apply" -> ((s, dir) =>
-      mixAssign(s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+      mixAssign(graft.sources.Tables.parquet(s, dir, "documents"), "doc_id")
         .filter(col("kept"))
         .select("doc_id", "lang", "bucket")
         .orderBy("doc_id")),
     // the mixing audit: per language, incoming vs kept vs configured
     // rate — downsampling must never be silent
     "sample_mix_stats" -> ((s, dir) =>
-      mixAssign(s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+      mixAssign(graft.sources.Tables.parquet(s, dir, "documents"), "doc_id")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_in"),
           sum(col("kept").cast("long")).as("n_kept"),
@@ -346,33 +346,33 @@ object Sampling {
         .orderBy("lang")),
     // fixed-k eval-set carve per language (engine-portable, seed-free)
     "sample_stratified" -> ((s, dir) =>
-      stratified(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "lang")
+      stratified(graft.sources.Tables.parquet(s, dir, "documents"), "doc_id", "lang")
         .select("doc_id", "lang", "hkey", "rank")
         .orderBy("lang", "rank")),
     // per-language token-budget plan (epoch-capped uniform reweighting)
     "sample_budget_plan" -> ((s, dir) =>
-      budgetPlan(s.read.parquet(s"$dir/documents.parquet"))
+      budgetPlan(graft.sources.Tables.parquet(s, dir, "documents"))
         .orderBy("lang")),
     // deterministic k-fold assignment (salted hash mod k)
     "sample_kfold" -> ((s, dir) =>
-      kfold(s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+      kfold(graft.sources.Tables.parquet(s, dir, "documents"), "doc_id")
         .select("doc_id", "lang", "fold")
         .orderBy("doc_id")),
     // sqrt-temperature source flattening: the per-source plan…
     "sample_temperature_plan" -> ((s, dir) =>
-      temperaturePlan(s.read.parquet(s"$dir/documents.parquet"))
+      temperaturePlan(graft.sources.Tables.parquet(s, dir, "documents"))
         .orderBy("source")),
     // …and its per-doc admission (the apply step)
     "sample_temperature_apply" -> ((s, dir) =>
-      temperatureApply(s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+      temperatureApply(graft.sources.Tables.parquet(s, dir, "documents"), "doc_id")
         .orderBy("doc_id")),
     // concatenate-and-chunk sequence packing: per-doc pack assignment
     "sample_pack_plan" -> ((s, dir) =>
-      packPlan(s.read.parquet(s"$dir/documents.parquet"))
+      packPlan(graft.sources.Tables.parquet(s, dir, "documents"))
         .orderBy("doc_id")),
     // …and the per-shard pack/straddler/fill audit
     "sample_pack_stats" -> ((s, dir) =>
-      packStats(s.read.parquet(s"$dir/documents.parquet"))
+      packStats(graft.sources.Tables.parquet(s, dir, "documents"))
         .orderBy("shard"))
   )
 

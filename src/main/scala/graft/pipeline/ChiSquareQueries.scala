@@ -14,7 +14,7 @@ import graft.stats.{ChiSquare, Contingency}
 object ChiSquareQueries {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    graft.sources.Tables.parquet(spark, dir, "documents")
 
   val K = ChiSquarePipeline.DefaultK
 

@@ -231,7 +231,7 @@ object Similarity {
   }
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    graft.sources.Tables.parquet(s, dir, "embeddings")
 
   /** Element-wise double view of the float embedding. */
   private def vCol(c: Column): Column = transform(c, x => x.cast("double"))
@@ -1234,7 +1234,7 @@ object Similarity {
       quantizeAudit(emb(s, dir)).orderBy("vec_id")),
     "sim_embedding_coverage" -> ((s, dir) =>
       embeddingCoverage(
-        s.read.parquet(s"$dir/documents.parquet"), emb(s, dir)))
+        graft.sources.Tables.parquet(s, dir, "documents"), emb(s, dir)))
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------

@@ -195,7 +195,7 @@ object StreamingDedup {
       }
       Files.createDirectories(store)
       import s.implicits._
-      val pairs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = graft.sources.Tables.parquet(s, dir, "documents")
         .filter(col("text").isNotNull && length(col("text")) > 0)
         .select(sha2(lower(col("text")), 256).as("_1"),
           col("doc_id").as("_2"))
@@ -220,7 +220,7 @@ object StreamingDedup {
       s.catalog.dropTempView(qname)
       Files.write(marker, Array.emptyByteArray)
     }
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.sources.Tables.parquet(s, dir, "documents")
       .join(s.read.parquet(kept), Seq("doc_id"))
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")

@@ -170,7 +170,7 @@ object StreamingChiSquare {
     if (!Files.exists(marker)) graft.BuildWall.timed("replay_store") {
       deleteRecursively(store)
       Files.createDirectories(store)
-      val d = s.read.parquet(s"$dir/documents.parquet")
+      val d = graft.sources.Tables.parquet(s, dir, "documents")
       for (b <- 0 until NumReplayBatches)
         mergeBatch(d.filter(pmod(col("doc_id"), lit(NumReplayBatches)) === b),
           b.toLong, store.toString, "text", "lang")

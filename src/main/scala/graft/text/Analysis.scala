@@ -56,7 +56,7 @@ object Analysis {
   val FpShingleSize = 3
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.sources.Tables.parquet(s, dir, "documents")
       .filter(col("text").isNotNull && length(col("text")) > 0)
 
   private def toksCol: Column =
