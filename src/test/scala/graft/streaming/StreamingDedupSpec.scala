@@ -91,6 +91,24 @@ class StreamingDedupSpec extends SparkSpec {
         "keeper rows exactly (first arrival ≡ min doc_id)")
   }
 
+  test("bounded sub-chunk feed (forced many micro-batches) equals the batch twin") {
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    // feedRows=7 forces every logical slice into many tiny micro-batches —
+    // the r17 driver-bounding path. The feed stays doc_id-ascending, so the
+    // first batch containing a hash holds its min doc_id and the kept set
+    // must still equal the batch twin's keeper set exactly.
+    val store = java.nio.file.Files.createTempDirectory("graft-replay-chunk")
+    StreamingDedup.buildKeptStore(s, dir, store, feedRows = 7)
+    val got = s.read.parquet(store.resolve("kept.parquet").toString)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val want = graft.SparkEntry.queries("dedup_apply")(s, dir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want,
+      "sub-batch granularity must not change the keeper set " +
+        "(doc_id-ascending feed ⇒ first arrival ≡ min doc_id)")
+  }
+
   // ---- event-time TTL (dedupTtl) — same deterministic protocol as
   // StreamingNearDupSpec: the watermark for batch N is computed from
   // batches < N, so an eviction lands one batch after the timestamp
