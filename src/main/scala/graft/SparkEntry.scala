@@ -60,6 +60,21 @@ object SparkEntry {
     // code rather than remembered per run. SPARK_GRAFT_WIDEAGG_EXTRA
     // remains for arms that are NOT name-derived from a covered base.
     val base = name.replaceAll("_e\\w+$", "")
+    // MEASURED NEGATIVE RESULT (r17, VERDICT r16 ask #5): a global
+    // `spark.sql.adaptive.coalescePartitions.parallelismFirst=false`
+    // (Spark's own busy-cluster recommendation — respect the byte-based
+    // advisory target instead of splitting to defaultParallelism) was
+    // A/B'd over the full suite at sf0.1 and LOST: 76.31 → 80.87 s
+    // (geomean ×1.06), with the losses concentrated exactly where
+    // coalescing serializes a window or wide aggregate onto one task
+    // (rel_dominant_supplier 0.90 → 1.94 s, rel_window_running
+    // 0.95 → 1.93, rel_small_qty_revenue 0.64 → 1.22) and only
+    // sub-noise wins on the scheduling-floor tail. The two-SF gate
+    // (graduate only if sf0.1 AND sf10 agree) therefore fails at the
+    // first SF; the suite's stage outputs at bench scale sit well under
+    // one advisory unit, so byte-targeted coalescing and "keep the
+    // cores busy" are directly opposed here. Not graduated — details in
+    // docs/BENCH_NOTES.md r17.
     if (sys.env.get("SPARK_GRAFT_SCOPED_CONFS").contains("false")) Map.empty
     else if (rel.Relational.wideAggQueries(name) ||
       rel.Relational.wideAggQueries(base))
