@@ -60,7 +60,7 @@ object PlanDump {
     "events_anomaly" ->
       "Dense type×hour grid (bounded: types × hours, independent of event volume) left-joins the one-shuffle hourly aggregate; per-type moments attach as WINDOW aggregates over event_type on the dense frame — a stats-groupBy joined back planned the whole grid+hourly subtree twice (explain-verified before the rewrite).",
     "dedup_minhash_est" ->
-      "The per-doc feature aggregate carries shingle set + 16 signature minima off one (doc_id, s)-distinct exchange; candidate pairs come from the shared in-bucket expansion, and both docs' features attach via a union-tag join + one (doc_a, doc_b) aggregate. The feature subtree is planned twice (bucket chain + join side — HOF lambdas defeat exchange reuse); the union-tag holds it at two where an a/b self-join would plan three.",
+      "The per-doc feature table (sorted shingle-key set + 16 signature minima, both native kernels off the token array — one narrow map, no explode) is a LAZY localCheckpoint since r17: its three consumers (bucket chain + both verify join-back sides) read the one persisted copy, where the r16 repartition barrier was defeated by column pruning (different pruned exchange children → no exchange reuse → scan+kernels ran twice; plan went 6 scans/16 Exchanges → 0 re-scans/10). Candidate pairs still come from the shared in-bucket expansion; exact verification attaches both docs' sets by joining the checkpointed features, and the two-pointer sorted-intersect kernel replaces array_intersect.",
     "sim_semdedup" ->
       "Zero-shuffle cell assignment (16 literal centroid dots per row, same narrow map as IVF); ONE cell_id exchange carries both the count-window size guard and the per-cell collect_list, and pairs expand IN-ARRAY inside cap-admitted cells (the a×b self-join planned the assignment subtree four times — 1.75 → 0.92 s at sf0.1); the drop set re-attaches via a left join keyed on vec_id. At scale NumCells is the lever that keeps cells pair-expandable and the cell_id shuffle healthy.",
     "text_unigram_logprob" ->
